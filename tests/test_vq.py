@@ -1,0 +1,175 @@
+"""VQ hot-core tests: XLA vs Pallas(interpret) parity, gradient semantics, EMA.
+
+Mirrors the reference test strategy (analytic edge cases + invariants +
+gradient checks on synthetic tensors, SURVEY.md §5) for the reconstructed
+vqvae.model contract (SURVEY.md §3).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from forest_tpu.ops import vq
+
+
+def _rand(n=300, d=24, k=17, seed=0):
+    r = np.random.default_rng(seed)
+    x = r.normal(size=(n, d)).astype(np.float32)
+    cb = r.normal(size=(k, d)).astype(np.float32)
+    return jnp.asarray(x), jnp.asarray(cb)
+
+
+class TestAssignment:
+    def test_xla_matches_bruteforce(self):
+        x, cb = _rand()
+        d = np.linalg.norm(np.asarray(x)[:, None] - np.asarray(cb)[None], axis=-1)
+        expect = d.argmin(-1)
+        got = vq.vq_assign(x, cb, use_pallas=False)
+        np.testing.assert_array_equal(np.asarray(got), expect)
+
+    def test_pallas_interpret_matches_xla(self):
+        x, cb = _rand(n=1000, d=40, k=50)
+        ix, qx, cx, sx = vq._vq_core_xla(x, cb)
+        ip, qp, cp, sp = vq._vq_core_pallas(x, cb, tile_n=256, interpret=True)
+        np.testing.assert_array_equal(np.asarray(ix), np.asarray(ip))
+        np.testing.assert_allclose(np.asarray(qx), np.asarray(qp), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(cx), np.asarray(cp), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(sx), np.asarray(sp), atol=1e-3)
+
+    def test_tie_break_lowest_index(self):
+        # Duplicate codebook rows: argmin must pick the lowest index.
+        cb = jnp.asarray(np.tile(np.arange(4, dtype=np.float32)[:, None],
+                                 (2, 8)))  # codes 0..3 == codes 4..7
+        x = cb[4:8] + 0.01
+        for up in (False, None):
+            idx = vq.vq_assign(x, cb, use_pallas=False) if up is False else \
+                vq._vq_core_pallas(x, cb, interpret=True)[0]
+            np.testing.assert_array_equal(np.asarray(idx), [0, 1, 2, 3])
+
+    def test_counts_and_sums(self):
+        x, cb = _rand(n=123)
+        idx, q, counts, sums = vq._vq_core_xla(x, cb)
+        assert float(counts.sum()) == 123
+        oh = np.eye(cb.shape[0])[np.asarray(idx)]
+        np.testing.assert_allclose(np.asarray(sums), oh.T @ np.asarray(x),
+                                   atol=1e-4)
+
+    def test_pallas_padding_correction(self):
+        # n deliberately not a multiple of the tile; code-0 counts must not
+        # include padded rows.
+        x, cb = _rand(n=77, d=8, k=4)
+        _, _, cx, _ = vq._vq_core_xla(x, cb)
+        _, _, cp, _ = vq._vq_core_pallas(x, cb, tile_n=256, interpret=True)
+        np.testing.assert_allclose(np.asarray(cx), np.asarray(cp), atol=1e-4)
+        assert float(cp.sum()) == 77
+
+
+class TestGradients:
+    def test_ste_passes_gradient_to_encoder(self):
+        x, cb = _rand()
+
+        def f(x):
+            return jnp.sum(vq.quantize_st(x, cb, use_pallas=False).quantized)
+
+        g = jax.grad(f)(x)
+        np.testing.assert_allclose(np.asarray(g), np.ones_like(g), atol=1e-6)
+
+    def test_st_codebook_gets_gradient(self):
+        x, cb = _rand()
+
+        def f(cb):
+            r = vq.quantize_st(x, cb, use_pallas=False)
+            return r.vq_loss
+
+        g = jax.grad(f)(cb)
+        assert float(jnp.abs(g).sum()) > 0
+
+    def test_ema_codebook_no_gradient(self):
+        x, cb = _rand()
+
+        def f(cb):
+            r = vq.quantize_ema(x, cb, use_pallas=False)
+            return r.vq_loss + jnp.sum(r.quantized)
+
+        g = jax.grad(f)(cb)
+        np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-6)
+
+    def test_commitment_loss_value(self):
+        # x exactly on codes -> all losses zero, quantized == x.
+        cb = jnp.asarray(np.random.default_rng(1).normal(size=(5, 6)),
+                         dtype=jnp.float32)
+        x = cb[jnp.asarray([0, 2, 4])]
+        r = vq.quantize_st(x, cb, use_pallas=False)
+        assert float(r.vq_loss) == pytest.approx(0.0, abs=1e-10)
+        np.testing.assert_allclose(np.asarray(r.quantized), np.asarray(x))
+
+
+class TestEMA:
+    def test_update_moves_codebook_toward_data(self):
+        x, cb = _rand(n=500, d=8, k=4)
+        stats = vq.VQStats.init(4, 8)
+        r = vq.quantize_ema(x, cb, use_pallas=False)
+        stats, new_cb = vq.ema_codebook_update(stats, cb, r.counts, r.sums,
+                                               decay=0.0)
+        # decay=0 -> codebook == per-cluster means (up to Laplace smoothing)
+        for kk in range(4):
+            m = np.asarray(r.counts)[kk]
+            if m > 0:
+                mean = np.asarray(r.sums)[kk] / m
+                np.testing.assert_allclose(np.asarray(new_cb)[kk], mean,
+                                           rtol=1e-2, atol=1e-2)
+
+    def test_usage_accumulates(self):
+        x, cb = _rand(n=100, d=8, k=4)
+        stats = vq.VQStats.init(4, 8)
+        r = vq.quantize_ema(x, cb, use_pallas=False)
+        stats, cb = vq.ema_codebook_update(stats, cb, r.counts, r.sums)
+        stats, cb = vq.ema_codebook_update(stats, cb, r.counts, r.sums)
+        assert float(stats.code_usage.sum()) == 200
+
+    def test_psum_across_mesh(self):
+        # Cross-replica psum of EMA stats must equal the single-device update
+        # on the concatenated batch (the multi-chip contract, SURVEY.md §6.8).
+        from jax.sharding import Mesh, PartitionSpec as P
+        ndev = len(jax.devices())
+        n_per, d, k = 64, 8, 6
+        x, cb = _rand(n=n_per * ndev, d=d, k=k)
+        stats = vq.VQStats.init(k, d)
+
+        def shard_fn(x):
+            r = vq.quantize_ema(x, cb, use_pallas=False)
+            s, ncb = vq.ema_codebook_update(stats, cb, r.counts, r.sums,
+                                            decay=0.5, axis_name="data")
+            return ncb
+
+        mesh = Mesh(np.array(jax.devices()), ("data",))
+        ncb_sharded = jax.jit(jax.shard_map(
+            shard_fn, mesh=mesh, in_specs=P("data"), out_specs=P()))(x)
+
+        r = vq.quantize_ema(x, cb, use_pallas=False)
+        _, ncb_ref = vq.ema_codebook_update(stats, cb, r.counts, r.sums,
+                                            decay=0.5)
+        np.testing.assert_allclose(np.asarray(ncb_sharded), np.asarray(ncb_ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_reseed_dead_codes(self):
+        cb = jnp.zeros((4, 8))
+        stats = vq.VQStats(jnp.asarray([5.0, 0.0, 5.0, 0.0]),
+                           jnp.zeros((4, 8)), jnp.zeros((4,)))
+        cands = jnp.ones((10, 8)) * 7.0
+        new_cb, new_stats = vq.reseed_dead_codes(cb, stats, cands,
+                                                 jax.random.key(0))
+        np.testing.assert_allclose(np.asarray(new_cb[1]), 7.0)
+        np.testing.assert_allclose(np.asarray(new_cb[3]), 7.0)
+        np.testing.assert_allclose(np.asarray(new_cb[0]), 0.0)
+        assert float(new_stats.cluster_size[1]) > 0
+
+
+class TestPerplexity:
+    def test_uniform_is_k(self):
+        c = jnp.ones((16,))
+        assert float(vq.perplexity_from_counts(c)) == pytest.approx(16.0)
+
+    def test_single_code_is_one(self):
+        c = jnp.zeros((16,)).at[3].set(100.0)
+        assert float(vq.perplexity_from_counts(c)) == pytest.approx(1.0)
