@@ -1,0 +1,276 @@
+"""Legacy-pipeline VQ-VAE training CLI (TPU-native).
+
+The forest-tpu equivalent of /root/reference/scripts/train_vqvae.py (call
+stack SURVEY.md §4.3): schema build -> VQVAEDataset + ChunkBatchSampler +
+prefetching loader -> VQVAE -> AdamW (codebook wd=0) + cosine LR + lambda_vq
+annealer -> jitted train step with EMA codebook updates -> per-epoch
+checkpoints (ckpt_epochNNN / ckpt_best semantics via CheckpointManager).
+
+Run:
+  python -m forest_tpu.training.train_vqvae --config configs/vae_v0.yaml \
+      [--zarr PATH] [--run-dir PATH] [--epochs N] [--max-steps N]
+
+Config YAML uses a ``train_vqvae:`` section with the reference's key names
+(/root/reference/scripts/config.yaml:19-61) so existing configs port directly.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import time
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from forest_tpu.data.loader import PrefetchLoader, make_device_put
+from forest_tpu.data.samplers import ChunkBatchSampler
+from forest_tpu.data.schema import build_and_save_schema
+from forest_tpu.data.cube import LegacyCube
+from forest_tpu.data.vqvae_dataset import VQVAEDataset
+from forest_tpu.models.vqvae import VQVAE, model_config_dict
+from forest_tpu.training import vqvae_step
+from forest_tpu.training.annealers import load_scheduler
+from forest_tpu.training.checkpointing import CheckpointManager
+from forest_tpu.training.scheduler import cosine_lr
+
+log = logging.getLogger("forest_tpu.train_vqvae")
+
+DEFAULTS: Dict[str, Any] = dict(
+    batch_size=64, steps_per_epoch=200, epochs=10, num_workers=8,
+    eager=False,
+    min_hits_per_epoch=100, mass_coverage=0.999, vocab_cap=5000,
+    codebook_size=256, emb_dim=128, hidden=128, cat_emb_dim=8, beta=0.25,
+    quantizer="ema", ema_decay=0.99, ema_eps=1e-5,
+    lr=3e-4, min_lr=3e-5, weight_decay=1e-4, clip_grad=1.0,
+    lambda_cont=1.0, lambda_cat=1.0, lambda_canopy=1.0,
+    anneal_vq_schedule="constant", anneal_vq_value=1.0,
+    block_size=(4, 4), split_train="train", split_val="val",
+    drop_last=True, seed=0,
+)
+
+
+def load_config(path: Optional[str], overrides: Dict[str, Any]) -> Dict[str, Any]:
+    cfg = dict(DEFAULTS)
+    if path:
+        y = yaml.safe_load(Path(path).read_text()) or {}
+        cfg.update(y.get("train_vqvae", y))
+    cfg.update({k: v for k, v in overrides.items() if v is not None})
+    return cfg
+
+
+def build_vq_annealer(cfg: Dict[str, Any]):
+    """Map the reference's flat anneal_vq_* keys to an AnnealConfig."""
+    sched = cfg.get("anneal_vq_schedule", "constant")
+    base = {"cont": cfg["lambda_cont"], "cat": cfg["lambda_cat"],
+            "canopy": cfg["lambda_canopy"], "vq": 1.0}
+    if sched == "constant":
+        return load_scheduler(base, {"vq": float(
+            cfg.get("anneal_vq_value", 1.0))})
+    if sched == "warmup_hold_decay":
+        return load_scheduler(base, {"vq": {
+            "kind": "warmup_hold_decay",
+            "start_step": int(cfg.get("anneal_vq_start", 0)),
+            "warmup": int(cfg.get("anneal_vq_warmup", 0)),
+            "hold": int(cfg.get("anneal_vq_hold", 0)),
+            "decay": int(cfg.get("anneal_vq_decay", 0)),
+            "floor": float(cfg.get("anneal_vq_floor", 0.0)),
+            "ceil": float(cfg.get("anneal_vq_ceil", 1.0)),
+            "final": float(cfg.get("anneal_vq_final", 1.0))}})
+    return load_scheduler(base, {"vq": {
+        "kind": sched,
+        "start_value": float(cfg.get("anneal_vq_floor", 0.0)),
+        "end_value": float(cfg.get("anneal_vq_ceil", 1.0)),
+        "start_step": int(cfg.get("anneal_vq_start", 0)),
+        "end_step": int(cfg.get("anneal_vq_start", 0))
+        + int(cfg.get("anneal_vq_warmup", 1))}})
+
+
+def host_to_device_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
+    """Drop host-only keys; jnp-ify the rest."""
+    out = {}
+    for k, v in batch.items():
+        if k in ("years", "yx"):
+            continue
+        out[k] = ({n: jnp.asarray(a) for n, a in v.items()}
+                  if isinstance(v, dict) else jnp.asarray(v))
+    return out
+
+
+def train(cfg: Dict[str, Any]) -> Dict[str, Any]:
+    t_setup = time.perf_counter()
+    run_dir = Path(cfg["run_dir"])
+    run_dir.mkdir(parents=True, exist_ok=True)
+    (run_dir / "config.json").write_text(json.dumps(
+        {k: str(v) if isinstance(v, Path) else v for k, v in cfg.items()},
+        indent=1, default=str))
+
+    # 1. schema (exposure-aware vocab collapse)
+    schema_path = run_dir / "schema.json"
+    if not schema_path.exists():
+        cube = LegacyCube(cfg["zarr"])
+        build_and_save_schema(
+            cube, run_dir, cfg["batch_size"], cfg["steps_per_epoch"],
+            cfg["min_hits_per_epoch"], cfg["mass_coverage"],
+            cfg["vocab_cap"])
+        log.info("schema written to %s", schema_path)
+
+    # 2. datasets + loaders
+    block = tuple(cfg["block_size"])
+    ds_tr = VQVAEDataset(cfg["zarr"], schema_path, split=cfg["split_train"],
+                         eager=cfg["eager"], block_size=block)
+    ds_va = VQVAEDataset(cfg["zarr"], schema_path, split=cfg["split_val"],
+                         eager=cfg["eager"], block_size=block)
+    log.info("train pixels: %d  val pixels: %d", len(ds_tr), len(ds_va))
+
+    # 3. model
+    cat_vocab = {n: ds_tr.schema_cat[n]["num_ids"] for n in ds_tr.cat_names}
+    model = VQVAE(
+        cont_dim=len(ds_tr.cont_names), cat_vocab_sizes=cat_vocab,
+        naip_bands=ds_tr.naip.shape[-1], num_timesteps=len(ds_tr.ds["years"]),
+        emb_dim=cfg["emb_dim"], codebook_size=cfg["codebook_size"],
+        beta=cfg["beta"], hidden=cfg["hidden"], quantizer=cfg["quantizer"],
+        cat_emb_dim=cfg["cat_emb_dim"], ema_decay=cfg["ema_decay"],
+        ema_eps=cfg["ema_eps"])
+    class_weights = {n: jnp.asarray(ds_tr.class_weights_by_cat_name(n))
+                     for n in ds_tr.cat_names}
+
+    total_steps = cfg["epochs"] * cfg["steps_per_epoch"]
+    lr_sched = cosine_lr(cfg["lr"], total_steps, cfg["min_lr"])
+    opt = vqvae_step.make_optimizer(lr_sched, cfg["weight_decay"],
+                                    cfg["clip_grad"])
+
+    sampler0 = ChunkBatchSampler(ds_tr.xy_by_chunk, cfg["batch_size"],
+                                 drop_last=cfg["drop_last"],
+                                 seed=cfg["seed"])
+    example = host_to_device_batch(ds_tr.load_batch(next(iter(sampler0))))
+    state = vqvae_step.init_train_state(model, opt, example,
+                                        jax.random.key(cfg["seed"]))
+    n_params = sum(int(np.prod(p.shape)) for p in
+                   jax.tree_util.tree_leaves(state.params))
+    log.info("model params: %.2f M", n_params / 1e6)
+
+    train_step = jax.jit(vqvae_step.make_train_step(model, opt,
+                                                    class_weights),
+                         donate_argnums=0)
+    eval_step = jax.jit(vqvae_step.make_eval_step(model, class_weights))
+
+    ckpt = CheckpointManager(run_dir / "ckpt", prefix="ckpt", top_k=1,
+                             periodic_every=cfg.get("ckpt_every", 1),
+                             monitor="val/loss_total",
+                             monitor_start_epoch=0)
+    start_epoch = 0
+    resumed = ckpt.maybe_resume(state)
+    if resumed is not None and not cfg.get("no_resume"):
+        state, meta = resumed
+        start_epoch = int(meta.get("epoch", -1)) + 1
+        log.info("auto-resumed from epoch %d", start_epoch - 1)
+
+    annealer = build_vq_annealer(cfg)
+    extra_meta = {"model_version": "vqvae-1",
+                  "model_config": model_config_dict(model)}
+    log.info("setup in %.1fs", time.perf_counter() - t_setup)
+
+    global_step = start_epoch * cfg["steps_per_epoch"]
+    max_steps = cfg.get("max_steps")
+    history = []
+    for epoch in range(start_epoch, cfg["epochs"]):
+        sampler = ChunkBatchSampler(
+            ds_tr.xy_by_chunk, cfg["batch_size"],
+            drop_last=cfg["drop_last"],
+            replacement_within_chunk=True, seed=cfg["seed"] + epoch)
+        loader = PrefetchLoader(ds_tr, sampler,
+                                num_workers=cfg["num_workers"])
+        t0 = time.perf_counter()
+        wait_t = step_t = 0.0
+        n_steps = 0
+        agg: Dict[str, float] = {}
+        t_wait = time.perf_counter()
+        for batch in loader:
+            wait_t += time.perf_counter() - t_wait
+            t_step = time.perf_counter()
+            w = {k: jnp.float32(v) for k, v in annealer(global_step).items()}
+            state, m = train_step(state, host_to_device_batch(batch), w,
+                                  jax.random.key(global_step))
+            global_step += 1
+            n_steps += 1
+            for k, v in m.items():
+                agg[k] = agg.get(k, 0.0) + float(v)
+            step_t += time.perf_counter() - t_step
+            t_wait = time.perf_counter()
+            if n_steps >= cfg["steps_per_epoch"]:
+                break
+            if max_steps and global_step >= max_steps:
+                break
+
+        train_metrics = {f"train/{k.replace('loss/', 'loss_')}": v / n_steps
+                         for k, v in agg.items()}
+        # validation
+        va_sampler = ChunkBatchSampler(ds_va.xy_by_chunk, cfg["batch_size"],
+                                       drop_last=True, seed=0,
+                                       replacement_within_chunk=True)
+        va_agg: Dict[str, float] = {}
+        nv = 0
+        w = {k: jnp.float32(v) for k, v in annealer(global_step).items()}
+        for batch in PrefetchLoader(ds_va, va_sampler,
+                                    num_workers=cfg["num_workers"]):
+            m = eval_step(state.params, host_to_device_batch(batch), w)
+            for k, v in m.items():
+                va_agg[k] = va_agg.get(k, 0.0) + float(v)
+            nv += 1
+            if nv >= cfg.get("val_steps", 20):
+                break
+        val_metrics = {f"val/{k.replace('loss/', 'loss_')}": v / max(nv, 1)
+                       for k, v in va_agg.items()}
+
+        dt = time.perf_counter() - t0
+        metrics = {**train_metrics, **val_metrics,
+                   "epoch_time_s": dt, "wait_s": wait_t, "step_s": step_t,
+                   "steps_per_s": n_steps / max(dt, 1e-9)}
+        history.append({"epoch": epoch, **metrics})
+        log.info(
+            "epoch %d: train %.4f  val %.4f  ppl %.1f  %.1f steps/s "
+            "(wait %.1fs / step %.1fs)",
+            epoch, train_metrics.get("train/loss_total", float("nan")),
+            val_metrics.get("val/loss_total", float("nan")),
+            train_metrics.get("train/perplexity", float("nan")),
+            metrics["steps_per_s"], wait_t, step_t)
+        ckpt.save(epoch, state, metrics, extra_meta)
+        if max_steps and global_step >= max_steps:
+            break
+
+    (run_dir / "history.json").write_text(json.dumps(history, indent=1))
+    return {"state": state, "model": model, "history": history,
+            "dataset": ds_tr}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", default=None)
+    ap.add_argument("--zarr", default=None)
+    ap.add_argument("--run-dir", dest="run_dir", default=None)
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--batch-size", dest="batch_size", type=int, default=None)
+    ap.add_argument("--steps-per-epoch", dest="steps_per_epoch", type=int,
+                    default=None)
+    ap.add_argument("--max-steps", dest="max_steps", type=int, default=None)
+    ap.add_argument("--num-workers", dest="num_workers", type=int,
+                    default=None)
+    ap.add_argument("--quantizer", default=None)
+    ap.add_argument("--no-resume", dest="no_resume", action="store_true",
+                    default=None)
+    args = vars(ap.parse_args(argv))
+    cfg = load_config(args.pop("config"), args)
+    if not cfg.get("zarr") or not cfg.get("run_dir"):
+        raise SystemExit("--zarr and --run-dir (or config) are required")
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(name)s: %(message)s")
+    train(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,240 @@
+"""Data layer tests: zarr-lite roundtrip, checkerboard split arithmetic,
+chunk-locked sampler, schema collapse, dataset batches, prefetch loader."""
+import json
+
+import numpy as np
+import pytest
+
+from forest_tpu.data import checkerboard, schema as schema_mod, zarrlite as zl
+from forest_tpu.data.cube import build_synthetic_cube
+from forest_tpu.data.loader import PrefetchLoader
+from forest_tpu.data.samplers import ChunkBatchSampler, ReservoirSampler
+from forest_tpu.data.vqvae_dataset import IGNORE_INDEX, VQVAEDataset
+
+
+class TestZarrLite:
+    def test_roundtrip_blosc(self, tmp_path, rng):
+        a = zl.create_array(tmp_path / "a", (10, 7, 33), (5, 7, 16),
+                            np.float32, fill_value=float("nan"))
+        data = rng.normal(size=(10, 7, 33)).astype(np.float32)
+        a[:] = data
+        b = zl.ZarrArray(tmp_path / "a")
+        np.testing.assert_array_equal(b[:], data)
+        # partial, cross-chunk slice
+        np.testing.assert_array_equal(b[2:9, 1:6, 10:30],
+                                      data[2:9, 1:6, 10:30])
+
+    def test_fill_value_for_missing_chunks(self, tmp_path):
+        a = zl.create_array(tmp_path / "a", (8, 8), (4, 4), np.float32,
+                            fill_value=float("nan"))
+        a[0:4, 0:4] = 1.0  # only one chunk written
+        out = a[:]
+        assert np.all(out[:4, :4] == 1.0)
+        assert np.all(np.isnan(out[4:, 4:]))
+
+    def test_int_dtypes_and_zlib(self, tmp_path, rng):
+        a = zl.create_array(tmp_path / "a", (6, 6), (4, 4), np.int16,
+                            fill_value=-1, compressor={"id": "zlib",
+                                                       "level": 5})
+        d = rng.integers(-5, 100, size=(6, 6)).astype(np.int16)
+        a[:] = d
+        np.testing.assert_array_equal(zl.ZarrArray(tmp_path / "a")[:], d)
+
+    def test_groups_and_attrs(self, tmp_path):
+        g = zl.create_group(tmp_path / "g")
+        sub = g.create_group("annual")
+        sub.create_array("x", (4,), (4,), np.int64, compressor=None)
+        g.attrs["names"] = ["a", "b"]
+        g.write_attrs()
+        g2 = zl.open_zarr(tmp_path / "g")
+        assert g2.attrs["names"] == ["a", "b"]
+        assert "annual" in g2
+        assert isinstance(g2["annual/x"], zl.ZarrArray)
+
+    def test_chunk_exact_read(self, tmp_path, rng):
+        a = zl.create_array(tmp_path / "a", (8, 8), (4, 4), np.float32)
+        d = rng.normal(size=(8, 8)).astype(np.float32)
+        a[:] = d
+        np.testing.assert_array_equal(a.read_chunk((1, 0)), d[4:8, 0:4])
+
+
+class TestCheckerboard:
+    def test_codes_match_reference_arithmetic(self):
+        """Independent recomputation of forest_dataset_v2.py:278-301."""
+        p, (bh, bw) = 256, (4, 4)
+        for pr in range(0, 40):
+            for pc in range(0, 40):
+                br, bc = pr // bh, pc // bw
+                a = (br // 2 + bc // 2) % 2
+                b = (br + bc) % 4
+                expect = 3 if (a == 0 and b == 0) else \
+                    2 if (a == 0 and b == 2) else 1
+                got = checkerboard.split_code(pr * p, pc * p, p, (bh, bw))
+                assert got == expect, (pr, pc)
+
+    def test_vectorized_matches_scalar(self):
+        ys = np.arange(0, 2560, 256)
+        xs = np.arange(0, 2560, 256)
+        yy, xx = np.meshgrid(ys, xs, indexing="ij")
+        codes = checkerboard.split_code(yy.ravel(), xx.ravel(), 256)
+        for y, x, c in zip(yy.ravel(), xx.ravel(), codes):
+            assert c == checkerboard.split_code(int(y), int(x), 256)
+
+    def test_all_splits_nonempty_and_disjoint(self):
+        ys, xs = np.meshgrid(np.arange(50), np.arange(50), indexing="ij")
+        codes = checkerboard.split_code(ys.ravel() * 64, xs.ravel() * 64, 64)
+        u, c = np.unique(codes, return_counts=True)
+        assert set(u) == {1, 2, 3}
+        # train is the majority split
+        assert c[0] > c[1] and c[0] > c[2]
+
+
+class TestChunkBatchSampler:
+    def test_batches_stay_within_chunk(self):
+        xy = [np.arange(10), np.arange(10, 15), np.array([]),
+              np.arange(15, 40)]
+        s = ChunkBatchSampler(xy, batch_size=4, seed=0)
+        chunk_of = {}
+        for cid, arr in enumerate(xy):
+            for i in arr:
+                chunk_of[int(i)] = cid
+        for batch in s:
+            cids = {chunk_of[int(i)] for i in batch}
+            assert len(cids) == 1
+
+    def test_sharding_disjoint(self):
+        xy = [np.arange(i * 10, i * 10 + 10) for i in range(6)]
+        a = ChunkBatchSampler(xy, 5, seed=0, num_shards=2, shard_id=0)
+        b = ChunkBatchSampler(xy, 5, seed=0, num_shards=2, shard_id=1)
+        seen_a = {int(i) for batch in a for i in batch}
+        seen_b = {int(i) for batch in b for i in batch}
+        assert not (seen_a & seen_b)
+        assert len(seen_a) + len(seen_b) == 60
+
+    def test_replacement_pads_tail(self):
+        xy = [np.arange(7)]
+        s = ChunkBatchSampler(xy, 4, replacement_within_chunk=True, seed=0)
+        batches = list(s)
+        assert all(len(b) == 4 for b in batches)
+
+    def test_reservoir_uniformity(self):
+        rs = ReservoirSampler(100, seed=0)
+        for i in range(0, 10000, 500):
+            rs.add(np.arange(i, i + 500)[:, None])
+        buf = rs.sample()
+        assert buf.shape == (100, 1)
+        assert rs.n_seen == 10000
+        # roughly uniform over range: mean near 5000
+        assert 3500 < buf.mean() < 6500
+
+
+class TestSchema:
+    def test_collapse_keeps_frequent(self):
+        raw = np.array([10, 20, 30, 40])
+        counts = np.array([1000, 500, 10, 1])
+        e = schema_mod.collapse_vocab(raw, counts, samples_per_epoch=1511,
+                                      min_hits_per_epoch=5,
+                                      mass_coverage=1.0, vocab_cap=100)
+        # expected hits: 1000, 500, 10, 1 -> keep first three
+        assert e["raw_values"] == [10, 20, 30]
+        assert e["num_ids"] == 5
+        assert e["counts_per_id"][1] == 1.0  # UNK mass
+
+    def test_mass_coverage_cut(self):
+        raw = np.arange(10)
+        counts = np.array([900] + [100] * 9)
+        e = schema_mod.collapse_vocab(raw, counts, samples_per_epoch=1e9,
+                                      min_hits_per_epoch=0,
+                                      mass_coverage=0.5, vocab_cap=100)
+        assert e["raw_values"] == [0]
+
+    def test_vocab_cap(self):
+        raw = np.arange(50)
+        counts = np.full(50, 100)
+        e = schema_mod.collapse_vocab(raw, counts, samples_per_epoch=1e9,
+                                      min_hits_per_epoch=0, mass_coverage=1.0,
+                                      vocab_cap=10)
+        assert e["num_ids"] == 10
+
+    def test_apply_schema_miss_unk(self):
+        e = {"raw_values": [100, 200], "num_ids": 4}
+        raw = np.array([100, 200, 300, -1, 5])
+        dense = schema_mod.apply_schema(raw, e)
+        np.testing.assert_array_equal(dense, [2, 3, 1, 0, 1])
+
+    def test_dense_to_raw_roundtrip(self):
+        e = {"raw_values": [100, 200], "num_ids": 4}
+        m = schema_mod.dense_to_raw_map(e)
+        np.testing.assert_array_equal(m, [-1, -1, 100, 200])
+
+
+@pytest.fixture(scope="module")
+def cube_and_schema(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cube")
+    cube = build_synthetic_cube(root / "cube.zarr", height=96, width=96,
+                                chunk_yx=32, patch_size=32, seed=0)
+    sp = schema_mod.build_and_save_schema(cube, root / "run", batch_size=64,
+                                          steps_per_epoch=100,
+                                          min_hits_per_epoch=1)
+    return root / "cube.zarr", sp
+
+
+class TestVQVAEDataset:
+    def test_splits_partition_aoi(self, cube_and_schema):
+        zp, sp = cube_and_schema
+        n = 0
+        for split in ["train", "val", "test"]:
+            ds = VQVAEDataset(zp, sp, split=split, block_size=(1, 1))
+            assert len(ds) > 0, split
+            n += len(ds)
+        ds_all = VQVAEDataset(zp, sp, split=None, block_size=(1, 1))
+        assert n == len(ds_all)
+
+    def test_batch_contract(self, cube_and_schema):
+        zp, sp = cube_and_schema
+        ds = VQVAEDataset(zp, sp, split="train", block_size=(1, 1))
+        s = ChunkBatchSampler(ds.xy_by_chunk, 16, seed=0)
+        idx = next(iter(s))
+        b = ds.load_batch(idx)
+        B, T = 16, 5
+        assert b["cont"].shape == (B, T, 8)
+        assert b["cat"].shape == (B, T, 2)
+        assert b["naip"].shape == (B, 3, 3, 3)
+        assert b["canopy"].shape == (B,)
+        assert b["yx"].shape == (B, 2)
+        assert set(b["cat_target"]) == {"cat_0", "cat_1"}
+        tgt = b["cat_target"]["cat_0"]
+        assert tgt.shape == (B, T)
+        # normalized continuous ~ standard scale where finite
+        finite = np.isfinite(b["cont"])
+        assert np.abs(b["cont"][finite].mean()) < 1.0
+
+    def test_ignore_index_semantics(self, cube_and_schema):
+        zp, sp = cube_and_schema
+        ds = VQVAEDataset(zp, sp, split="train", block_size=(1, 1))
+        s = ChunkBatchSampler(ds.xy_by_chunk, 64, seed=1)
+        for i, idx in enumerate(s):
+            b = ds.load_batch(idx)
+            for name, tgt in b["cat_target"].items():
+                valid = tgt != IGNORE_INDEX
+                assert np.all(tgt[valid] >= 2)  # MISS/UNK never targets
+            if i > 3:
+                break
+
+    def test_class_weights(self, cube_and_schema):
+        zp, sp = cube_and_schema
+        ds = VQVAEDataset(zp, sp, split="train", block_size=(1, 1))
+        w = ds.class_weights_by_cat_name("cat_0")
+        assert w[0] == 0 and w[1] == 0
+        nz = w[w > 0]
+        assert abs(nz.mean() - 1.0) < 1e-3
+
+    def test_prefetch_loader(self, cube_and_schema):
+        zp, sp = cube_and_schema
+        ds = VQVAEDataset(zp, sp, split="train", block_size=(1, 1))
+        s = ChunkBatchSampler(ds.xy_by_chunk, 32, seed=0, drop_last=True)
+        n = 0
+        for batch in PrefetchLoader(ds, s, num_workers=4, prefetch=2):
+            assert batch["cont"].shape[0] == 32
+            n += 1
+        assert n == len(s)
