@@ -1,0 +1,194 @@
+"""forest-tpu benchmark: prints ONE JSON line for the driver.
+
+Primary metric (BASELINE.json): VQ quantize microseconds per 32x32 patch
+(1024 pixels, D=128, K=256), measured on the available accelerator amortized
+over a large multi-patch dispatch. ``vs_baseline`` is the speedup over a
+torch-CPU reference implementation of the identical computation measured in
+the same process (the reference repo's compute substrate is torch/BLAS on
+CPU workers + cuDNN -- SURVEY.md §0; torch-CPU is the portable stand-in).
+
+Extra fields report end-to-end pipeline numbers: synthetic-cube training
+throughput (samples/sec through loader + jitted step) and zarr chunk decode
+rate.
+
+Usage: python bench.py  (uses the session's default JAX backend: TPU)
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+N_PATCH_PIXELS = 1024  # 32x32
+D, K = 128, 256
+N_PATCHES = 128
+WARMUP, ITERS = 3, 20
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def bench_tpu_quantize():
+    import jax
+    import jax.numpy as jnp
+
+    from forest_tpu.ops import vq
+
+    r = np.random.default_rng(0)
+    n = N_PATCHES * N_PATCH_PIXELS
+    x = jnp.asarray(r.normal(size=(n, D)).astype(np.float32))
+    cb = jnp.asarray(r.normal(size=(K, D)).astype(np.float32))
+
+    best = None
+    for name, up in [("xla", False), ("pallas", True)]:
+        try:
+            t0 = time.perf_counter()
+            f = jax.jit(lambda x, cb, _up=up: vq.vq_core(
+                x, cb, use_pallas=_up)[0])
+            jax.block_until_ready(f(x, cb))
+            log(f"[bench] {name} compile {time.perf_counter() - t0:.1f}s")
+            for _ in range(WARMUP):
+                out = f(x, cb)
+            jax.block_until_ready(out)
+            t0 = time.perf_counter()
+            for _ in range(ITERS):
+                out = f(x, cb)
+            jax.block_until_ready(out)
+            us_per_patch = ((time.perf_counter() - t0) / ITERS
+                            / N_PATCHES * 1e6)
+            log(f"[bench] {name}: {us_per_patch:.3f} us/patch")
+            if best is None or us_per_patch < best[1]:
+                best = (name, us_per_patch)
+        except Exception as e:  # pragma: no cover
+            log(f"[bench] {name} failed: {type(e).__name__}: {e}")
+    return best
+
+
+def bench_torch_cpu_quantize():
+    import os
+
+    import torch
+
+    # The session env pins BLAS to 1 thread; give the CPU baseline all cores
+    # so vs_baseline is a fair chip-vs-socket comparison.
+    try:
+        torch.set_num_threads(os.cpu_count() or 1)
+    except Exception:
+        pass
+    torch.manual_seed(0)
+    n = N_PATCHES * N_PATCH_PIXELS
+    x = torch.randn(n, D)
+    cb = torch.randn(K, D)
+
+    def f():
+        d = (x * x).sum(1, keepdim=True) - 2.0 * x @ cb.T \
+            + (cb * cb).sum(1)[None, :]
+        return d.argmin(1)
+
+    for _ in range(2):
+        f()
+    t0 = time.perf_counter()
+    iters = 5
+    for _ in range(iters):
+        f()
+    us = (time.perf_counter() - t0) / iters / N_PATCHES * 1e6
+    log(f"[bench] torch-cpu: {us:.3f} us/patch "
+        f"({torch.get_num_threads()} threads)")
+    return us
+
+
+def bench_pipeline(tmpdir: str):
+    """Short end-to-end training throughput on a synthetic cube."""
+    import jax
+    import jax.numpy as jnp
+
+    from forest_tpu.data.cube import build_synthetic_cube
+    from forest_tpu.data.loader import PrefetchLoader
+    from forest_tpu.data.samplers import ChunkBatchSampler
+    from forest_tpu.data.schema import build_and_save_schema
+    from forest_tpu.data.vqvae_dataset import VQVAEDataset
+    from forest_tpu.models.vqvae import VQVAE
+    from forest_tpu.training import vqvae_step
+    from forest_tpu.training.train_vqvae import host_to_device_batch
+
+    cube = build_synthetic_cube(f"{tmpdir}/cube.zarr", height=256, width=256,
+                                chunk_yx=32, patch_size=32, seed=0)
+    sp = build_and_save_schema(cube, f"{tmpdir}/run", 1024, 100,
+                               min_hits_per_epoch=1)
+    ds = VQVAEDataset(f"{tmpdir}/cube.zarr", sp, split="train",
+                      block_size=(1, 1))
+    batch_size = 4096
+    model = VQVAE(cont_dim=len(ds.cont_names),
+                  cat_vocab_sizes={n: ds.schema_cat[n]["num_ids"]
+                                   for n in ds.cat_names},
+                  naip_bands=ds.naip.shape[-1],
+                  num_timesteps=len(ds.ds["years"]),
+                  emb_dim=D, codebook_size=K, hidden=128, quantizer="ema")
+    opt = vqvae_step.make_optimizer(3e-4)
+    sampler = ChunkBatchSampler(ds.xy_by_chunk, batch_size, seed=0,
+                                replacement_within_chunk=True)
+    first = host_to_device_batch(ds.load_batch(next(iter(sampler))))
+    state = vqvae_step.init_train_state(model, opt, first, jax.random.key(0))
+    step = jax.jit(vqvae_step.make_train_step(model, opt), donate_argnums=0)
+    w = {k: jnp.float32(1.0) for k in ("cont", "cat", "canopy", "vq")}
+
+    t0 = time.perf_counter()
+    state, m = step(state, first, w, jax.random.key(0))
+    jax.block_until_ready(m["loss/total"])
+    log(f"[bench] train step compile {time.perf_counter() - t0:.1f}s")
+
+    # chunk decode rate (host)
+    t0 = time.perf_counter()
+    nchunks = 32
+    for i in range(nchunks):
+        ds.cube.continuous.read_chunk((0, 0, i % 8, (i // 8) % 8))
+    chunk_rate = nchunks / (time.perf_counter() - t0)
+
+    n_steps, n_samples = 0, 0
+    loader = PrefetchLoader(ds, sampler, num_workers=8, prefetch=4)
+    t0 = time.perf_counter()
+    for batch in loader:
+        state, m = step(state, host_to_device_batch(batch), w,
+                        jax.random.key(n_steps))
+        n_steps += 1
+        n_samples += batch_size
+        if n_steps >= 30:
+            break
+    jax.block_until_ready(m["loss/total"])
+    sps = n_samples / (time.perf_counter() - t0)
+    log(f"[bench] pipeline: {sps:,.0f} samples/s  "
+        f"chunk decode {chunk_rate:,.0f} chunks/s")
+    return sps, chunk_rate
+
+
+def main():
+    import tempfile
+
+    import jax
+
+    log(f"[bench] backend: {jax.default_backend()} devices: {jax.devices()}")
+    name, tpu_us = bench_tpu_quantize()
+    torch_us = bench_torch_cpu_quantize()
+    extra = {"kernel": name}
+    try:
+        with tempfile.TemporaryDirectory() as td:
+            sps, chunk_rate = bench_pipeline(td)
+        extra.update(train_samples_per_sec=round(sps, 1),
+                     zarr_chunks_per_sec=round(chunk_rate, 1))
+    except Exception as e:  # pipeline bench is best-effort
+        log(f"[bench] pipeline bench failed: {type(e).__name__}: {e}")
+
+    print(json.dumps({
+        "metric": "vq_quantize_us_per_32x32_patch",
+        "value": round(tpu_us, 3),
+        "unit": "us",
+        "vs_baseline": round(torch_us / tpu_us, 2),
+        "extra": extra,
+    }))
+
+
+if __name__ == "__main__":
+    main()
