@@ -1,0 +1,222 @@
+"""Phase neighborhood: ysfc-aligned trajectory matching losses.
+
+Behavioral contracts from /root/reference/frl/losses/phase_neighborhood.py
+(SURVEY.md §2.5):
+
+- shared-ysfc-value alignment between pixel pairs: for each ysfc value
+  present at both pixels, select ONE representative timestep per pixel --
+  the one in the longest recovery sequence (a sequence restarts at t=0 or
+  whenever ysfc decreases), ties broken by most-recent timestep
+  (phase_neighborhood.py:106-182);
+- aligned self-similarity and cross-pixel distance matrices over the shared
+  values (:183-261, vectorized :268-456);
+- ``phase_neighborhood_loss``: self-similarity KL (embedding self-distances
+  at i match spectral self-distances at j) + cross-pixel KL (:458-636);
+- ``compute_phase_spread_ranking``: soft-margin ranking -- the more
+  spectrally dynamic pixel of a pair must have larger phase-embedding spread
+  (:637-740).
+
+TPU-native: everything is static-shape. The distinct-value axis V is a
+static ``num_classes`` bound; the aligned axis M equals T (a pixel has at
+most T distinct ysfc values); invalid pairs keep all-False masks instead of
+being filtered, which deactivates them inside the mask-based KL.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from forest_tpu.losses.soft_neighborhood import soft_neighborhood_matching_loss
+
+Array = jax.Array
+
+
+def seq_lengths_per_t(ysfc: Array) -> Array:
+    """[N, T] -> [N, T]: length of the recovery sequence containing each
+    timestep (new sequence at t=0 or when ysfc decreases)."""
+    n, t = ysfc.shape
+    y = ysfc.astype(jnp.float32)
+    prev = jnp.concatenate([y[:, :1] + 1.0, y[:, :-1]], axis=1)
+    seq_id = jnp.cumsum((y < prev).astype(jnp.int32), axis=1) - 1  # [N, T]
+    onehot = jax.nn.one_hot(seq_id, t, dtype=jnp.float32)          # [N, T, S]
+    lengths = jnp.sum(onehot, axis=1)                              # [N, S]
+    return jnp.take_along_axis(lengths, seq_id, axis=1)            # [N, T]
+
+
+def _presence_and_best_t(ysfc: Array, num_classes: int
+                         ) -> Tuple[Array, Array]:
+    """presence [N, V] bool; best_t [N, V] -- representative timestep per
+    (pixel, ysfc value): longest sequence, tie-break most recent."""
+    n, t = ysfc.shape
+    y = jnp.clip(ysfc.astype(jnp.int32), 0, num_classes - 1)
+    ok = (ysfc >= 0) & (ysfc < num_classes)
+    ind = jax.nn.one_hot(y, num_classes, dtype=jnp.float32, axis=1)  # [N,V,T]
+    ind = ind * ok[:, None, :].astype(jnp.float32)
+    presence = jnp.sum(ind, axis=2) > 0                              # [N, V]
+
+    sl = seq_lengths_per_t(ysfc)                                     # [N, T]
+    score = sl * (t + 1) + jnp.arange(t, dtype=jnp.float32)[None, :]
+    masked = jnp.where(ind > 0, score[:, None, :], -jnp.inf)
+    best_t = jnp.argmax(masked, axis=2)                              # [N, V]
+    return presence, best_t
+
+
+def build_phase_neighborhood_batch(
+        spectral_features: Array, phase_embeddings: Array, ysfc: Array,
+        pair_indices: Array, pair_valid: Optional[Array] = None,
+        min_overlap: int = 3, num_classes: int = 64) -> Dict[str, Array]:
+    """Vectorized aligned-distance construction, all shapes static.
+
+    spectral_features [N, T, C]; phase_embeddings [N, T, D]; ysfc [N, T];
+    pair_indices [B, 2]. Returns dict with d_* [B, M, M] (M = T), masks,
+    and ``valid_pair_mask`` [B].
+    """
+    n, t, _ = spectral_features.shape
+    b = pair_indices.shape[0]
+    m = t
+
+    presence, best_t = _presence_and_best_t(ysfc, num_classes)
+    n_idx = jnp.arange(n)[:, None]
+    sel_spec = spectral_features[n_idx, best_t]     # [N, V, C]
+    sel_phase = phase_embeddings[n_idx, best_t]     # [N, V, D]
+
+    idx_i = pair_indices[:, 0]
+    idx_j = pair_indices[:, 1]
+    shared = presence[idx_i] & presence[idx_j]       # [B, V]
+    k_per_pair = jnp.sum(shared, axis=1)             # [B]
+    valid_pair = k_per_pair >= min_overlap
+    if pair_valid is not None:
+        valid_pair = valid_pair & pair_valid.astype(bool)
+
+    # Alignment: shared value v maps to compressed position cumsum-1.
+    positions = jnp.cumsum(shared.astype(jnp.int32), axis=1) - 1  # [B, V]
+    pos_clip = jnp.clip(positions, 0, m - 1)
+    # mapping [B, M, V]: one-hot of position for shared values only.
+    v_count = shared.shape[1]
+    mapping = (jax.nn.one_hot(pos_clip, m, dtype=jnp.float32, axis=1)
+               * shared.astype(jnp.float32)[:, None, :])  # [B, M, V]
+    # Values beyond M-1 (cannot happen: K <= T = M) would collide; K<=T holds
+    # because a pixel has at most T distinct ysfc values.
+
+    def align(sel, idx):
+        return jnp.einsum("bmv,bvc->bmc", mapping, sel[idx])
+
+    ai_spec = align(sel_spec, idx_i)
+    aj_spec = align(sel_spec, idx_j)
+    ai_phase = align(sel_phase, idx_i)
+    aj_phase = align(sel_phase, idx_j)
+
+    def cdist(a, bb):
+        d2 = (jnp.sum(a * a, -1)[:, :, None] - 2.0 *
+              jnp.einsum("bmc,bnc->bmn", a, bb)
+              + jnp.sum(bb * bb, -1)[:, None, :])
+        return jnp.sqrt(jnp.maximum(d2, 0.0) + 1e-12)
+
+    valid_pos = (jnp.arange(m)[None, :] < k_per_pair[:, None])  # [B, M]
+    mask_cross = (valid_pos[:, :, None] & valid_pos[:, None, :]
+                  & valid_pair[:, None, None])
+    diag = jnp.eye(m, dtype=bool)[None]
+    mask_self = mask_cross & ~diag
+
+    return {
+        "d_ref_self": cdist(aj_spec, aj_spec),
+        "d_learned_self": cdist(ai_phase, ai_phase),
+        "d_learned_self_j": cdist(aj_phase, aj_phase),
+        "mask_self": mask_self,
+        "d_ref_cross": cdist(ai_spec, aj_spec),
+        "d_learned_cross": cdist(ai_phase, aj_phase),
+        "mask_cross": mask_cross,
+        "valid_pair_mask": valid_pair,
+        "M": m,
+    }
+
+
+def phase_neighborhood_loss(
+        spectral_features: Array, phase_embeddings: Array, ysfc: Array,
+        pair_indices: Array, pair_weights: Optional[Array] = None,
+        pair_valid: Optional[Array] = None,
+        tau_ref: float = 0.1, tau_learned: float = 0.1,
+        min_overlap: int = 3, min_valid_per_row: int = 2,
+        self_similarity_weight: float = 1.0,
+        cross_pixel_weight: float = 1.0,
+        num_classes: int = 64,
+        _batch: Optional[Dict[str, Array]] = None
+        ) -> Tuple[Array, Dict[str, Array]]:
+    """Self-similarity + cross-pixel KL (phase_neighborhood.py:458-636)."""
+    batch = _batch if _batch is not None else build_phase_neighborhood_batch(
+        spectral_features, phase_embeddings, ysfc, pair_indices,
+        pair_valid, min_overlap, num_classes)
+
+    b = pair_indices.shape[0]
+    w = pair_weights if pair_weights is not None else jnp.ones((b,))
+    w = w * batch["valid_pair_mask"].astype(w.dtype)
+
+    loss_self, stats_self = soft_neighborhood_matching_loss(
+        batch["d_ref_self"], batch["d_learned_self"], batch["mask_self"],
+        tau_ref, tau_learned, w, min_valid_per_row)
+    loss_cross, stats_cross = soft_neighborhood_matching_loss(
+        batch["d_ref_cross"], batch["d_learned_cross"], batch["mask_cross"],
+        tau_ref, tau_learned, w, min_valid_per_row)
+
+    loss = (self_similarity_weight * loss_self
+            + cross_pixel_weight * loss_cross)
+    stats = {
+        "n_pairs_input": jnp.int32(b),
+        "n_pairs_sufficient_overlap":
+            jnp.sum(batch["valid_pair_mask"].astype(jnp.int32)),
+        "loss_self": loss_self,
+        "loss_cross": loss_cross,
+    }
+    stats.update({f"self_{k}": v for k, v in stats_self.items()})
+    stats.update({f"cross_{k}": v for k, v in stats_cross.items()})
+    return loss, stats
+
+
+def compute_phase_spread_ranking(
+        batch: Dict[str, Array], pair_indices: Array, dynamism_ref: Array,
+        margin: float = 0.1, delta: float = 0.5
+        ) -> Tuple[Array, Dict[str, Array]]:
+    """Dynamism-ranked trajectory-spread soft-margin loss
+    (phase_neighborhood.py:637-740). Uses all pairs with the valid mask."""
+    d_i = batch["d_learned_self"]
+    d_j = batch["d_learned_self_j"]
+    mask = batch["mask_self"]
+    vp = batch["valid_pair_mask"]
+    idx_i, idx_j = pair_indices[:, 0], pair_indices[:, 1]
+
+    mf = mask.astype(d_i.dtype)
+    n_valid = jnp.maximum(jnp.sum(mf, axis=(1, 2)), 1.0)
+    spread_i = jnp.sum(d_i * mf, axis=(1, 2)) / n_valid
+    spread_j = jnp.sum(d_j * mf, axis=(1, 2)) / n_valid
+
+    ref_diff = dynamism_ref[idx_i] - dynamism_ref[idx_j]
+    act = vp.astype(d_i.dtype)
+    i_more = (ref_diff > delta).astype(d_i.dtype) * act
+    j_more = (ref_diff < -delta).astype(d_i.dtype) * act
+
+    loss_i = jax.nn.softplus(spread_j - spread_i + margin) * i_more
+    loss_j = jax.nn.softplus(spread_i - spread_j + margin) * j_more
+    n_con = jnp.maximum(jnp.sum(i_more) + jnp.sum(j_more), 1.0)
+    loss = (jnp.sum(loss_i) + jnp.sum(loss_j)) / n_con
+
+    satisfied = (i_more * (spread_i > spread_j + margin)
+                 + j_more * (spread_j > spread_i + margin))
+    stats = {
+        "n_pairs": jnp.sum(vp.astype(jnp.int32)),
+        "n_constrained_i": jnp.sum(i_more).astype(jnp.int32),
+        "n_constrained_j": jnp.sum(j_more).astype(jnp.int32),
+        "frac_satisfied": jnp.sum(satisfied) / n_con,
+        "mean_spread_i": jnp.sum(spread_i * act)
+        / jnp.maximum(jnp.sum(act), 1.0),
+        "mean_spread_j": jnp.sum(spread_j * act)
+        / jnp.maximum(jnp.sum(act), 1.0),
+        "mean_ref_diff": jnp.sum(jnp.abs(ref_diff) * act)
+        / jnp.maximum(jnp.sum(act), 1.0),
+    }
+    return loss, stats
+
+
+__all__ = ["build_phase_neighborhood_batch", "phase_neighborhood_loss",
+           "compute_phase_spread_ranking", "seq_lengths_per_t"]
