@@ -1,0 +1,267 @@
+"""Bindings configuration: typed dataclasses + YAML parser.
+
+Behavioral contracts from /root/reference/frl/data/loaders/config/
+dataset_config.py:13-523 and dataset_bindings_parser.py:47-677 (SURVEY.md
+§2.3): the bindings YAML names the zarr cube, the time window, the stats
+sidecar, raw dataset groups (channels with source paths, year selection,
+ok_if thresholding, fill values, reducers, formula channels), model features
+(ordered channel specs with mask/quality references, pre-transforms and
+normalization presets, optional covariance/whitening), sampling strategies,
+and loss configs. ``${ENV}`` interpolation is supported in paths.
+"""
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence
+
+import yaml
+
+
+def _expand_env(s: str) -> str:
+    return re.sub(r"\$\{(\w+)\}",
+                  lambda m: os.environ.get(m.group(1), m.group(0)), s)
+
+
+@dataclass
+class OkIf:
+    op: str = ">="
+    value: float = 1.0
+
+    def apply(self, x):
+        import numpy as np
+        ops = {">=": np.greater_equal, ">": np.greater,
+               "<=": np.less_equal, "<": np.less, "==": np.equal,
+               "!=": np.not_equal}
+        return ops[self.op](x, self.value).astype(np.float32)
+
+
+@dataclass
+class ChannelConfig:
+    name: str
+    source: Optional[str] = None       # zarr path under the cube root
+    formula: Optional[str] = None      # e.g. 'temporal_position'
+    year: Optional[int] = None         # extract one year from annual source
+    ok_if: Optional[OkIf] = None
+    fill_value: Optional[float] = None  # raw value meaning "missing" -> NaN
+    reducer: Optional[str] = None      # mean|max|min|sum over T
+
+
+@dataclass
+class DatasetGroupConfig:
+    name: str
+    dtype: str = "float32"
+    dim: Sequence[str] = ("C", "H", "W")   # [C,H,W] or [C,T,H,W]
+    channels: List[ChannelConfig] = field(default_factory=list)
+
+    @property
+    def temporal(self) -> bool:
+        return "T" in self.dim
+
+    def channel_index(self, name: str) -> int:
+        for i, c in enumerate(self.channels):
+            if c.name == name:
+                return i
+        raise KeyError(f"{self.name}: no channel {name!r}")
+
+
+@dataclass
+class NormalizationPresetConfig:
+    name: str
+    type: str = "identity"       # zscore|robust_iqr|linear_rescale|clamp|none
+    in_min: Optional[float] = None
+    in_max: Optional[float] = None
+    out_min: Optional[float] = None
+    out_max: Optional[float] = None
+    clamp: Optional[Dict[str, Any]] = None
+
+
+@dataclass
+class FeatureChannelSpec:
+    source: str                       # "group.channel"
+    mask: Optional[str] = None        # "group.channel" validity mask
+    quality: Optional[str] = None
+    norm: str = "identity"
+    transform: Optional[str] = None   # pre-normalization transform
+
+
+@dataclass
+class CovarianceConfig:
+    calculate: bool = False
+    stat_domain: str = "patch"        # 'patch' | 'global'
+
+
+@dataclass
+class FeatureConfig:
+    name: str
+    dim: Sequence[str] = ("C", "H", "W")
+    channels: Dict[str, FeatureChannelSpec] = field(default_factory=dict)
+    covariance: CovarianceConfig = field(default_factory=CovarianceConfig)
+
+    @property
+    def temporal(self) -> bool:
+        return "T" in self.dim
+
+    @property
+    def channel_names(self) -> List[str]:
+        return list(self.channels.keys())
+
+
+@dataclass
+class StatsConfig:
+    compute: str = "if-not-exists"
+    file: str = ""
+    stats: Sequence[str] = ("mean", "sd", "min", "max", "q02", "q05", "q25",
+                            "q50", "q75", "q95", "q98")
+    covariance: bool = True
+    n_samples: int = 500
+    reservoir_size: int = 500_000
+    mask: Sequence[str] = ()
+
+
+@dataclass
+class TimeWindowConfig:
+    start: int = 0
+    end: int = 0
+
+    @property
+    def num_years(self) -> int:
+        return self.end - self.start + 1
+
+
+@dataclass
+class BindingsConfig:
+    version: str = "1.0"
+    name: str = ""
+    zarr_path: str = ""
+    structure: str = "hierarchical"
+    time_window: TimeWindowConfig = field(default_factory=TimeWindowConfig)
+    stats: StatsConfig = field(default_factory=StatsConfig)
+    dataset: Dict[str, DatasetGroupConfig] = field(default_factory=dict)
+    features: Dict[str, FeatureConfig] = field(default_factory=dict)
+    normalization_presets: Dict[str, NormalizationPresetConfig] = \
+        field(default_factory=dict)
+    sampling_strategies: Dict[str, Dict] = field(default_factory=dict)
+    losses: Dict[str, Dict] = field(default_factory=dict)
+
+    def get_feature(self, name: str) -> FeatureConfig:
+        return self.features[name]
+
+    def get_loss(self, name: str) -> Dict:
+        return self.losses[name]
+
+    def get_sampling_strategy(self, name: str) -> Dict:
+        return self.sampling_strategies[name]
+
+    def get_normalization_preset(self, name: str
+                                 ) -> NormalizationPresetConfig:
+        if name in self.normalization_presets:
+            return self.normalization_presets[name]
+        # Bare type names act as implicit presets (zscore, robust_iqr, ...).
+        return NormalizationPresetConfig(name=name, type=name)
+
+
+def _parse_channel(spec: Any) -> ChannelConfig:
+    if isinstance(spec, str):
+        return ChannelConfig(name=spec.split("/")[-1], source=spec)
+    d = dict(spec)
+    ok_if = d.get("ok_if")
+    year = d.get("year")
+    t = d.get("time")
+    if isinstance(t, dict) and "use" in t:
+        year = t["use"]
+    return ChannelConfig(
+        name=d["name"], source=d.get("source"), formula=d.get("formula"),
+        year=year,
+        ok_if=OkIf(**ok_if) if ok_if else None,
+        fill_value=d.get("fill_value"), reducer=d.get("reducer"))
+
+
+def _parse_feature_channels(spec: Any) -> Dict[str, FeatureChannelSpec]:
+    out: Dict[str, FeatureChannelSpec] = {}
+    if isinstance(spec, dict):
+        items = spec.items()
+    else:  # list of single-key dicts or strings
+        items = []
+        for entry in spec:
+            if isinstance(entry, str):
+                items.append((entry, {}))
+            else:
+                (k, v), = entry.items()
+                items.append((k, v))
+    for src, opts in items:
+        opts = opts or {}
+        if isinstance(opts, str):
+            opts = {"norm": opts}
+        out[src] = FeatureChannelSpec(
+            source=src, mask=opts.get("mask"),
+            quality=None if opts.get("quality") in (None, "none")
+            else opts.get("quality"),
+            norm=opts.get("norm", "identity"),
+            transform=opts.get("transform"))
+    return out
+
+
+def parse_bindings(path_or_dict: Any) -> BindingsConfig:
+    if isinstance(path_or_dict, (str, Path)):
+        raw = yaml.safe_load(_expand_env(Path(path_or_dict).read_text()))
+    else:
+        raw = path_or_dict
+
+    tw = raw.get("time_window", {}) or {}
+    zarr = raw.get("zarr", {}) or {}
+    st = raw.get("stats", {}) or {}
+    samples = st.get("samples", {}) or {}
+
+    cfg = BindingsConfig(
+        version=str(raw.get("version", "1.0")),
+        name=raw.get("name", ""),
+        zarr_path=_expand_env(str(zarr.get("path", ""))),
+        structure=zarr.get("structure", "hierarchical"),
+        time_window=TimeWindowConfig(start=int(tw.get("start", 0)),
+                                     end=int(tw.get("end", 0))),
+        stats=StatsConfig(
+            compute=st.get("compute", "if-not-exists"),
+            file=_expand_env(str(st.get("file", ""))),
+            stats=tuple(st.get("stats", StatsConfig.stats)),
+            covariance=bool(st.get("covariance", True)),
+            n_samples=int(samples.get("n", 500)),
+            reservoir_size=int(samples.get("reservoir_size", 500_000)),
+            mask=tuple(st.get("mask", ()))),
+    )
+
+    for gname, gspec in (raw.get("dataset") or {}).items():
+        cfg.dataset[gname] = DatasetGroupConfig(
+            name=gname, dtype=gspec.get("type", "float32"),
+            dim=tuple(gspec.get("dim", ("C", "H", "W"))),
+            channels=[_parse_channel(c) for c in gspec.get("channels", [])])
+
+    for fname, fspec in (raw.get("features") or {}).items():
+        cov = fspec.get("covariance", {}) or {}
+        cfg.features[fname] = FeatureConfig(
+            name=fname, dim=tuple(fspec.get("dim", ("C", "H", "W"))),
+            channels=_parse_feature_channels(fspec.get("channels", {})),
+            covariance=CovarianceConfig(
+                calculate=bool(cov.get("calculate", False)),
+                stat_domain=cov.get("stat_domain", "patch")))
+
+    for pname, pspec in (raw.get("normalization") or {}).items():
+        pspec = pspec or {}
+        cfg.normalization_presets[pname] = NormalizationPresetConfig(
+            name=pname, type=pspec.get("type", pname),
+            in_min=pspec.get("in_min"), in_max=pspec.get("in_max"),
+            out_min=pspec.get("out_min"), out_max=pspec.get("out_max"),
+            clamp=pspec.get("clamp"))
+
+    cfg.sampling_strategies = dict(raw.get("sampling-strategy")
+                                   or raw.get("sampling_strategy") or {})
+    cfg.losses = dict(raw.get("losses") or {})
+    return cfg
+
+
+__all__ = ["BindingsConfig", "DatasetGroupConfig", "ChannelConfig",
+           "FeatureConfig", "FeatureChannelSpec", "CovarianceConfig",
+           "NormalizationPresetConfig", "StatsConfig", "TimeWindowConfig",
+           "OkIf", "parse_bindings"]

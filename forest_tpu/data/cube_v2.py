@@ -1,0 +1,255 @@
+"""Hierarchical (v2) zarr cube: layout + synthetic fixture + test bindings.
+
+Layout contract from /root/reference/frl/zarr_structure.txt:1-30 and
+zarr_builder/va_vae_dataset_test.yaml:52-70 (SURVEY.md §1):
+
+  cube.zarr/
+    annual/<group>/{data,mask,quality}/<band>   [T, H, W]  (chunks (1, cy, cx))
+    static/<group>/{data,mask}/<band>           [H, W]
+    aoi                                         [H, W] uint8
+    attrs: time_coords (years), per-band attrs
+
+:func:`build_synthetic_v2_cube` generates a forest-like cube with the band
+families the FRL bindings reference (topo statics, CCDC history statics,
+annual spectral series, ysfc disturbance ages, EVT categorical), structured
+by latent forest types + disturbance events so phase losses have real signal.
+:func:`synthetic_bindings` returns a matching bindings dict.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Sequence, Tuple
+
+import numpy as np
+
+from forest_tpu.data import zarrlite as zl
+
+
+def create_band(root: zl.ZarrGroup, path: str, shape, chunks, dtype,
+                fill=float("nan")) -> zl.ZarrArray:
+    parts = path.split("/")
+    g = root
+    for p in parts[:-1]:
+        sub = g.path / p
+        g = zl.ZarrGroup(sub) if (sub / ".zgroup").exists() \
+            else g.create_group(p)
+    return g.create_array(parts[-1], shape, chunks, dtype, fill_value=fill)
+
+
+def build_synthetic_v2_cube(path: str | Path, height: int = 128,
+                            width: int = 128,
+                            years: Sequence[int] = tuple(range(2010, 2025)),
+                            chunk_yx: int = 64, n_types: int = 8,
+                            seed: int = 0) -> zl.ZarrGroup:
+    rng = np.random.default_rng(seed)
+    t = len(years)
+    root = zl.create_group(path)
+    root.attrs["time_coords"] = [int(y) for y in years]
+    root.write_attrs()
+    ch2 = (chunk_yx, chunk_yx)
+    ch3 = (1, chunk_yx, chunk_yx)
+
+    # Latent type field (smoothed blobs).
+    f = rng.normal(size=(n_types, height // 8 + 2, width // 8 + 2))
+    up = np.kron(f, np.ones((1, 8, 8)))[:, :height, :width]
+    type_map = up.argmax(0)                          # [H, W]
+
+    # Disturbance events: per-pixel random disturbance year (or none).
+    dist_year = np.where(rng.random((height, width)) < 0.5,
+                         rng.integers(years[0] - 20, years[-1],
+                                      size=(height, width)), -9999)
+    yy = np.asarray(years)[:, None, None]
+    ysfc = np.where(dist_year[None] > 0, yy - dist_year[None], 30)
+    ysfc = np.clip(ysfc, -1, 40).astype(np.float32)
+    ysfc[ysfc < 0] = 30  # pre-disturbance: treat as old
+
+    # Annual spectral series: type base + recovery curve after disturbance.
+    base_ndvi = rng.uniform(0.3, 0.9, n_types)[type_map]
+    rec = 1.0 - np.exp(-np.maximum(ysfc, 0) / 7.0)     # recovery 0->1
+    noise = rng.normal(scale=0.03, size=(t, height, width))
+    ndvi = (base_ndvi[None] * rec + noise).astype(np.float32)
+    nbr = (base_ndvi[None] * rec * 0.8 + 0.05
+           + rng.normal(scale=0.03, size=(t, height, width))
+           ).astype(np.float32)
+
+    # Static topo + CCDC-history summaries.
+    elevation = np.kron(rng.normal(300, 100, (height // 8 + 1,
+                                              width // 8 + 1)),
+                        np.ones((8, 8)))[:height, :width].astype(np.float32)
+    slope = np.abs(np.gradient(elevation)[0]).astype(np.float32)
+    mean_ndvi = ndvi.mean(0)
+    var_ndvi = ndvi.var(0).astype(np.float32)
+
+    evt_codes = np.sort(rng.choice(np.arange(7000, 7900), n_types,
+                                   replace=False))
+    evt = evt_codes[type_map].astype(np.int16)
+
+    aoi = np.ones((height, width), np.uint8)
+    aoi[:, :width // 16] = 0
+    forest = (mean_ndvi > 0.35).astype(np.float32)
+
+    def put2(p, data, dtype=np.float32, fill=float("nan")):
+        a = create_band(root, p, (height, width), ch2, dtype, fill)
+        a[:] = data.astype(dtype)
+
+    def put3(p, data, dtype=np.float32, fill=float("nan")):
+        a = create_band(root, p, (t, height, width), ch3, dtype, fill)
+        a[:] = data.astype(dtype)
+
+    a = root.create_array("aoi", (height, width), ch2, np.uint8,
+                          fill_value=0)
+    a[:] = aoi
+
+    put2("static/topo/data/elevation", elevation)
+    put2("static/topo/data/slope", slope)
+    put2("static/topo/mask/dem_mask", np.ones((height, width)), np.uint8, 0)
+    put2("static/ccdc/data/mean_ndvi", mean_ndvi)
+    put2("static/ccdc/data/variance_ndvi", var_ndvi)
+    put2("static/evt/data/evt", evt, np.int16, -1)
+    put2("static/lcms/data/forest", forest)
+
+    miss = rng.random((t, height, width)) < 0.02
+    ndvi_m = ndvi.copy()
+    ndvi_m[miss] = np.nan
+    put3("annual/ccdc/data/ndvi", ndvi_m)
+    put3("annual/ccdc/data/nbr", nbr)
+    put3("annual/ccdc/mask/ok", (~miss).astype(np.uint8), np.uint8, 0)
+    put3("annual/lcms/data/ysfc", ysfc)
+
+    return root
+
+
+def synthetic_bindings(zarr_path: str | Path, stats_file: str | Path,
+                       start: int = 2010, end: int = 2024) -> Dict:
+    """A bindings dict matching :func:`build_synthetic_v2_cube` -- the test
+    analogue of frl_binding_v1.yaml (groups, features with whitening,
+    sampling strategies, losses)."""
+    return {
+        "version": "1.0",
+        "name": "synthetic_v2",
+        "zarr": {"path": str(zarr_path), "structure": "hierarchical"},
+        "time_window": {"start": start, "end": end},
+        "stats": {
+            "compute": "if-not-exists",
+            "file": str(stats_file),
+            "stats": ["mean", "sd", "min", "max", "q02", "q25", "q50",
+                      "q75", "q98"],
+            "covariance": True,
+            "samples": {"n": 8, "reservoir_size": 100_000},
+            "mask": ["static_mask.aoi"],
+        },
+        "dataset": {
+            "static_mask": {
+                "type": "uint8", "dim": ["C", "H", "W"],
+                "channels": [
+                    {"name": "aoi", "source": "aoi"},
+                    {"name": "dem_mask",
+                     "source": "static/topo/mask/dem_mask"},
+                    {"name": "forest",
+                     "source": "static/lcms/data/forest",
+                     "ok_if": {"op": ">=", "value": 0.5}},
+                ],
+            },
+            "annual_mask": {
+                "type": "uint8", "dim": ["C", "T", "H", "W"],
+                "channels": [
+                    {"name": "ccdc_ok", "source": "annual/ccdc/mask/ok",
+                     "ok_if": {"op": ">=", "value": 1}},
+                ],
+            },
+            "static": {
+                "type": "float32", "dim": ["C", "H", "W"],
+                "channels": [
+                    {"name": "elevation",
+                     "source": "static/topo/data/elevation"},
+                    {"name": "slope", "source": "static/topo/data/slope"},
+                    {"name": "mean_ndvi",
+                     "source": "static/ccdc/data/mean_ndvi"},
+                    {"name": "variance_ndvi",
+                     "source": "static/ccdc/data/variance_ndvi"},
+                ],
+            },
+            "static_categorical": {
+                "type": "int16", "dim": ["C", "H", "W"],
+                "channels": [
+                    {"name": "evt", "source": "static/evt/data/evt",
+                     "fill_value": -1},
+                ],
+            },
+            "annual": {
+                "type": "float32", "dim": ["C", "T", "H", "W"],
+                "channels": [
+                    {"name": "ndvi", "source": "annual/ccdc/data/ndvi"},
+                    {"name": "nbr", "source": "annual/ccdc/data/nbr"},
+                    {"name": "ysfc", "source": "annual/lcms/data/ysfc"},
+                    {"name": "tpos", "formula": "temporal_position"},
+                ],
+            },
+        },
+        "features": {
+            "type_encoder_input": {
+                "dim": ["C", "H", "W"],
+                "channels": {
+                    "static.elevation": {"mask": "static_mask.dem_mask",
+                                         "norm": "zscore"},
+                    "static.slope": {"mask": "static_mask.dem_mask",
+                                     "norm": "zscore"},
+                    "static.mean_ndvi": {"norm": "robust_iqr"},
+                    "static.variance_ndvi": {"norm": "robust_iqr"},
+                },
+            },
+            "infonce_type_spectral": {
+                "dim": ["C", "H", "W"],
+                "channels": {
+                    "static.mean_ndvi": {"norm": "zscore"},
+                    "static.variance_ndvi": {"norm": "zscore"},
+                },
+                "covariance": {"calculate": True, "stat_domain": "patch"},
+            },
+            "phase_ccdc": {
+                "dim": ["C", "T", "H", "W"],
+                "channels": {
+                    "annual.ndvi": {"mask": "annual_mask.ccdc_ok",
+                                    "norm": "zscore"},
+                    "annual.nbr": {"norm": "zscore"},
+                    "annual.tpos": {"norm": "identity"},
+                },
+                "covariance": {"calculate": True, "stat_domain": "patch"},
+            },
+            "ysfc": {
+                "dim": ["C", "T", "H", "W"],
+                "channels": {"annual.ysfc": {"norm": "identity"}},
+            },
+        },
+        "sampling-strategy": {
+            "grid": {"stride": 8, "exclude_border": 4,
+                     "jitter": {"radius": 2}},
+            "grid-plus-supplement": {
+                "grid": {"stride": 8, "exclude_border": 4,
+                         "jitter": {"radius": 2}},
+                "supplement": {"n": 16, "sampling": {
+                    "type": "weighted",
+                    "weight_by": ["static_mask.aoi", "static_mask.forest"],
+                }},
+            },
+        },
+        "losses": {
+            "infonce_type_spatial": {
+                "type": "infonce", "feature": "infonce_type_spectral",
+                "sampling_strategy": "grid-plus-supplement",
+                "temperature": 0.2, "similarity": "l2",
+                "knn_k": 4, "knn_max_radius": 8,
+                "neg_min_distance": 16.0, "neg_per_anchor": 4,
+                "spectral_sigma": 2.0,
+            },
+            "phase_neighborhood": {
+                "type": "phase_neighborhood", "feature": "phase_ccdc",
+                "ysfc_feature": "ysfc", "k": 8, "min_overlap": 2,
+                "min_pairs": 2, "sigma": 5.0, "tau_ref": 0.1,
+                "tau_learned": 0.1,
+            },
+        },
+    }
+
+
+__all__ = ["build_synthetic_v2_cube", "synthetic_bindings", "create_band"]

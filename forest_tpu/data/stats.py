@@ -1,0 +1,199 @@
+"""StatsCalculator: per-channel stats + per-feature covariance -> JSON sidecar.
+
+Behavioral contracts from /root/reference/frl/data/stats/
+stats_calculator.py (SURVEY.md §2.3, §4.6):
+
+- sample N patches (bindings ``stats.samples.n``), maintain a per-channel
+  reservoir (vectorized Algorithm R) over valid masked pixels;
+- univariate stats [mean, sd, min, max, q02..q98] per channel (:363-450);
+- categorical counts for integer channels (:451-500);
+- per-feature covariance of the NORMALIZED channels (whitening consumes it),
+  patch-centered (subtract each patch's own channel means before
+  accumulating) or global-centered (:501-563);
+- writes the JSON consumed by FeatureBuilder (:564-576).
+
+OnlineCovarianceComputer is the Welford/Chan single-pass merge used for the
+global-centered path (/root/reference/frl/data/stats/
+online_covariance_computer.py:21-540).
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Dict, Optional
+
+import numpy as np
+
+from forest_tpu.data.bindings import BindingsConfig
+from forest_tpu.data.samplers import ReservoirSampler
+
+
+class OnlineCovarianceComputer:
+    """NaN-safe streaming mean/covariance (Chan parallel merge)."""
+
+    def __init__(self, dim: int):
+        self.n = 0.0
+        self.mean = np.zeros(dim)
+        self.m2 = np.zeros((dim, dim))
+
+    def update(self, x: np.ndarray) -> None:
+        """x [N, C]; rows with any NaN are dropped."""
+        x = np.asarray(x, np.float64)
+        x = x[np.isfinite(x).all(axis=1)]
+        nb = len(x)
+        if nb == 0:
+            return
+        mb = x.mean(0)
+        xc = x - mb
+        m2b = xc.T @ xc
+        if self.n == 0:
+            self.n, self.mean, self.m2 = float(nb), mb, m2b
+            return
+        delta = mb - self.mean
+        tot = self.n + nb
+        self.m2 = self.m2 + m2b + np.outer(delta, delta) * self.n * nb / tot
+        self.mean = self.mean + delta * nb / tot
+        self.n = tot
+
+    def covariance(self, regularize: float = 0.0) -> np.ndarray:
+        if self.n < 2:
+            return np.eye(len(self.mean))
+        c = self.m2 / (self.n - 1)
+        if regularize:
+            c = c + regularize * np.eye(len(self.mean))
+        return c
+
+
+_QS = {"q02": 2, "q05": 5, "q25": 25, "q50": 50, "q75": 75, "q95": 95,
+       "q98": 98}
+
+
+class StatsCalculator:
+    def __init__(self, bindings: BindingsConfig, dataset,
+                 feature_builder_cls=None, seed: int = 0):
+        self.bindings = bindings
+        self.dataset = dataset
+        self.rng = np.random.default_rng(seed)
+        from forest_tpu.data.feature_builder import FeatureBuilder
+        self._fb_cls = feature_builder_cls or FeatureBuilder
+
+    def _global_mask(self, patch: Dict[str, np.ndarray]) -> np.ndarray:
+        """Product of the bindings stats.mask references -> [H, W]."""
+        m = None
+        for ref in self.bindings.stats.mask:
+            gname, cname = ref.split(".")
+            g = self.bindings.dataset[gname]
+            x = patch[gname][..., g.channel_index(cname)]
+            mm = np.nan_to_num(np.asarray(x, np.float32)) > 0
+            m = mm if m is None else (m & mm)
+        if m is None:
+            any_g = next(k for k in patch if not k.startswith("__"))
+            shape = patch[any_g].shape
+            hw = shape[-3:-1] if len(shape) >= 3 else shape[:2]
+            m = np.ones(hw, bool)
+        return m
+
+    def compute(self, n_patches: Optional[int] = None) -> Dict:
+        cfg = self.bindings.stats
+        n_patches = n_patches or cfg.n_samples
+        n_avail = len(self.dataset)
+        picks = self.rng.choice(n_avail, min(n_patches, n_avail),
+                                replace=False)
+        patches = [self.dataset.get_patch(int(i)) for i in picks]
+
+        stats: Dict[str, Dict] = {}
+        # --- pass 1: univariate per (feature, channel) over reservoirs ----
+        for fname, fc in self.bindings.features.items():
+            stats[fname] = {}
+            for ref, spec in fc.channels.items():
+                res = ReservoirSampler(cfg.reservoir_size,
+                                       seed=int(self.rng.integers(2**31)))
+                counts: Dict[int, int] = {}
+                gname, cname = ref.split(".")
+                gcfg = self.bindings.dataset[gname]
+                is_cat = gcfg.dtype.startswith("int")
+                for patch in patches:
+                    x = np.asarray(
+                        patch[gname][..., gcfg.channel_index(cname)],
+                        np.float32)
+                    gm = self._global_mask(patch)
+                    if x.ndim == gm.ndim + 1:   # temporal
+                        gm = np.broadcast_to(gm[None], x.shape)
+                    vals = x[gm & np.isfinite(x)]
+                    if is_cat:
+                        u, c = np.unique(vals.astype(np.int64),
+                                         return_counts=True)
+                        for uu, cc in zip(u, c):
+                            counts[int(uu)] = counts.get(int(uu), 0) \
+                                + int(cc)
+                    if vals.size:
+                        res.add(vals[:, None])
+                buf = res.sample().ravel() if res.n_seen else \
+                    np.zeros(1, np.float32)
+                entry: Dict = {}
+                for s in cfg.stats:
+                    if s == "mean":
+                        entry["mean"] = float(buf.mean())
+                    elif s == "sd":
+                        entry["sd"] = float(buf.std())
+                    elif s == "min":
+                        entry["min"] = float(buf.min())
+                    elif s == "max":
+                        entry["max"] = float(buf.max())
+                    elif s in _QS:
+                        entry[s] = float(np.percentile(buf, _QS[s]))
+                entry["n_seen"] = int(res.n_seen)
+                if is_cat:
+                    entry["counts"] = {str(k): v
+                                       for k, v in sorted(counts.items())}
+                stats[fname][ref] = entry
+
+        # --- pass 2: covariance of normalized channels --------------------
+        if cfg.covariance:
+            fb = self._fb_cls(self.bindings, stats)
+            for fname, fc in self.bindings.features.items():
+                if not fc.covariance.calculate:
+                    continue
+                dim = len(fc.channels)
+                occ = OnlineCovarianceComputer(dim)
+                patch_centered = fc.covariance.stat_domain == "patch"
+                for patch in patches:
+                    x, mask = fb.build_feature(fname, patch)
+                    x = np.asarray(x, np.float64)
+                    mask = np.asarray(mask)
+                    rows = x.reshape(-1, dim)
+                    ok = mask.reshape(-1, dim).all(axis=1)
+                    rows = rows[ok]
+                    if len(rows) < 2:
+                        continue
+                    if patch_centered:
+                        rows = rows - rows.mean(0)
+                    occ.update(rows)
+                stats[fname]["__covariance__"] = {
+                    "matrix": occ.covariance(1e-8).tolist(),
+                    "mean": (np.zeros(dim) if patch_centered
+                             else occ.mean).tolist(),
+                    "n": occ.n,
+                    "stat_domain": fc.covariance.stat_domain,
+                }
+        return stats
+
+    def compute_and_save(self, n_patches: Optional[int] = None) -> Path:
+        stats = self.compute(n_patches)
+        out = Path(self.bindings.stats.file)
+        out.parent.mkdir(parents=True, exist_ok=True)
+        out.write_text(json.dumps(stats, indent=1))
+        return out
+
+
+def compute_stats_from_config(bindings: BindingsConfig, dataset=None,
+                              **kw) -> Path:
+    """The example_compute_stats pipeline step (SURVEY.md §2.8, §4.6)."""
+    if dataset is None:
+        from forest_tpu.data.frl_dataset import ForestDatasetV2
+        dataset = ForestDatasetV2(bindings, split=None, **kw)
+    return StatsCalculator(bindings, dataset).compute_and_save()
+
+
+__all__ = ["StatsCalculator", "OnlineCovarianceComputer",
+           "compute_stats_from_config"]

@@ -1,0 +1,301 @@
+"""FRL data pipeline tests: bindings parse, v2 cube, dataset loading,
+feature builder (+ whitening), stats calculator, anchor sampling,
+spatial utils."""
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from forest_tpu.data import anchor_sampling
+from forest_tpu.data.bindings import parse_bindings
+from forest_tpu.data.cube_v2 import build_synthetic_v2_cube, synthetic_bindings
+from forest_tpu.data.feature_builder import FeatureBuilder
+from forest_tpu.data.frl_dataset import ForestDatasetV2
+from forest_tpu.data.stats import OnlineCovarianceComputer, StatsCalculator
+from forest_tpu.ops.whitening import apply_whitening, whitening_matrix
+from forest_tpu.utils import spatial as sp
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("frl")
+    build_synthetic_v2_cube(root / "cube.zarr", height=96, width=96,
+                            chunk_yx=32, seed=0)
+    bindings = parse_bindings(synthetic_bindings(
+        root / "cube.zarr", root / "stats.json"))
+    ds = ForestDatasetV2(bindings, split=None, patch_size=32,
+                         split_block_size=(1, 1))
+    calc = StatsCalculator(bindings, ds)
+    stats = calc.compute(n_patches=6)
+    (root / "stats.json").write_text(json.dumps(stats))
+    fb = FeatureBuilder(bindings, stats)
+    return root, bindings, ds, stats, fb
+
+
+class TestBindings:
+    def test_parse(self, env):
+        _, b, _, _, _ = env
+        assert b.time_window.num_years == 15
+        assert "type_encoder_input" in b.features
+        f = b.get_feature("phase_ccdc")
+        assert f.temporal and f.covariance.calculate
+        assert b.get_feature("type_encoder_input").channel_names[0] == \
+            "static.elevation"
+        s = b.get_sampling_strategy("grid-plus-supplement")
+        assert s["supplement"]["n"] == 16
+
+    def test_env_interpolation(self, env, monkeypatch, tmp_path):
+        monkeypatch.setenv("ZARR_ROOT", "/data/zroot")
+        d = {"zarr": {"path": "${ZARR_ROOT}/c.zarr"}}
+        b = parse_bindings(d)
+        assert b.zarr_path == "/data/zroot/c.zarr"
+
+    def test_missing_source_raises(self, env):
+        root, b, _, _, _ = env
+        import copy
+        bb = copy.deepcopy(b)
+        bb.dataset["static"].channels[0].source = "static/nope/data/x"
+        with pytest.raises(FileNotFoundError, match="nope"):
+            ForestDatasetV2(bb, split=None, patch_size=32)
+
+
+class TestDataset:
+    def test_patch_groups_and_shapes(self, env):
+        _, b, ds, _, _ = env
+        p = ds.get_patch(0)
+        assert p["static"].shape == (32, 32, 4)
+        assert p["annual"].shape == (15, 32, 32, 4)
+        assert p["static_mask"].shape == (32, 32, 3)
+        assert p["annual_mask"].shape == (15, 32, 32, 1)
+        # formula channel: t/(T-1)
+        tpos = p["annual"][..., 3]
+        np.testing.assert_allclose(tpos[0], 0.0)
+        np.testing.assert_allclose(tpos[-1], 1.0)
+
+    def test_splits_partition(self, env):
+        _, b, ds, _, _ = env
+        ns = [len(ForestDatasetV2(b, split=s, patch_size=32,
+                                  split_block_size=(1, 1)).patches)
+              for s in ("train", "val", "test")]
+        assert all(n > 0 for n in ns)
+        assert sum(ns) == len(ds.patches)
+
+    def test_epoch_modes(self, env):
+        _, b, _, _, _ = env
+        ds = ForestDatasetV2(b, split="train", patch_size=32,
+                             split_block_size=(1, 1), epoch_mode="number",
+                             sample_number=2)
+        ds.on_epoch_start()
+        assert len(ds) == 2
+
+    def test_ok_if_binarizes(self, env):
+        _, _, ds, _, _ = env
+        p = ds.get_patch(0)
+        forest = p["static_mask"][..., 2]
+        assert set(np.unique(forest)).issubset({0.0, 1.0})
+
+
+class TestFeatureBuilder:
+    def test_normalized_feature(self, env):
+        _, _, ds, _, fb = env
+        p = ds.get_patch(0)
+        x, mask = fb.build_feature("type_encoder_input", p)
+        assert x.shape == (32, 32, 4)
+        v = np.asarray(x)[np.asarray(mask[..., 0])][:, 0]
+        assert abs(v.mean()) < 2.0  # z-scored elevation roughly centered
+        assert np.all(np.isfinite(np.asarray(x)))
+
+    def test_temporal_feature_with_whitening(self, env):
+        _, _, ds, stats, fb = env
+        p = ds.get_patch(0)
+        x, mask = fb.build_feature("phase_ccdc", p)
+        assert x.shape == (15, 32, 32, 3)
+        assert np.abs(np.asarray(x)).max() <= 5.0 + 1e-5  # whitening clip
+        # whitened valid pixels should be roughly decorrelated
+        rows = np.asarray(x).reshape(-1, 3)
+        ok = np.asarray(mask).reshape(-1, 3).all(1)
+        c = np.cov((rows[ok] - rows[ok].mean(0)).T)
+        off = np.abs(c - np.diag(np.diag(c))).max()
+        assert off < 0.5
+
+    def test_at_locations_bit_identical(self, env):
+        """The ~230x cheaper anchor-only build must match the full grid
+        (feature_builder.py:180-233 contract)."""
+        _, _, ds, _, fb = env
+        p = ds.get_patch(0)
+        coords = jnp.asarray([[5, 7], [20, 3], [31, 31]], jnp.int32)
+        for fname in ("type_encoder_input", "phase_ccdc"):
+            full, fmask = fb.build_feature(fname, p)
+            loc, lmask = fb.build_feature_at_locations(fname, p, coords)
+            if full.ndim == 4:  # temporal [T, H, W, C] -> [N, T, C]
+                expect = np.stack([np.asarray(full[:, r, c])
+                                   for r, c in np.asarray(coords)])
+            else:
+                expect = np.stack([np.asarray(full[r, c])
+                                   for r, c in np.asarray(coords)])
+            np.testing.assert_allclose(np.asarray(loc), expect, atol=1e-6)
+
+    def test_builds_under_jit(self, env):
+        _, _, ds, _, fb = env
+        p = {k: jnp.asarray(v) for k, v in ds.get_patch(0).items()}
+
+        @jax.jit
+        def f(p):
+            x, m = fb.build_feature("type_encoder_input", p)
+            return x.sum()
+
+        assert np.isfinite(float(f(p)))
+
+
+class TestStats:
+    def test_entries(self, env):
+        _, _, _, stats, _ = env
+        e = stats["type_encoder_input"]["static.elevation"]
+        for k in ("mean", "sd", "min", "max", "q50"):
+            assert k in e
+        assert e["min"] <= e["q50"] <= e["max"]
+
+    def test_covariance_present(self, env):
+        _, _, _, stats, _ = env
+        cov = stats["phase_ccdc"]["__covariance__"]
+        m = np.asarray(cov["matrix"])
+        assert m.shape == (3, 3)
+        assert np.allclose(m, m.T)
+
+    def test_online_covariance_matches_numpy(self, rng):
+        x = rng.normal(size=(1000, 4))
+        occ = OnlineCovarianceComputer(4)
+        for i in range(0, 1000, 100):
+            occ.update(x[i:i + 100])
+        np.testing.assert_allclose(occ.covariance(), np.cov(x.T),
+                                   rtol=1e-8)
+        np.testing.assert_allclose(occ.mean, x.mean(0), rtol=1e-8)
+
+    def test_online_covariance_nan_rows_dropped(self, rng):
+        x = rng.normal(size=(100, 3))
+        x[10, 0] = np.nan
+        occ = OnlineCovarianceComputer(3)
+        occ.update(x)
+        assert occ.n == 99
+
+
+class TestWhitening:
+    def test_whitens_to_identity(self, rng):
+        a = rng.normal(size=(4, 4))
+        cov = a @ a.T + np.eye(4)
+        w = whitening_matrix(cov)
+        x = rng.multivariate_normal(np.zeros(4), cov, size=20000)
+        out = np.asarray(apply_whitening(jnp.asarray(x, jnp.float32),
+                                         jnp.asarray(w),
+                                         jnp.zeros(4), clip=50.0))
+        c = np.cov(out.T)
+        np.testing.assert_allclose(c, np.eye(4), atol=0.15)
+
+    def test_nan_safe_and_clipped(self):
+        w = jnp.eye(3)
+        x = jnp.asarray([[1.0, jnp.nan, 100.0]])
+        out = apply_whitening(x, w, jnp.zeros(3), clip=5.0)
+        np.testing.assert_allclose(np.asarray(out)[0], [1.0, 0.0, 5.0])
+
+
+class TestAnchorSampling:
+    def test_grid_count_and_bounds(self):
+        key = jax.random.key(0)
+        coords = anchor_sampling.sample_anchors_grid(
+            key, 64, 64, stride=8, exclude_border=4, jitter_radius=2)
+        ny, nx = anchor_sampling.grid_anchor_count(64, 64, 8, 4)
+        assert coords.shape == (ny * nx, 2)
+        c = np.asarray(coords)
+        assert c.min() >= 4 and c.max() <= 59
+
+    def test_jitter_varies(self):
+        c1 = anchor_sampling.sample_anchors_grid(jax.random.key(1),
+                                                 64, 64, 8, 4, 3)
+        c2 = anchor_sampling.sample_anchors_grid(jax.random.key(2),
+                                                 64, 64, 8, 4, 3)
+        assert not np.array_equal(np.asarray(c1), np.asarray(c2))
+
+    def test_supplement_respects_weights(self):
+        w = jnp.zeros((32, 32)).at[10:12, 10:12].set(1.0)
+        coords, valid = anchor_sampling.sample_anchors_supplement(
+            jax.random.key(0), w, 50)
+        c = np.asarray(coords)
+        assert np.all(valid)
+        assert np.all((c >= 10) & (c < 12))
+
+    def test_zero_weights_invalid(self):
+        w = jnp.zeros((16, 16))
+        _, valid = anchor_sampling.sample_anchors_supplement(
+            jax.random.key(0), w, 5)
+        assert not np.any(valid)
+
+    def test_inverse_frequency(self):
+        vals = jnp.concatenate([jnp.zeros(90), jnp.ones(10)]).reshape(10, 10)
+        mask = jnp.ones((10, 10))
+        w = anchor_sampling.resolve_weights([mask], vals,
+                                            "inverse-frequency")
+        w = np.asarray(w)
+        # rare class gets higher weight
+        assert w[9, 9] > w[0, 0]
+        np.testing.assert_allclose(w.sum(), 2.0, atol=1e-5)
+
+    def test_sampler_from_config(self, env):
+        _, b, _, _, _ = env
+        samp = anchor_sampling.build_anchor_sampler(
+            b.get_sampling_strategy("grid-plus-supplement"))
+        ny, nx = anchor_sampling.grid_anchor_count(32, 32, 8, 4)
+        n_exp = ny * nx + 16
+        assert samp.n_anchors(32, 32) == n_exp
+        grids = {"static_mask.aoi": jnp.ones((32, 32)),
+                 "static_mask.forest": jnp.ones((32, 32))}
+        coords, valid = samp(jax.random.key(0), grids, 32, 32)
+        assert coords.shape == (n_exp, 2)
+
+
+class TestSpatialUtils:
+    def test_extract(self, rng):
+        g = jnp.asarray(rng.normal(size=(8, 8, 3)), jnp.float32)
+        coords = jnp.asarray([[1, 2], [7, 0]])
+        out = sp.extract_at_locations(g, coords)
+        np.testing.assert_allclose(np.asarray(out[0]), np.asarray(g[1, 2]))
+
+    def test_extract_temporal(self, rng):
+        g = jnp.asarray(rng.normal(size=(5, 8, 8, 3)), jnp.float32)
+        coords = jnp.asarray([[1, 2]])
+        out = sp.extract_temporal_at_locations(g, coords)
+        assert out.shape == (1, 5, 3)
+        np.testing.assert_allclose(np.asarray(out[0]),
+                                   np.asarray(g[:, 1, 2]))
+
+    def test_knn_pairs_offsets(self):
+        mask = jnp.ones((16, 16))
+        anchors = jnp.asarray([[8, 8]])
+        aidx, nbr, valid = sp.spatial_knn_pairs(anchors, mask, k=4,
+                                                max_radius=2)
+        got = {tuple(x) for x, ok in zip(np.asarray(nbr), np.asarray(valid))
+               if ok}
+        # 4 closest offsets are the rook neighbors
+        assert got == {(7, 8), (9, 8), (8, 7), (8, 9)}
+
+    def test_knn_pairs_bounds_and_mask(self):
+        mask = jnp.ones((16, 16)).at[0, 1].set(0)
+        anchors = jnp.asarray([[0, 0]])
+        _, nbr, valid = sp.spatial_knn_pairs(anchors, mask, k=4,
+                                             max_radius=1)
+        got = {tuple(x) for x, ok in zip(np.asarray(nbr), np.asarray(valid))
+               if ok}
+        assert got == {(1, 0)}  # (0,-1)/(−1,0) out of bounds; (0,1) masked
+
+    def test_negative_pairs_ring(self):
+        mask = jnp.ones((64, 64))
+        anchors = jnp.asarray([[32, 32], [10, 10]])
+        aidx, nbr, valid = sp.spatial_negative_pairs(
+            anchors, mask, jax.random.key(0), min_distance=16.0,
+            max_distance=30.0, n_per_anchor=4)
+        a = np.asarray(anchors)[np.asarray(aidx)]
+        d = np.sqrt(((np.asarray(nbr) - a) ** 2).sum(1))
+        ok = np.asarray(valid)
+        assert ok.sum() > 0
+        assert np.all(d[ok] >= 16.0) and np.all(d[ok] <= 30.0)
