@@ -53,14 +53,16 @@ class Conv2DEncoder(nn.Module):
         dr = _as_list(self.dropout_rate, n)
         ng = _as_list(self.num_groups, n)
 
-        if not deterministic and input_dropout_rate > 0.0:
+        if not deterministic:
             # Channel-zeroing dropout on the raw input (Dropout2d semantics:
-            # the whole [H, W] map of a channel is dropped together).
+            # the whole [H, W] map of a channel is dropped together). The
+            # rate is a TRACED curriculum scalar, so the branch is on the
+            # static `deterministic` flag only; rate 0 is an exact no-op.
+            rate = jnp.asarray(input_dropout_rate, x.dtype)
             key = self.make_rng("dropout")
             keep = jax.random.bernoulli(
-                key, 1.0 - input_dropout_rate,
-                (x.shape[0], 1, 1, x.shape[-1]))
-            x = jnp.where(keep, x / (1.0 - input_dropout_rate), 0.0)
+                key, 1.0 - rate, (x.shape[0], 1, 1, x.shape[-1]))
+            x = jnp.where(keep, x / jnp.maximum(1.0 - rate, 1e-6), 0.0)
 
         for i, (c, k, d, g) in enumerate(zip(self.channels, ks, dr, ng)):
             is_last = (i == n - 1) and self.out_channels is None

@@ -1,0 +1,99 @@
+"""Assemble StepConfig / loss weights / curricula from parsed YAML configs.
+
+The forest-tpu analogue of /root/reference/frl/training/representation/
+config_builders.py:24-427 (SURVEY.md §2.6): every knob is read with an
+explicit default so partial configs work; losses declared in the bindings
+``losses:`` section override StepConfig fields.
+"""
+from __future__ import annotations
+
+from dataclasses import fields, replace
+from typing import Any, Dict, Tuple
+
+from forest_tpu.data.anchor_sampling import AnchorSampler, build_anchor_sampler
+from forest_tpu.data.bindings import BindingsConfig
+from forest_tpu.training.representation.step import (DEFAULT_WEIGHTS,
+                                                     StepConfig)
+
+
+def build_step_config(bindings: BindingsConfig,
+                      training_cfg: Dict[str, Any]) -> StepConfig:
+    kw: Dict[str, Any] = {}
+    losses = bindings.losses or {}
+
+    sp = losses.get("infonce_type_spatial", {})
+    kw.update(
+        spectral_feature=sp.get("feature", "infonce_type_spectral"),
+        knn_k=sp.get("knn_k", 4),
+        knn_max_radius=sp.get("knn_max_radius", 8),
+        neg_min_distance=sp.get("neg_min_distance", 16.0),
+        neg_max_distance=sp.get("neg_max_distance"),
+        neg_per_anchor=sp.get("neg_per_anchor", 4),
+        spectral_sigma=sp.get("spectral_sigma", 2.0),
+        temperature=sp.get("temperature", 0.2),
+        similarity=sp.get("similarity", "l2"),
+    )
+    ph = losses.get("phase_neighborhood", {})
+    kw.update(
+        phase_feature=ph.get("feature", "phase_ccdc"),
+        ysfc_source=ph.get("ysfc_source", "annual.ysfc"),
+        phase_k=ph.get("k", 16),
+        phase_min_overlap=ph.get("min_overlap", 3),
+        phase_min_pairs=ph.get("min_pairs", 5),
+        phase_sigma=ph.get("sigma", 5.0),
+        phase_tau_ref=ph.get("tau_ref", 0.1),
+        phase_tau_learned=ph.get("tau_learned", 0.1),
+        num_ysfc_classes=ph.get("num_ysfc_classes", 64),
+    )
+    evt = losses.get("evt_soft_neighborhood", {})
+    if evt:
+        kw.update(evt_enabled=True,
+                  evt_feature=evt.get("feature", "static_categorical.evt"),
+                  evt_tau_ref=evt.get("tau_ref", 0.5),
+                  evt_tau_learned=evt.get("tau_learned", 0.5),
+                  evt_min_valid_anchors=evt.get("min_valid_anchors", 4))
+
+    step_cfg = training_cfg.get("step", {}) or {}
+    valid_fields = {f.name for f in fields(StepConfig)}
+    kw.update({k: v for k, v in step_cfg.items() if k in valid_fields})
+    kw.setdefault(
+        "type_feature",
+        training_cfg.get("model_input", {}).get("type_feature",
+                                                "type_encoder_input"))
+    return StepConfig(**{k: v for k, v in kw.items()
+                         if k in valid_fields and v is not None
+                         or k in ("neg_max_distance",)})
+
+
+def build_loss_weights(training_cfg: Dict[str, Any]) -> Dict[str, float]:
+    w = dict(DEFAULT_WEIGHTS)
+    w.update(training_cfg.get("loss_weights", {}) or {})
+    return w
+
+
+def build_sampler(bindings: BindingsConfig,
+                  training_cfg: Dict[str, Any]) -> AnchorSampler:
+    name = training_cfg.get("sampling_strategy", "grid-plus-supplement")
+    if name in bindings.sampling_strategies:
+        return build_anchor_sampler(bindings.get_sampling_strategy(name))
+    return build_anchor_sampler({"stride": 16, "exclude_border": 16,
+                                 "jitter": {"radius": 4}})
+
+
+def build_curricula(training_cfg: Dict[str, Any]) -> Dict[str, Any]:
+    cur = training_cfg.get("curriculum", {}) or {}
+    return {
+        "input_dropout": cur.get("input_dropout", 0.0),
+        "smoothing_freeze_until": cur.get("smoothing_freeze_until", 0),
+        "smoothing_ramp_epochs": cur.get("smoothing_ramp_epochs", 1),
+        "phase_start_epoch": cur.get("phase_start_epoch", 0),
+        "phase_ramp_epochs": cur.get("phase_ramp_epochs", 1),
+        "phase_ramped_losses": cur.get(
+            "phase_ramped_losses",
+            ["phase_neighborhood", "phase_spread", "recovery_disc",
+             "vicreg_phase", "type_leakage"]),
+    }
+
+
+__all__ = ["build_step_config", "build_loss_weights", "build_sampler",
+           "build_curricula"]

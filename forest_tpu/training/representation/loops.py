@@ -1,0 +1,84 @@
+"""Epoch loops: iterate the loader, run the jitted step, aggregate metrics.
+
+Contract from /root/reference/frl/training/representation/loops.py:85-246
+(SURVEY.md §2.6): per-epoch metric accumulation plus the dataloader WAIT vs
+STEP time split (the key input-pipeline health metric, SURVEY.md §6.1).
+"""
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from forest_tpu.data.loader import PrefetchLoader
+
+
+def _to_device_batch(batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    return {k: jnp.asarray(v) for k, v in batch.items()}
+
+
+def run_epoch(dataset, step_fn: Callable, state_or_params, *,
+              batch_size: int, weights: Dict[str, Any],
+              curriculum: Dict[str, Any], rng_seed: int,
+              train: bool, num_workers: int = 4,
+              max_batches: Optional[int] = None,
+              scheduler_step: Optional[Callable] = None):
+    """Returns (state_or_params, mean-metrics dict incl. timing)."""
+    dataset.on_epoch_start()
+    n = len(dataset)
+    idx_batches = [list(range(i, min(i + batch_size, n)))
+                   for i in range(0, n, batch_size)]
+    idx_batches = [b for b in idx_batches if len(b) == batch_size]
+    if not idx_batches and n > 0:
+        # Tiny datasets (debug windows): fill one batch by repetition so
+        # the static batch shape holds.
+        idx_batches = [[i % n for i in range(batch_size)]]
+    if max_batches:
+        idx_batches = idx_batches[:max_batches]
+
+    loader = PrefetchLoader(dataset, iter(idx_batches),
+                            num_workers=num_workers)
+    agg: Dict[str, float] = {}
+    n_steps = 0
+    wait_t = step_t = 0.0
+    t0 = time.perf_counter()
+    t_wait = time.perf_counter()
+    for i, batch in enumerate(loader):
+        wait_t += time.perf_counter() - t_wait
+        t_step = time.perf_counter()
+        rng = jax.random.key(rng_seed * 100003 + i)
+        db = _to_device_batch(batch)
+        if train:
+            state_or_params, m = step_fn(state_or_params, db, rng,
+                                         weights, curriculum)
+            if scheduler_step is not None:
+                scheduler_step()
+        else:
+            m = step_fn(state_or_params, db, rng, weights, curriculum)
+        for k, v in m.items():
+            agg[k] = agg.get(k, 0.0) + float(v)
+        n_steps += 1
+        step_t += time.perf_counter() - t_step
+        t_wait = time.perf_counter()
+
+    out = {k: v / max(n_steps, 1) for k, v in agg.items()}
+    out["n_steps"] = n_steps
+    out["epoch_time_s"] = time.perf_counter() - t0
+    out["wait_s"] = wait_t
+    out["step_s"] = step_t
+    return state_or_params, out
+
+
+def train_epoch(dataset, train_step, state, **kw):
+    return run_epoch(dataset, train_step, state, train=True, **kw)
+
+
+def validate_epoch(dataset, eval_step, params, **kw):
+    _, m = run_epoch(dataset, eval_step, params, train=False, **kw)
+    return m
+
+
+__all__ = ["run_epoch", "train_epoch", "validate_epoch"]

@@ -1,0 +1,462 @@
+"""process_batch: the whole FRL per-batch algorithm as ONE jitted function.
+
+Behavioral contract from /root/reference/frl/training/representation/step.py
+(call stack SURVEY.md §4.1). The reference splits the work into CPU worker
+passes + a chunked GPU forward + per-sample Python loops; TPU-native, the
+entire algorithm -- feature building (with fused whitening), both encoder
+pathways, anchor sampling, pair construction, and every loss -- is a single
+XLA graph over the batch with static shapes (anchors per patch fixed by the
+grid+supplement strategy, pair lists padded+masked):
+
+  1. type features -> z_type (+ smoothing gate) for the full batch;
+  2. per-sample jittered-grid+supplement anchors (explicit jax.random);
+  3. spatial InfoNCE: offset-grid kNN positives (spectral-similarity
+     weighted exp(-d/sigma)) + distance-ring negatives, one global
+     segment-op InfoNCE over B*A anchors (step.py:284-402, 560-574);
+  4. VICReg on z_type anchors (:549-557);
+  5. phase: ysfc + whitened temporal features at anchors ->
+     forward_phase_at_locations with stop-grad z_type -> phase VICReg,
+     build_phase_pairs -> phase_neighborhood_loss, spread ranking,
+     recovery discrimination, Frobenius type-leakage (:412-451, 582-649,
+     935-1027);
+  6. cross-batch spectral: chunked mutual-kNN positives over pooled anchors
+     + random cross-patch negatives weighted 1 - exp(-d/sigma) -> global
+     InfoNCE (:707-812);
+  7. optional EVT soft-neighborhood on z_type anchors (:529-547);
+  8. weighted total; loss weights and curriculum scalars arrive as traced
+     args so annealing never recompiles.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from forest_tpu.data.anchor_sampling import AnchorSampler
+from forest_tpu.data.feature_builder import FeatureBuilder
+from forest_tpu.losses import pairs as pairs_mod
+from forest_tpu.losses.contrastive import contrastive_loss
+from forest_tpu.losses.evt_soft_neighborhood import evt_soft_neighborhood_loss
+from forest_tpu.losses.phase_neighborhood import (
+    build_phase_neighborhood_batch, compute_phase_spread_ranking,
+    phase_neighborhood_loss)
+from forest_tpu.losses.phase_pairs import build_phase_pairs
+from forest_tpu.losses.triplet_phase import phase_recovery_discrimination_loss
+from forest_tpu.losses.variance_covariance import variance_covariance_loss
+from forest_tpu.utils import spatial as sp
+
+Array = jax.Array
+
+
+@dataclass(frozen=True)
+class StepConfig:
+    """Static (trace-time) configuration -- the config_builders output."""
+    # feature names (bindings)
+    type_feature: str = "type_encoder_input"
+    spectral_feature: str = "infonce_type_spectral"
+    phase_feature: str = "phase_ccdc"
+    # ysfc comes from the RAW group channel (NaN preserved -- ysfc==0 means
+    # "disturbance year", so the feature builder's masked-to-zero would
+    # corrupt it): a "group.channel" reference.
+    ysfc_source: str = "annual.ysfc"
+    # spatial InfoNCE
+    knn_k: int = 4
+    knn_max_radius: int = 8
+    neg_min_distance: float = 16.0
+    neg_max_distance: Optional[float] = None
+    neg_per_anchor: int = 4
+    spectral_sigma: float = 2.0
+    temperature: float = 0.2
+    similarity: str = "l2"
+    # VICReg
+    vcr_std_target: float = 1.0
+    vcr_variance_weight: float = 1.0
+    vcr_covariance_weight: float = 1.0
+    # phase
+    phase_k: int = 16
+    phase_min_overlap: int = 3
+    phase_min_pairs: int = 5
+    phase_sigma: float = 5.0
+    phase_tau_ref: float = 0.1
+    phase_tau_learned: float = 0.1
+    phase_self_weight: float = 1.0
+    phase_cross_weight: float = 1.0
+    num_ysfc_classes: int = 64
+    # spread ranking / recovery discrimination
+    spread_margin: float = 0.1
+    spread_delta: float = 0.5
+    rd_margin: float = 0.5
+    rd_low_ysfc_max: float = 1.0
+    rd_high_ysfc_min: float = 5.0
+    # cross-batch spectral
+    xb_knn_k: int = 10
+    xb_chunk_size: int = 128
+    xb_pos_min_spatial: float = 4.0
+    xb_neg_per_anchor: int = 4
+    xb_temperature: float = 0.2
+    # cross-batch phase (type-local spectral baseline)
+    xb_phase_pca_dim: int = 8
+    xb_phase_knn_k: int = 20
+    # EVT (optional)
+    evt_enabled: bool = False
+    evt_feature: str = "static_categorical.evt"
+    evt_tau_ref: float = 0.5
+    evt_tau_learned: float = 0.5
+    evt_min_valid_anchors: int = 4
+
+
+DEFAULT_WEIGHTS = {
+    "spatial_infonce": 1.0,
+    "spectral_infonce": 1.0,
+    "vicreg_type": 1.0,
+    "vicreg_phase": 0.1,
+    "phase_neighborhood": 1.0,
+    "phase_spread": 0.1,
+    "recovery_disc": 0.1,
+    "type_leakage": 0.01,
+    "evt": 0.0,
+}
+
+
+def _masked_mean_rows(x: Array, valid: Array) -> Tuple[Array, Array]:
+    v = valid.astype(x.dtype)[:, None]
+    cnt = jnp.maximum(jnp.sum(v), 1.0)
+    mu = jnp.sum(x * v, axis=0) / cnt
+    return mu, cnt
+
+
+def frobenius_type_leakage(h_pre: Array, z_type_sg: Array,
+                           valid: Array) -> Array:
+    """||cov(mean_T h_pre, sg(z_type))||_F^2 over valid anchors
+    (step.py:1008-1025 contract)."""
+    h = jnp.mean(h_pre, axis=1)  # [N, zp]
+    mu_h, cnt = _masked_mean_rows(h, valid)
+    mu_z, _ = _masked_mean_rows(z_type_sg, valid)
+    v = valid.astype(h.dtype)[:, None]
+    hc = (h - mu_h) * v
+    zc = (z_type_sg - mu_z) * v
+    cross = jnp.dot(hc.T, zc, preferred_element_type=jnp.float32) \
+        / jnp.maximum(cnt - 1.0, 1.0)
+    return jnp.sum(cross * cross)
+
+
+def make_process_batch(model, feature_builder: FeatureBuilder,
+                       sampler: AnchorSampler, cfg: StepConfig,
+                       patch_size: int,
+                       evt_tables: Optional[Dict[str, np.ndarray]] = None
+                       ) -> Callable:
+    """Returns pure fn(params, batch, rng, weights, curriculum, train)
+    -> (total_loss, metrics). ``batch`` is the dict of group arrays
+    [B, ...] from ForestDatasetV2.load_batch; ``weights`` a dict of traced
+    scalars (DEFAULT_WEIGHTS keys); ``curriculum`` dict with
+    input_dropout_rate / min_gate traced scalars.
+
+    ``evt_tables``: {"similarity": [K,K], "idx_lut": [R], "valid_lut": [R],
+    "weight_lut": [R], "code_offset": int} from
+    :func:`build_evt_tables` when cfg.evt_enabled.
+    """
+    fb = feature_builder
+    h = w = patch_size
+    n_anchors = sampler.n_anchors(h, w)
+
+    def per_sample_grids(batch: Dict[str, Array], b: int) -> None:
+        pass  # resolved inline below
+
+    def sample_anchors_all(batch, key):
+        """vmapped anchor sampling -> coords [B, A, 2], valid [B, A]."""
+        b = next(v for k, v in batch.items()
+                 if not k.startswith("__")).shape[0]
+        names = set(sampler.cfg.weight_masks)
+        if sampler.cfg.weight_values:
+            names.add(sampler.cfg.weight_values)
+
+        def one(key, grids):
+            return sampler(key, grids, h, w)
+
+        grids = {}
+        for ref in names:
+            gname, cname = ref.split(".")
+            gcfg = fb.bindings.dataset[gname]
+            grids[ref] = jnp.nan_to_num(
+                jnp.asarray(batch[gname][..., gcfg.channel_index(cname)],
+                            jnp.float32))
+        keys = jax.random.split(key, b)
+        if grids:
+            return jax.vmap(one)(keys, grids)
+        return jax.vmap(lambda k: sampler(k, {}, h, w))(keys)
+
+    def process_batch(params, batch, rng, weights, curriculum,
+                      train: bool = True):
+        metrics: Dict[str, Array] = {}
+        k_anchor, k_neg, k_drop = jax.random.split(rng, 3)
+        bsz = next(v for k, v in batch.items()
+                   if not k.startswith("__")).shape[0]
+
+        # ---- 1. type pathway -------------------------------------------
+        x_type, m_type = fb.build_feature(cfg.type_feature, batch)
+        variables = {"params": params}
+        z_type, gate = model.apply(
+            variables, x_type, return_gate=True,
+            input_dropout_rate=curriculum.get("input_dropout_rate", 0.0),
+            min_gate=curriculum.get("min_gate", 0.0),
+            deterministic=not train,
+            rngs={"dropout": k_drop} if train else {})
+        metrics["gate_mean"] = jnp.mean(gate)
+
+        # ---- 2. anchors -------------------------------------------------
+        coords, a_valid = sample_anchors_all(batch, k_anchor)  # [B,A,2]
+        z_a = jax.vmap(sp.extract_at_locations)(z_type, coords)  # [B,A,zt]
+        spec_a, spec_m = jax.vmap(
+            lambda g, c: fb.build_feature_at_locations(
+                cfg.spectral_feature, g, c),
+            in_axes=({k: 0 for k in batch}, 0))(
+                {k: v for k, v in batch.items()}, coords)
+        a_valid = a_valid & jnp.any(spec_m, axis=-1)
+        metrics["n_anchors_valid"] = jnp.sum(a_valid.astype(jnp.int32))
+
+        a = n_anchors
+        flat_valid = a_valid.reshape(-1)                      # [B*A]
+        z_a_flat = z_a.reshape(-1, z_a.shape[-1])
+        spec_flat = spec_a.reshape(bsz * a, -1)
+        patch_ids = jnp.repeat(jnp.arange(bsz), a)
+        coords_flat = coords.reshape(-1, 2)
+
+        # ---- 3. within-patch spatial InfoNCE ---------------------------
+        def one_sample_pairs(args):
+            z_t, c, valid, spec, key = args
+            mask = jnp.ones((h, w), bool)
+            ai_p, nbr_p, v_p = sp.spatial_knn_pairs(
+                c, mask, cfg.knn_k, cfg.knn_max_radius)
+            ai_n, nbr_n, v_n = sp.spatial_negative_pairs(
+                c, mask, key, cfg.neg_min_distance, cfg.neg_max_distance,
+                cfg.neg_per_anchor)
+            ai = jnp.concatenate([ai_p, ai_n])
+            nbr = jnp.concatenate([nbr_p, nbr_n])
+            is_pos = jnp.concatenate([jnp.ones_like(v_p),
+                                      jnp.zeros_like(v_n)]).astype(bool)
+            pv = jnp.concatenate([v_p, v_n]) & valid[ai]
+            z_nbr = sp.extract_at_locations(z_t, nbr)
+            return ai, nbr, is_pos, pv, z_nbr
+
+        keys_neg = jax.random.split(k_neg, bsz)
+        ai, nbr, is_pos, pv, z_nbr = jax.vmap(one_sample_pairs)(
+            (z_type, coords, a_valid, spec_a, keys_neg))
+        # spectral weights for positives: exp(-||spec_a - spec_nbr|| / sigma)
+        spec_nbr, spec_nbr_m = jax.vmap(
+            lambda g, c: fb.build_feature_at_locations(
+                cfg.spectral_feature, g, c),
+            in_axes=({k: 0 for k in batch}, 0))(
+                {k: v for k, v in batch.items()}, nbr)
+        d_spec = jnp.linalg.norm(
+            jnp.take_along_axis(spec_a, ai[..., None], axis=1) - spec_nbr,
+            axis=-1)
+        pw = jnp.where(is_pos, jnp.exp(-d_spec / cfg.spectral_sigma), 1.0)
+
+        p_per = ai.shape[1]
+        anchor_ids_global = (ai + jnp.arange(bsz)[:, None] * a).reshape(-1)
+        z_anchor_rows = jnp.take_along_axis(
+            z_a, ai[..., None], axis=1).reshape(-1, z_a.shape[-1])
+        spatial_loss, sp_aux = contrastive_loss(
+            z_anchor_rows, z_nbr.reshape(-1, z_a.shape[-1]),
+            anchor_ids_global, is_pos.reshape(-1), bsz * a,
+            weights=pw.reshape(-1), pair_valid=pv.reshape(-1),
+            similarity=cfg.similarity, temperature=cfg.temperature)
+        metrics["loss_spatial_infonce"] = spatial_loss
+        metrics["spatial_pos_sim"] = sp_aux["mean_pos_sim"]
+        metrics["spatial_neg_sim"] = sp_aux["mean_neg_sim"]
+
+        # ---- 4. VICReg on z_type anchors -------------------------------
+        vcr, vcr_v, vcr_c = variance_covariance_loss(
+            z_a_flat, flat_valid, cfg.vcr_std_target,
+            cfg.vcr_variance_weight, cfg.vcr_covariance_weight)
+        metrics["loss_vicreg_type"] = vcr
+        metrics["vicreg_type_var"] = vcr_v
+        metrics["vicreg_type_cov"] = vcr_c
+
+        # ---- 5. phase pathway ------------------------------------------
+        phase_x, phase_m = jax.vmap(
+            lambda g, c: fb.build_feature_at_locations(
+                cfg.phase_feature, g, c),
+            in_axes=({k: 0 for k in batch}, 0))(
+                {k: v for k, v in batch.items()}, coords)  # [B,A,T,C]
+        ys_g, ys_c = cfg.ysfc_source.split(".")
+        ys_cfg = fb.bindings.dataset[ys_g]
+        ysfc_grid = jnp.asarray(
+            batch[ys_g][..., ys_cfg.channel_index(ys_c)],
+            jnp.float32)[..., None]                           # [B,T,H,W,1]
+        ysfc = jax.vmap(sp.extract_temporal_at_locations)(
+            ysfc_grid, coords)[..., 0]                        # [B, A, T]
+
+        t_dim = phase_x.shape[2]
+        n_flat = bsz * a
+        phase_flat = phase_x.reshape(n_flat, t_dim, -1)
+        ysfc_flat = ysfc.reshape(n_flat, t_dim)
+        z_type_sg = jax.lax.stop_gradient(z_a_flat)
+
+        z_phase, gamma, beta, h_pre = model.apply(
+            variables, phase_flat, z_type_sg, return_film=True,
+            return_pre_film=True, deterministic=not train,
+            method=model.forward_phase_at_locations,
+            rngs={"dropout": k_drop} if train else {})
+        metrics["film_gamma_mean"] = jnp.mean(gamma)
+        metrics["film_beta_mean"] = jnp.mean(beta)
+
+        # per-sample phase pairs, offset into the flat anchor space
+        def one_phase_pairs(spec, ys):
+            return build_phase_pairs(
+                spec, ys, cfg.phase_k, cfg.phase_min_overlap,
+                cfg.phase_min_pairs, True, cfg.phase_sigma,
+                num_ysfc_classes=cfg.num_ysfc_classes)
+
+        pp, pwts, pvalid, pstats = jax.vmap(one_phase_pairs)(
+            spec_a, ysfc)
+        offsets = (jnp.arange(bsz) * a)[:, None, None]
+        pp_flat = (pp + offsets).reshape(-1, 2)
+        pw_flat = pwts.reshape(-1)
+        pvalid_flat = pvalid.reshape(-1) \
+            & flat_valid[pp_flat[:, 0]] & flat_valid[pp_flat[:, 1]]
+
+        phase_batch = build_phase_neighborhood_batch(
+            phase_flat, z_phase, ysfc_flat, pp_flat, pvalid_flat,
+            cfg.phase_min_overlap, cfg.num_ysfc_classes)
+        ph_loss, ph_stats = phase_neighborhood_loss(
+            phase_flat, z_phase, ysfc_flat, pp_flat, pw_flat,
+            pvalid_flat, cfg.phase_tau_ref, cfg.phase_tau_learned,
+            cfg.phase_min_overlap, 2, cfg.phase_self_weight,
+            cfg.phase_cross_weight, cfg.num_ysfc_classes,
+            _batch=phase_batch)
+        metrics["loss_phase_neighborhood"] = ph_loss
+        metrics["phase_loss_self"] = ph_stats["loss_self"]
+        metrics["phase_loss_cross"] = ph_stats["loss_cross"]
+        metrics["phase_pairs_valid"] = ph_stats[
+            "n_pairs_sufficient_overlap"]
+
+        # dynamism = mean temporal std of spectral phase features
+        dyn = jnp.mean(jnp.std(phase_flat, axis=1), axis=-1)   # [N]
+        spread_loss, spread_stats = compute_phase_spread_ranking(
+            phase_batch, pp_flat, dyn, cfg.spread_margin, cfg.spread_delta)
+        metrics["loss_phase_spread"] = spread_loss
+        metrics["spread_frac_satisfied"] = spread_stats["frac_satisfied"]
+
+        rd_loss, rd_stats = phase_recovery_discrimination_loss(
+            jnp.where(flat_valid[:, None, None], z_phase, 0.0),
+            jnp.where(flat_valid[:, None], ysfc_flat, jnp.nan),
+            cfg.rd_margin, cfg.rd_low_ysfc_max, cfg.rd_high_ysfc_min)
+        metrics["loss_recovery_disc"] = rd_loss
+
+        pvcr, _, _ = variance_covariance_loss(
+            z_phase.reshape(-1, z_phase.shape[-1]),
+            jnp.repeat(flat_valid, t_dim), cfg.vcr_std_target,
+            cfg.vcr_variance_weight, cfg.vcr_covariance_weight)
+        metrics["loss_vicreg_phase"] = pvcr
+
+        leak = frobenius_type_leakage(h_pre, z_type_sg, flat_valid)
+        metrics["loss_type_leakage"] = leak
+
+        # ---- 6. cross-batch spectral InfoNCE ---------------------------
+        big = 1e6
+        spec_guard = jnp.where(flat_valid[:, None], spec_flat,
+                               big * (1.0 + jnp.arange(n_flat)
+                                      )[:, None].astype(jnp.float32))
+        xb_pairs, xb_valid = pairs_mod.pairs_mutual_knn_chunked(
+            spec_guard, cfg.xb_knn_k, patch_ids, coords_flat,
+            cfg.xb_pos_min_spatial, cfg.xb_chunk_size)
+        xb_valid = xb_valid & flat_valid[xb_pairs[:, 0]] \
+            & flat_valid[xb_pairs[:, 1]]
+        # random cross-patch negatives
+        k_xb = jax.random.fold_in(k_neg, 7)
+        neg_j = jax.random.randint(k_xb, (n_flat, cfg.xb_neg_per_anchor),
+                                   0, n_flat)
+        neg_i = jnp.repeat(jnp.arange(n_flat), cfg.xb_neg_per_anchor)
+        neg_j = neg_j.reshape(-1)
+        neg_valid = (patch_ids[neg_i] != patch_ids[neg_j]) \
+            & flat_valid[neg_i] & flat_valid[neg_j]
+        d_neg = jnp.linalg.norm(spec_flat[neg_i] - spec_flat[neg_j],
+                                axis=-1)
+        w_neg = 1.0 - jnp.exp(-d_neg / cfg.spectral_sigma)
+
+        xb_i = jnp.concatenate([xb_pairs[:, 0], neg_i])
+        xb_j = jnp.concatenate([xb_pairs[:, 1], neg_j])
+        xb_pos = jnp.concatenate([
+            jnp.ones(xb_pairs.shape[0], bool),
+            jnp.zeros(neg_i.shape[0], bool)])
+        xb_v = jnp.concatenate([xb_valid, neg_valid])
+        d_pos = jnp.linalg.norm(spec_flat[xb_pairs[:, 0]]
+                                - spec_flat[xb_pairs[:, 1]], axis=-1)
+        xb_w = jnp.concatenate([jnp.exp(-d_pos / cfg.spectral_sigma),
+                                w_neg])
+        xb_loss, xb_aux = contrastive_loss(
+            z_a_flat[xb_i], z_a_flat[xb_j], xb_i, xb_pos, n_flat,
+            weights=xb_w, pair_valid=xb_v, similarity=cfg.similarity,
+            temperature=cfg.xb_temperature)
+        metrics["loss_spectral_infonce"] = xb_loss
+        metrics["spectral_pos_sim"] = xb_aux["mean_pos_sim"]
+        metrics["spectral_neg_sim"] = xb_aux["mean_neg_sim"]
+        metrics["spectral_n_anchors"] = xb_aux["n_anchors_used"]
+
+        # ---- 7. optional EVT -------------------------------------------
+        if cfg.evt_enabled and evt_tables is not None:
+            gname, cname = cfg.evt_feature.split(".")
+            gcfg = fb.bindings.dataset[gname]
+            evt_grid = batch[gname][..., gcfg.channel_index(cname)]
+            evt_codes = jax.vmap(sp.extract_at_locations)(
+                evt_grid[..., None], coords)[..., 0].reshape(-1)
+            off = int(evt_tables["code_offset"])
+            lut_len = evt_tables["idx_lut"].shape[0]
+            rel = jnp.clip(evt_codes.astype(jnp.int32) - off, 0,
+                           lut_len - 1)
+            in_range = (evt_codes >= off) & (evt_codes < off + lut_len)
+            e_idx = jnp.asarray(evt_tables["idx_lut"])[rel]
+            e_valid = jnp.asarray(evt_tables["valid_lut"])[rel] \
+                & in_range & flat_valid
+            e_w = jnp.asarray(evt_tables["weight_lut"])[rel]
+            evt_loss, evt_stats = evt_soft_neighborhood_loss(
+                z_a_flat, e_idx, e_valid, e_w,
+                jnp.asarray(evt_tables["similarity"]),
+                evt_codes.astype(jnp.int32),
+                cfg.evt_tau_ref, cfg.evt_tau_learned,
+                cfg.evt_min_valid_anchors)
+            metrics["loss_evt"] = evt_loss
+            metrics["evt_anchors_valid"] = evt_stats["n_anchors_valid"]
+        else:
+            evt_loss = jnp.float32(0.0)
+            metrics["loss_evt"] = evt_loss
+
+        # ---- 8. total ---------------------------------------------------
+        total = (weights["spatial_infonce"] * spatial_loss
+                 + weights["spectral_infonce"] * xb_loss
+                 + weights["vicreg_type"] * vcr
+                 + weights["vicreg_phase"] * pvcr
+                 + weights["phase_neighborhood"] * ph_loss
+                 + weights["phase_spread"] * spread_loss
+                 + weights["recovery_disc"] * rd_loss
+                 + weights["type_leakage"] * leak
+                 + weights["evt"] * evt_loss)
+        metrics["loss_total"] = total
+        return total, metrics
+
+    return process_batch
+
+
+def build_evt_tables(metric) -> Dict[str, np.ndarray]:
+    """Pack an EvtDiffusionMetric into in-graph LUT arrays."""
+    codes = metric.codes
+    off = int(codes.min())
+    rng = int(codes.max()) - off + 1
+    idx_lut = np.zeros(rng, np.int32)
+    valid_lut = np.zeros(rng, bool)
+    weight_lut = np.zeros(rng, np.float32)
+    for c, i in metric.code_to_idx.items():
+        idx_lut[c - off] = i
+        valid_lut[c - off] = True
+        weight_lut[c - off] = metric.freq_weights[i]
+    return {"similarity": metric.similarity, "idx_lut": idx_lut,
+            "valid_lut": valid_lut, "weight_lut": weight_lut,
+            "code_offset": off}
+
+
+__all__ = ["StepConfig", "make_process_batch", "build_evt_tables",
+           "DEFAULT_WEIGHTS", "frobenius_type_leakage"]

@@ -1,0 +1,76 @@
+"""FRL train/eval step wrappers: grads, NaN containment, optimizer.
+
+Numerical-failure containment contract (SURVEY.md §6.3): a non-finite batch
+loss or gradient skips the update (params/opt state unchanged) and reports
+``skipped=1`` -- the jit-safe equivalent of the reference's per-batch skip
+(step.py:1057-1074).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+Array = jax.Array
+
+
+class FRLTrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: Array
+
+
+def make_optimizer(learning_rate, weight_decay: float = 1e-4,
+                   grad_clip: float = 1.0) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adamw(learning_rate, weight_decay=weight_decay))
+
+
+def init_train_state(params, optimizer) -> FRLTrainState:
+    return FRLTrainState(params, optimizer.init(params),
+                         jnp.zeros((), jnp.int32))
+
+
+def make_train_step(process_batch: Callable, optimizer) -> Callable:
+    def train_step(state: FRLTrainState, batch, rng, weights, curriculum):
+        def loss_fn(params):
+            return process_batch(params, batch, rng, weights, curriculum,
+                                 True)
+
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        gnorm = optax.global_norm(grads)
+        finite = jnp.isfinite(loss) & jnp.isfinite(gnorm)
+        safe_grads = jax.tree.map(
+            lambda g: jnp.where(finite, jnp.nan_to_num(g), 0.0), grads)
+        updates, opt_state = optimizer.update(safe_grads, state.opt_state,
+                                              state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        def pick(new, old):
+            return jax.tree.map(
+                lambda a, b: jnp.where(finite, a, b), new, old)
+
+        metrics["grad_norm"] = gnorm
+        metrics["skipped"] = (~finite).astype(jnp.int32)
+        return FRLTrainState(pick(new_params, state.params),
+                             pick(opt_state, state.opt_state),
+                             state.step + 1), metrics
+
+    return train_step
+
+
+def make_eval_step(process_batch: Callable) -> Callable:
+    def eval_step(params, batch, rng, weights, curriculum):
+        _, metrics = process_batch(params, batch, rng, weights, curriculum,
+                                   False)
+        return metrics
+
+    return eval_step
+
+
+__all__ = ["FRLTrainState", "make_optimizer", "init_train_state",
+           "make_train_step", "make_eval_step"]

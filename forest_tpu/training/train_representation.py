@@ -1,0 +1,274 @@
+"""FRL training CLI: the primary training entry point.
+
+The forest-tpu equivalent of /root/reference/frl/training/
+train_representation.py (call stack SURVEY.md §4.1): three-file YAML config
+(bindings + model + training), stats precompute if-not-exists, datasets with
+the checkerboard split, the single jitted process_batch step, two-phase
+cosine LR with phase re-warmup, curricula (input dropout, smoothing gate,
+phase-loss ramp), CheckpointManager with auto-resume, per-epoch diagnostic
+logging, artifact archival (configs + git hash).
+
+Run:
+  python -m forest_tpu.training.train_representation \
+      --training configs/frl_training_v1.yaml \
+      [--bindings B.yaml] [--model-config M.yaml] \
+      [--num-epochs N] [--max-batches N] [--no-resume] [--profile]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import subprocess
+import time
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from forest_tpu.data.bindings import parse_bindings
+from forest_tpu.data.feature_builder import FeatureBuilder
+from forest_tpu.data.frl_dataset import ForestDatasetV2
+from forest_tpu.data.stats import StatsCalculator
+from forest_tpu.data.windows import SpatialWindow
+from forest_tpu.models import representation as rep
+from forest_tpu.training.checkpointing import CheckpointManager
+from forest_tpu.training.representation import (config_builders as cb,
+                                                curriculum as cur_mod,
+                                                epoch_logging, loops,
+                                                profiling)
+from forest_tpu.training.representation import step as step_mod
+from forest_tpu.training.representation import train_step as ts
+from forest_tpu.training.representation.training_config import (
+    TrainingConfiguration, parse_training_config)
+from forest_tpu.training.scheduler import cosine_lr, two_phase_cosine_lr
+
+log = logging.getLogger("forest_tpu.train_representation")
+
+
+def _git_hash() -> str:
+    try:
+        return subprocess.check_output(
+            ["git", "rev-parse", "HEAD"], text=True,
+            stderr=subprocess.DEVNULL).strip()
+    except Exception:
+        return "unknown"
+
+
+def setup(cfg: TrainingConfiguration,
+          bindings_path: Optional[str] = None,
+          model_cfg: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+    """Wire every component; returns the training context dict."""
+    bindings = parse_bindings(bindings_path or cfg.bindings_path)
+    sd = cfg.spatial_domain
+    dbg = SpatialWindow(*sd.debug_window) if sd.debug_window else None
+
+    ds_kwargs = dict(patch_size=sd.patch_size,
+                     split_block_size=sd.split_block_size,
+                     min_aoi=sd.min_aoi, debug_window=dbg)
+
+    # stats precompute (if-not-exists contract, SURVEY.md §4.6)
+    stats_path = Path(bindings.stats.file)
+    if bindings.stats.compute == "always" or not stats_path.exists():
+        log.info("computing stats -> %s", stats_path)
+        ds_all = ForestDatasetV2(bindings, split=None, **ds_kwargs)
+        StatsCalculator(bindings, ds_all).compute_and_save()
+    stats = json.loads(stats_path.read_text())
+
+    ds_train = ForestDatasetV2(bindings, split="train",
+                               epoch_mode=cfg.epoch.mode,
+                               sample_frac=cfg.epoch.sample_frac,
+                               sample_number=cfg.epoch.sample_number,
+                               seed=cfg.seed, **ds_kwargs)
+    ds_val = ForestDatasetV2(bindings, split="val", seed=cfg.seed,
+                             **ds_kwargs)
+    log.info("train patches: %d  val patches: %d",
+             len(ds_train.patches), len(ds_val.patches))
+
+    fb = FeatureBuilder(bindings, stats)
+    type_c = len(bindings.get_feature("type_encoder_input").channels)
+    phase_feat = (model_cfg or {}).get("phase_feature", "phase_ccdc")
+    phase_c = len(bindings.get_feature(phase_feat).channels)
+    model = rep.from_config(model_cfg or {}, type_c, phase_c)
+    params = rep.init_variables(
+        model, jax.random.key(cfg.seed),
+        num_timesteps=bindings.time_window.num_years)["params"]
+    n_params = sum(int(np.prod(p.shape))
+                   for p in jax.tree_util.tree_leaves(params))
+    log.info("model params: %.3f M", n_params / 1e6)
+
+    builder_dict = cfg.as_builder_dict()
+    step_cfg = cb.build_step_config(bindings, builder_dict)
+    sampler = cb.build_sampler(bindings, builder_dict)
+    weights = cb.build_loss_weights(builder_dict)
+    curricula = cb.build_curricula(builder_dict)
+
+    evt_tables = None
+    if step_cfg.evt_enabled:
+        from forest_tpu.losses.evt_soft_neighborhood import EvtDiffusionMetric
+        evt_spec = bindings.losses["evt_soft_neighborhood"]
+        counts = stats.get(evt_spec.get("counts_feature", ""), {}) \
+            .get(step_cfg.evt_feature, {}).get("counts", {})
+        metric = EvtDiffusionMetric(evt_spec["confusion_csv"], counts,
+                                    **{k: evt_spec[k] for k in
+                                       ("min_count", "diffusion_steps")
+                                       if k in evt_spec})
+        evt_tables = step_mod.build_evt_tables(metric)
+
+    process = step_mod.make_process_batch(model, fb, sampler, step_cfg,
+                                          sd.patch_size, evt_tables)
+
+    steps_per_epoch = max(len(ds_train) // cfg.epoch.batch_size, 1)
+    total_steps = cfg.epoch.num_epochs * steps_per_epoch
+    phase_start = curricula["phase_start_epoch"] * steps_per_epoch
+    s = cfg.scheduler
+    if s.phase_rewarmup and curricula["phase_start_epoch"] > 0:
+        lr_sched = two_phase_cosine_lr(
+            cfg.optimizer.lr, total_steps,
+            phase_start_step=phase_start + steps_per_epoch,
+            rewarmup_steps=s.rewarmup_epochs * steps_per_epoch,
+            min_lr=cfg.optimizer.lr * s.min_lr_factor,
+            warmup_steps=s.warmup_epochs * steps_per_epoch,
+            start_factor=s.start_factor, peak_factor=s.peak_factor)
+    else:
+        lr_sched = cosine_lr(cfg.optimizer.lr, total_steps,
+                             cfg.optimizer.lr * s.min_lr_factor,
+                             s.warmup_epochs * steps_per_epoch)
+
+    optimizer = ts.make_optimizer(lr_sched, cfg.optimizer.weight_decay,
+                                  cfg.optimizer.grad_clip)
+    state = ts.init_train_state(params, optimizer)
+    train_step = jax.jit(ts.make_train_step(process, optimizer),
+                         donate_argnums=0)
+    eval_step = jax.jit(ts.make_eval_step(process))
+
+    return dict(bindings=bindings, model=model, fb=fb, state=state,
+                train_step=train_step, eval_step=eval_step,
+                ds_train=ds_train, ds_val=ds_val, weights=weights,
+                curricula=curricula, step_cfg=step_cfg,
+                lr_sched=lr_sched, steps_per_epoch=steps_per_epoch,
+                model_cfg=model_cfg or {})
+
+
+def train(cfg: TrainingConfiguration,
+          bindings_path: Optional[str] = None,
+          model_cfg: Optional[Dict[str, Any]] = None,
+          max_batches: Optional[int] = None,
+          resume: bool = True) -> Dict[str, Any]:
+    exp_dir = cfg.run.experiment_dir
+    exp_dir.mkdir(parents=True, exist_ok=True)
+    (exp_dir / "provenance.json").write_text(json.dumps(
+        {"git_hash": _git_hash(), "config": cfg.summary(),
+         "time": time.strftime("%Y-%m-%dT%H:%M:%S")}, indent=1))
+
+    ctx = setup(cfg, bindings_path, model_cfg)
+    state = ctx["state"]
+    ckpt = CheckpointManager(
+        exp_dir / cfg.run.ckpt_dir, prefix="encoder",
+        top_k=cfg.run.checkpoint.save_top_k,
+        periodic_every=cfg.run.checkpoint.save_every_n_epochs,
+        monitor=cfg.run.checkpoint.monitor,
+        monitor_start_epoch=cfg.run.checkpoint.monitor_start_epoch,
+        mode=cfg.run.checkpoint.mode)
+
+    start_epoch = 0
+    if resume:
+        resumed = ckpt.maybe_resume(state)
+        if resumed is not None:
+            state, meta = resumed
+            start_epoch = int(meta.get("epoch", -1)) + 1
+            log.info("auto-resumed from epoch %d", start_epoch - 1)
+
+    cur = ctx["curricula"]
+    base_weights = ctx["weights"]
+    extra_meta = {"model_version": rep.VERSION,
+                  "model_config": rep.model_config_dict(ctx["model"]),
+                  "type_in_channels": ctx["model"].type_in_channels,
+                  "phase_in_channels": ctx["model"].phase_in_channels}
+
+    history = []
+    val_cfg = cfg.validation or {}
+    val_every = val_cfg.get("val_every_n_epochs", 1)
+    for epoch in range(start_epoch, cfg.epoch.num_epochs):
+        # curricula -> traced scalars
+        idr = cur_mod.compute_input_dropout_rate(
+            cur["input_dropout"], epoch, cfg.epoch.num_epochs)
+        min_gate = cur_mod.compute_smoothing_min_gate(
+            epoch, cur["smoothing_freeze_until"],
+            cur["smoothing_ramp_epochs"])
+        ramp = cur_mod.ramp_weight(epoch, cur["phase_start_epoch"],
+                                   cur["phase_ramp_epochs"])
+        weights = {k: jnp.float32(v * (ramp if k in
+                                       cur["phase_ramped_losses"] else 1.0))
+                   for k, v in base_weights.items()}
+        curriculum = {"input_dropout_rate": jnp.float32(idr),
+                      "min_gate": jnp.float32(min_gate)}
+
+        state, train_m = loops.train_epoch(
+            ctx["ds_train"], ctx["train_step"], state,
+            batch_size=cfg.epoch.batch_size, weights=weights,
+            curriculum=curriculum, rng_seed=cfg.seed + epoch,
+            num_workers=cfg.hardware.num_workers, max_batches=max_batches)
+
+        val_m = None
+        if val_every and epoch % val_every == 0:
+            val_m = loops.validate_epoch(
+                ctx["ds_val"], ctx["eval_step"], state.params,
+                batch_size=cfg.epoch.batch_size, weights=weights,
+                curriculum={"input_dropout_rate": jnp.float32(0.0),
+                            "min_gate": jnp.float32(min_gate)},
+                rng_seed=1_000_000 + epoch,
+                num_workers=cfg.hardware.num_workers,
+                max_batches=val_cfg.get("max_batches", max_batches))
+
+        lr_now = float(ctx["lr_sched"](int(state.step)))
+        log.info("\n%s", epoch_logging.format_epoch_block(
+            epoch, train_m, val_m, lr_now))
+        metrics = epoch_logging.checkpoint_metrics(train_m, val_m)
+        history.append({"epoch": epoch, **metrics})
+        ckpt.save(epoch, state, metrics, extra_meta)
+
+    (exp_dir / "history.json").write_text(json.dumps(history, indent=1))
+    return {"state": state, "history": history, **ctx}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--training", required=True)
+    ap.add_argument("--bindings", default=None)
+    ap.add_argument("--model-config", dest="model_config", default=None)
+    ap.add_argument("--num-epochs", dest="num_epochs", type=int,
+                    default=None)
+    ap.add_argument("--max-batches", dest="max_batches", type=int,
+                    default=None)
+    ap.add_argument("--num-workers", dest="num_workers", type=int,
+                    default=None)
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--overwrite", action="store_true")
+    ap.add_argument("--profile", action="store_true")
+    a = ap.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(name)s: %(message)s")
+    profiling.set_profile(a.profile)
+    cfg = parse_training_config(a.training)
+    if a.num_epochs:
+        cfg.epoch.num_epochs = a.num_epochs
+    if a.num_workers:
+        cfg.hardware.num_workers = a.num_workers
+    if a.overwrite:
+        import shutil
+        shutil.rmtree(cfg.run.experiment_dir, ignore_errors=True)
+    model_cfg = None
+    mc_path = a.model_config or cfg.model_path
+    if mc_path:
+        model_cfg = yaml.safe_load(Path(mc_path).read_text())
+    train(cfg, a.bindings, model_cfg, a.max_batches,
+          resume=not a.no_resume)
+
+
+if __name__ == "__main__":
+    main()
