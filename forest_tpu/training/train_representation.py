@@ -232,7 +232,9 @@ def train(cfg: TrainingConfiguration,
         ckpt.save(epoch, state, metrics, extra_meta)
 
     (exp_dir / "history.json").write_text(json.dumps(history, indent=1))
-    return {"state": state, "history": history, **ctx}
+    # NOTE: ctx first -- its "state" is the (donated, dead) initial state
+    # and must be overwritten by the final one.
+    return {**ctx, "state": state, "history": history}
 
 
 def main(argv=None):

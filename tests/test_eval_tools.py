@@ -1,0 +1,183 @@
+"""Eval tool tests: streaming ridge probes, GMM tools, embed_locations,
+frozen checkpoint loading."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from forest_tpu.eval import gmm, linear_probe as lp
+
+
+class TestStreamingRidge:
+    def test_matches_sklearn_closed_form(self, rng):
+        x = rng.normal(size=(500, 6)).astype(np.float32)
+        w_true = rng.normal(size=(6, 2))
+        y = (x @ w_true + 3.0 + rng.normal(scale=0.01,
+                                           size=(500, 2))).astype(np.float32)
+        ridge = lp.StreamingRidge(6, 2)
+        for i in range(0, 500, 100):
+            ridge.update(jnp.asarray(x[i:i + 100]), jnp.asarray(y[i:i + 100]))
+        w = ridge.solve(1e-6)
+        np.testing.assert_allclose(w[:-1], w_true, atol=0.02)
+        np.testing.assert_allclose(w[-1], 3.0, atol=0.02)
+        r2 = lp.masked_r2(lp.predict(w, x), y, np.ones(500, bool))
+        assert np.all(r2 > 0.99)
+
+    def test_valid_mask_excludes_rows(self, rng):
+        x = rng.normal(size=(200, 3)).astype(np.float32)
+        y = (x @ np.ones((3, 1))).astype(np.float32)
+        y[100:] = 1e6  # garbage that must be masked out
+        valid = np.arange(200) < 100
+        ridge = lp.StreamingRidge(3, 1)
+        ridge.update(jnp.asarray(x), jnp.asarray(y), jnp.asarray(valid))
+        w = ridge.solve(1e-6)
+        np.testing.assert_allclose(w[:-1, 0], 1.0, atol=1e-3)
+        assert ridge.n == 100
+
+    def test_nan_rows_auto_excluded(self, rng):
+        x = rng.normal(size=(100, 3)).astype(np.float32)
+        y = (x @ np.ones((3, 1))).astype(np.float32)
+        y[0, 0] = np.nan
+        ridge = lp.StreamingRidge(3, 1)
+        ridge.update(jnp.asarray(x), jnp.asarray(y))
+        assert ridge.n == 99
+
+    def test_sgd_probe_agrees(self, rng):
+        x = rng.normal(size=(2000, 4)).astype(np.float32)
+        w_true = rng.normal(size=(4, 1))
+        y = (x @ w_true).astype(np.float32)
+        w = lp.train_linear_probe(x, y, np.ones(2000, bool), lr=5e-2,
+                                  steps=800, weight_decay=0.0)
+        np.testing.assert_allclose(w[:-1], w_true, atol=0.1)
+
+    def test_phase_probe_inputs_shape(self):
+        zt = jnp.ones((5, 3))
+        zp = jnp.ones((5, 2))
+        x = lp.phase_probe_inputs(zt, zp)
+        assert x.shape == (5, 3 + 2 + 6)
+
+
+class TestGMM:
+    def test_bic_selects_reasonable_k(self, rng):
+        centers = rng.normal(scale=8.0, size=(4, 3))
+        z = np.concatenate([centers[i] + rng.normal(size=(200, 3))
+                            for i in range(4)])
+        res = gmm.fit_gmm_clusters(z, n_components_range=(2, 4, 8), seed=0)
+        assert res["best"]["k"] == 4
+
+    def test_compare_gmm_evt_perfect(self, rng):
+        labels = np.repeat(np.arange(3), 50)
+        evt = np.repeat([7001, 7002, 7003], 50)
+        out = gmm.compare_gmm_evt(labels, evt)
+        assert out["purity"] == 1.0
+        assert out["nmi"] == pytest.approx(1.0)
+
+    def test_compare_gmm_evt_random(self, rng):
+        labels = rng.integers(0, 3, 300)
+        evt = rng.integers(0, 3, 300) + 7000
+        out = gmm.compare_gmm_evt(labels, evt)
+        assert out["nmi"] < 0.1
+
+    def test_landscape_categories(self, rng):
+        z_type = np.concatenate([np.zeros((100, 4)), np.ones((100, 4)) * 9])
+        z_phase = rng.normal(size=(200, 2))
+        z_phase[:50] += 5  # disturbed cluster
+        ysfc = np.concatenate([np.full(50, 1.0), np.full(150, 20.0)])
+        out = gmm.fit_landscape_categories(z_type, z_phase, ysfc,
+                                           n_type_clusters=2)
+        assert set(out["per_type"]) == {0, 1}
+        total = sum(e["n"] for e in out["per_type"].values())
+        assert total == 200
+
+    def test_reservoir_sample(self, rng):
+        batches = [(rng.normal(size=(100, 3)), np.ones(100, bool))
+                   for _ in range(5)]
+        z = gmm.reservoir_sample_embeddings(batches, capacity=120)
+        assert z.shape == (120, 3)
+
+
+@pytest.fixture(scope="module")
+def frl_run(tmp_path_factory):
+    """Tiny trained FRL run reused across eval-tool tests."""
+    import yaml
+    from forest_tpu.data.cube_v2 import (build_synthetic_v2_cube,
+                                         synthetic_bindings)
+    from forest_tpu.training import train_representation as tr
+    from forest_tpu.training.representation.training_config import (
+        parse_training_config)
+
+    root = tmp_path_factory.mktemp("eval_run")
+    build_synthetic_v2_cube(root / "cube.zarr", height=96, width=96,
+                            chunk_yx=32)
+    bpath = root / "bindings.yaml"
+    bpath.write_text(yaml.safe_dump(synthetic_bindings(
+        root / "cube.zarr", root / "stats.json")))
+    cfg = parse_training_config({
+        "run": {"experiment_name": "e", "run_root": str(root / "runs"),
+                "checkpoint": {"save_top_k": 1, "save_every_n_epochs": 1}},
+        "training": {"epoch": {"num_epochs": 1, "mode": "full",
+                               "batch_size": 4}},
+        "optimizer": {"lr": 1e-3},
+        "scheduler": {"warmup_epochs": 0, "phase_rewarmup": False},
+        "spatial_domain": {"patch_size": 32, "split_block_size": [1, 1]},
+        "hardware": {"num_workers": 2},
+    })
+    model_cfg = {"version": "4", "model": {
+        "z_type_dim": 8, "z_phase_dim": 3,
+        "type_encoder": {"channels": [16, 8]},
+        "phase_tcn": {"channels": [12, 12], "dilations": [1, 2]}}}
+    result = tr.train(cfg, str(bpath), model_cfg, max_batches=2)
+    return root, cfg, result
+
+
+class TestFrozenAndProbes:
+    def test_load_frozen_from_checkpoint(self, frl_run):
+        from forest_tpu.eval import frozen
+        root, cfg, result = frl_run
+        ck = cfg.run.experiment_dir / cfg.run.ckpt_dir / \
+            "encoder_last.msgpack"
+        model, params = frozen.load_frozen_model(ck)
+        assert model.z_type_dim == 8
+        enc_t, enc_p, proj = frozen.make_encode_fns(model, params,
+                                                    result["fb"])
+        batch = {k: jnp.asarray(v) for k, v in
+                 result["ds_train"].load_batch([0, 1]).items()}
+        z = enc_t(batch)
+        assert z.shape == (2, 32, 32, 8)
+        coords = jnp.asarray([[4, 4], [10, 20]])
+        zp = enc_p(batch, coords)
+        assert zp.shape == (2, 2, 15, 3)
+
+    def test_linear_probe_on_frozen_encoder(self, frl_run):
+        from forest_tpu.eval import frozen
+        root, cfg, result = frl_run
+        enc_t, _, _ = frozen.make_encode_fns(
+            result["model"], result["state"].params, result["fb"])
+        out = lp.fit_linear_probe(
+            enc_t, result["fb"], result["ds_train"], result["ds_val"],
+            target_feature="infonce_type_spectral", max_batches_train=3,
+            max_batches_eval=2, batch_size=2)
+        assert out["r2_train"].shape == (2,)
+        assert np.all(np.isfinite(out["r2_train"]))
+        assert out["n_train_pixels"] > 0
+
+    def test_embed_locations(self, frl_run):
+        from forest_tpu.eval import embed_locations as el
+        from forest_tpu.eval import frozen
+        root, cfg, result = frl_run
+        enc_t, enc_p, proj = frozen.make_encode_fns(
+            result["model"], result["state"].params, result["fb"])
+        ds = result["ds_train"]
+        w0 = ds.patches[0]
+        locs = np.asarray([[w0.row_start + 5, w0.col_start + 6],
+                           [0, 0]])
+        rows = el.embed_locations(
+            locs, ds, result["fb"], enc_t, enc_p,
+            evt_source="static_categorical.evt",
+            out_csv=root / "emb.csv")
+        assert rows[0]["valid"] == 1
+        assert "z0" in rows[0] and "zp0" in rows[0]
+        assert rows[0]["split"] in ("train", "val", "test")
+        assert rows[0]["evt"] >= 7000
+        assert (root / "emb.csv").exists()
