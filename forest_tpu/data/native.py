@@ -1,0 +1,116 @@
+"""ctypes bindings for the native C++ chunk decoder (csrc/zarr_decode.cpp).
+
+Builds the shared library on demand (g++ is in the image; no pybind11
+needed -- plain C ABI + ctypes). Falls back cleanly when compilation or
+dlopen fails: callers check :func:`available` and use the pure-Python path.
+
+API surface:
+- decode_chunks(paths, chunk_nbytes, dtype, chunk_shape, fill, nthreads)
+  -> [n, *chunk_shape] array, decoding all chunk files in parallel native
+  threads (missing files produce fill-valued chunks).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+_SRC = Path(__file__).resolve().parents[2] / "csrc" / "zarr_decode.cpp"
+_BUILD_DIR = _SRC.parent / "build"
+_LIB_PATH = _BUILD_DIR / "libftpu_loader.so"
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    _BUILD_DIR.mkdir(parents=True, exist_ok=True)
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+           "-o", str(_LIB_PATH), str(_SRC), "-ldl", "-pthread"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not _LIB_PATH.exists() or \
+                _LIB_PATH.stat().st_mtime < _SRC.stat().st_mtime:
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(str(_LIB_PATH))
+        except OSError:
+            return None
+        lib.ftpu_decode_files.restype = ctypes.c_long
+        lib.ftpu_decode_files.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_size_t),
+            ctypes.POINTER(ctypes.c_size_t),
+            ctypes.POINTER(ctypes.c_long),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        lib.ftpu_loader_version.restype = ctypes.c_int
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def decode_chunks(paths: Sequence[Optional[str]], chunk_shape, dtype,
+                  fill_value=0, compressed: bool = True,
+                  nthreads: int = 8) -> np.ndarray:
+    """Decode chunk files in parallel. ``paths[i]`` may be None / missing
+    (-> fill-valued chunk). Returns [n, *chunk_shape] of ``dtype``."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native loader unavailable")
+    dt = np.dtype(dtype)
+    n = len(paths)
+    chunk_nbytes = int(np.prod(chunk_shape)) * dt.itemsize
+    fv = fill_value
+    if fv is None:
+        fv = 0
+    if isinstance(fv, str) and fv == "NaN":
+        fv = np.nan
+    out = np.full((n,) + tuple(chunk_shape), fv, dtype=dt)
+    buf = out.reshape(n, -1).view(np.uint8)
+
+    real = [(i, p) for i, p in enumerate(paths)
+            if p is not None and os.path.exists(p)]
+    if not real:
+        return out
+    c_paths = (ctypes.c_char_p * len(real))(
+        *[str(p).encode() for _, p in real])
+    offsets = (ctypes.c_size_t * len(real))(
+        *[i * chunk_nbytes for i, _ in real])
+    caps = (ctypes.c_size_t * len(real))(
+        *([chunk_nbytes] * len(real)))
+    results = (ctypes.c_long * len(real))()
+    ok = lib.ftpu_decode_files(
+        c_paths, len(real),
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offsets, caps, results, 0 if compressed else 1, int(nthreads), 1)
+    for k, (i, p) in enumerate(real):
+        if results[k] < 0 and results[k] != -1:
+            raise RuntimeError(
+                f"native decode failed for {p}: rc={results[k]}")
+    del ok
+    return out
+
+
+__all__ = ["available", "decode_chunks"]

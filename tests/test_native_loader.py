@@ -1,0 +1,63 @@
+"""Native C++ chunk decoder: build, parity with Python path, throughput."""
+import time
+
+import numpy as np
+import pytest
+
+from forest_tpu.data import native, zarrlite as zl
+
+
+@pytest.fixture(scope="module")
+def big_array(tmp_path_factory, ):
+    rng = np.random.default_rng(0)
+    p = tmp_path_factory.mktemp("nat") / "a"
+    a = zl.create_array(p, (64, 256, 256), (1, 256, 256), np.float32,
+                        fill_value=float("nan"))
+    data = rng.normal(size=(64, 256, 256)).astype(np.float32)
+    a[:] = data
+    return p, data
+
+
+class TestNative:
+    def test_builds_and_loads(self):
+        assert native.available(), "native loader failed to build/load"
+
+    def test_parity_with_python(self, big_array):
+        p, data = big_array
+        a = zl.ZarrArray(p)
+        cidxs = [(i, 0, 0) for i in range(16)]
+        nat = a.read_chunks_batch(cidxs, use_native=True)
+        py = a.read_chunks_batch(cidxs, use_native=False)
+        np.testing.assert_array_equal(nat, py)
+        np.testing.assert_array_equal(nat[:, 0], data[:16])
+
+    def test_missing_chunks_filled(self, tmp_path):
+        a = zl.create_array(tmp_path / "m", (8, 4), (4, 4), np.float32,
+                            fill_value=float("nan"))
+        a[0:4] = 1.0  # only chunk (0,0) written
+        out = a.read_chunks_batch([(0, 0), (1, 0)], use_native=True)
+        assert np.all(out[0] == 1.0)
+        assert np.all(np.isnan(out[1]))
+
+    def test_int_dtype(self, tmp_path):
+        a = zl.create_array(tmp_path / "i", (4, 4), (4, 4), np.int16,
+                            fill_value=-1)
+        a[:] = np.arange(16, dtype=np.int16).reshape(4, 4)
+        out = a.read_chunks_batch([(0, 0)], use_native=True)
+        np.testing.assert_array_equal(out[0].ravel(), np.arange(16))
+
+    def test_throughput_not_slower(self, big_array):
+        """Native parallel decode should beat sequential Python decode."""
+        p, _ = big_array
+        a = zl.ZarrArray(p)
+        cidxs = [(i, 0, 0) for i in range(64)]
+        a.read_chunks_batch(cidxs[:2], use_native=True)  # warm
+        t0 = time.perf_counter()
+        a.read_chunks_batch(cidxs, use_native=False)
+        t_py = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        a.read_chunks_batch(cidxs, use_native=True, nthreads=8)
+        t_nat = time.perf_counter() - t0
+        print(f"python {t_py*1e3:.1f}ms native {t_nat*1e3:.1f}ms "
+              f"({t_py/max(t_nat,1e-9):.1f}x)")
+        assert t_nat < t_py * 1.5  # allow noise; typically several x faster
