@@ -97,6 +97,7 @@ class TrainingConfiguration:
     step: Dict[str, Any] = field(default_factory=dict)
     sampling_strategy: str = "grid-plus-supplement"
     validation: Dict[str, Any] = field(default_factory=dict)
+    early_stopping: Dict[str, Any] = field(default_factory=dict)
     seed: int = 0
 
     def validate(self) -> None:
@@ -189,6 +190,7 @@ def parse_training_config(path_or_dict) -> TrainingConfiguration:
         sampling_strategy=raw.get("sampling_strategy",
                                   "grid-plus-supplement"),
         validation=(tr.get("validation", {}) or {}),
+        early_stopping=(tr.get("early_stopping", {}) or {}),
         seed=raw.get("seed", 0),
     )
     cfg.validate()

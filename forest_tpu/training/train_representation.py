@@ -192,6 +192,12 @@ def train(cfg: TrainingConfiguration,
     history = []
     val_cfg = cfg.validation or {}
     val_every = val_cfg.get("val_every_n_epochs", 1)
+    es_cfg = cfg.early_stopping or {}
+    es_enabled = es_cfg.get("enabled", False)
+    es_patience = int(es_cfg.get("patience", 15))
+    es_best = float("inf")
+    es_bad = 0
+    monitor = cfg.run.checkpoint.monitor
     for epoch in range(start_epoch, cfg.epoch.num_epochs):
         # curricula -> traced scalars
         idr = cur_mod.compute_input_dropout_rate(
@@ -230,6 +236,19 @@ def train(cfg: TrainingConfiguration,
         metrics = epoch_logging.checkpoint_metrics(train_m, val_m)
         history.append({"epoch": epoch, **metrics})
         ckpt.save(epoch, state, metrics, extra_meta)
+
+        # early stopping on the monitored metric (SURVEY.md §6.6 config)
+        if es_enabled and monitor in metrics:
+            v = float(metrics[monitor])
+            if np.isfinite(v) and v < es_best - 1e-9:
+                es_best, es_bad = v, 0
+            else:
+                es_bad += 1
+                if es_bad >= es_patience:
+                    log.info("early stopping at epoch %d "
+                             "(no improvement for %d epochs)", epoch,
+                             es_bad)
+                    break
 
     (exp_dir / "history.json").write_text(json.dumps(history, indent=1))
     # NOTE: ctx first -- its "state" is the (donated, dead) initial state
