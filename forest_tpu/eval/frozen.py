@@ -65,6 +65,33 @@ def make_encode_fns(model: rep.RepresentationModel, params, fb: FeatureBuilder,
     return encode_type, encode_phase, project
 
 
+def make_encode_phase_film(model, params, fb: FeatureBuilder,
+                           type_feature: str = "type_encoder_input",
+                           phase_feature: str = "phase_ccdc"):
+    """encode(batch, coords) -> (z_phase [B,A,T,zp], gamma [B,A,zp]) --
+    the FiLM-diagnostics variant (phase_evt_diagnostics consumer)."""
+    variables = {"params": params}
+
+    @jax.jit
+    def encode(batch, coords):
+        x, _ = fb.build_feature(type_feature, batch)
+        z_type = model.apply(variables, x)
+
+        def one(groups, zt):
+            px, _ = fb.build_feature_at_locations(phase_feature, groups,
+                                                  coords)
+            zt_a = sp.extract_at_locations(zt, coords)
+            z, gamma, beta = model.apply(
+                variables, px, zt_a, return_film=True,
+                method=model.forward_phase_at_locations)
+            return z, gamma
+
+        return jax.vmap(one, in_axes=({k: 0 for k in batch}, 0))(
+            {k: v for k, v in batch.items()}, z_type)
+
+    return encode
+
+
 def make_phase_target_fn(fb: FeatureBuilder, target_feature: str):
     """encode_phase companion: temporal targets at the same coords."""
     @jax.jit

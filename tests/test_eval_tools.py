@@ -181,3 +181,69 @@ class TestFrozenAndProbes:
         assert rows[0]["split"] in ("train", "val", "test")
         assert rows[0]["evt"] >= 7000
         assert (root / "emb.csv").exists()
+
+
+class TestVisualization:
+    def test_visualize_test_patches_and_diagnostics(self, frl_run):
+        import jax
+        from forest_tpu.eval import frozen, visualize
+        root, cfg, result = frl_run
+        enc_t, _, _ = frozen.make_encode_fns(
+            result["model"], result["state"].params, result["fb"])
+        out = lp.fit_linear_probe(
+            enc_t, result["fb"], result["ds_train"], result["ds_val"],
+            target_feature="infonce_type_spectral", max_batches_train=2,
+            max_batches_eval=1, batch_size=2)
+        paths = visualize.visualize_test_patches(
+            enc_t, result["fb"], result["ds_val"],
+            "infonce_type_spectral", out["weights"],
+            root / "figs", n_patches=1)
+        assert paths and paths[0].exists()
+
+        model, params, fb = result["model"], result["state"].params, \
+            result["fb"]
+
+        @jax.jit
+        def encode_gate(batch):
+            x, _ = fb.build_feature("type_encoder_input", batch)
+            return model.apply({"params": params}, x, return_gate=True)
+
+        paths = visualize.visualize_forest_diagnostics(
+            encode_gate, result["ds_val"], root / "figs", n_patches=1)
+        assert paths[0].exists()
+
+    def test_phase_diagnostics_suite(self, frl_run):
+        from forest_tpu.eval import frozen, phase_diagnostics as pd
+        root, cfg, result = frl_run
+        enc_t, _, _ = frozen.make_encode_fns(
+            result["model"], result["state"].params, result["fb"])
+        enc_pf = frozen.make_encode_phase_film(
+            result["model"], result["state"].params, result["fb"])
+        z_phase, gamma, ysfc, evt = pd.collect_phase_samples(
+            enc_t, enc_pf, result["fb"], result["ds_train"],
+            "static_categorical.evt", "annual.ysfc", n_patches=2,
+            stride=8)
+        assert z_phase.shape[0] == gamma.shape[0] == evt.shape[0]
+        p1 = pd.phase_evt_diagnostics(z_phase, gamma, evt,
+                                      root / "phase_evt.png")
+        p2 = pd.phase_recovery_curves(z_phase, ysfc, evt,
+                                      root / "recovery.png")
+        p3 = pd.ysfc_evt_histograms(ysfc, evt, root / "ysfc_hist.png")
+        for p in (p1, p2, p3):
+            assert p.exists() and p.stat().st_size > 5000
+
+    def test_combine_contingency(self, tmp_path):
+        from forest_tpu.eval.phase_diagnostics import (
+            combine_evt_contingency_tables)
+        (tmp_path / "a.csv").write_text(",100,200\n100,5,1\n200,2,7\n")
+        (tmp_path / "b.csv").write_text(",200,300\n200,3,1\n300,0,9\n")
+        out = combine_evt_contingency_tables(tmp_path / "a.csv",
+                                             tmp_path / "b.csv",
+                                             tmp_path / "c.csv")
+        text = out.read_text()
+        rows = {r.split(",")[0]: r.split(",")[1:]
+                for r in text.strip().split("\n")[1:]}
+        header = text.strip().split("\n")[0].split(",")[1:]
+        # 200x200 cell: 7 (a) + 3 (b) = 10
+        assert float(rows["200"][header.index("200")]) == 10.0
+        assert float(rows["300"][header.index("300")]) == 9.0
