@@ -57,9 +57,12 @@ def depthwise_bank_conv(x: Array, bank: Array, dilation: int = 1) -> Array:
     """Apply F fixed [3,3] filters depthwise to every channel.
 
     x: [B, H, W, C]; bank: [F, 3, 3] -> returns [B, H, W, C, F].
-    Implemented as one grouped conv with C*F output features.
+    Implemented as one grouped conv with C*F output features (a shift-add
+    formulation was tried and measured no faster while compiling ~50x
+    slower -- the op is HBM-bound either way).
     """
     b, h, w, c = x.shape
+    bank = jnp.asarray(bank)
     f = bank.shape[0]
     # HWIO kernel for feature_group_count=C: [3, 3, 1, C*F]; output feature
     # j = ci * F + fi must convolve input channel ci with filter fi.
@@ -89,12 +92,11 @@ class EdgeAwareSmoothingConv2D(nn.Module):
         b, h, w, c = x.shape
         nd, r = self.num_directions, self.rank
         k = nd * 2
-        bank = jnp.asarray(_direction_bank()[:nd])
+        bank = _direction_bank()[:nd]  # numpy: taps stay compile-time consts
         sx, sy = _sobel()
 
         # Per-channel Sobel gradients -> shared mixing backbone.
-        grads = depthwise_bank_conv(x, jnp.stack(
-            [jnp.asarray(sx), jnp.asarray(sy)]))  # [B,H,W,C,2]
+        grads = depthwise_bank_conv(x, np.stack([sx, sy]))  # [B,H,W,C,2]
         feat = grads.reshape(b, h, w, 2 * c)
         feat = nn.relu(nn.Conv(self.gate_hidden, (3, 3), padding="SAME",
                                name="mix_backbone")(feat))

@@ -162,9 +162,6 @@ def make_process_batch(model, feature_builder: FeatureBuilder,
     h = w = patch_size
     n_anchors = sampler.n_anchors(h, w)
 
-    def per_sample_grids(batch: Dict[str, Array], b: int) -> None:
-        pass  # resolved inline below
-
     def sample_anchors_all(batch, key):
         """vmapped anchor sampling -> coords [B, A, 2], valid [B, A]."""
         b = next(v for k, v in batch.items()

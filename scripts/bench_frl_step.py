@@ -1,0 +1,129 @@
+"""Time the full FRL training step at the reference's production scale.
+
+Reference baseline: ~1.1 s/batch at B=12, 256^2 patches, ~300 anchors/patch
+on an A40 + 46 CPU workers (BASELINE.md). This script compiles and times the
+forest-tpu jitted step (ALL losses) at matched shapes on the current
+backend.
+
+Run: python scripts/bench_frl_step.py [--batch 12] [--patch 256] [--iters 20]
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=12)
+    ap.add_argument("--patch", type=int, default=256)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--model", choices=["v1", "tiny"], default="v1")
+    a = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from forest_tpu.data.bindings import parse_bindings
+    from forest_tpu.data.cube_v2 import synthetic_bindings
+    from forest_tpu.data.feature_builder import FeatureBuilder
+    from forest_tpu.models import representation as rep
+    from forest_tpu.training.representation import (config_builders as cb,
+                                                    step as step_mod,
+                                                    train_step as ts)
+
+    print(f"backend: {jax.default_backend()}  devices: {jax.devices()}")
+    bindings = parse_bindings(synthetic_bindings("/dev/null", "/dev/null"))
+    # production sampling strategy: stride 16, border 16, 104 supplement
+    bindings.sampling_strategies["grid-plus-supplement"] = {
+        "grid": {"stride": 16, "exclude_border": 16,
+                 "jitter": {"radius": 4}},
+        "supplement": {"n": 104, "sampling": {
+            "type": "weighted",
+            "weight_by": ["static_mask.aoi", "static_mask.forest"]}},
+    }
+    stats = {}
+    for fname, fc in bindings.features.items():
+        stats[fname] = {ref: {"mean": 0.0, "sd": 1.0, "q25": -0.5,
+                              "q50": 0.0, "q75": 0.5, "min": -3.0,
+                              "max": 3.0} for ref in fc.channels}
+        if fc.covariance.calculate:
+            d = len(fc.channels)
+            stats[fname]["__covariance__"] = {
+                "matrix": np.eye(d).tolist(),
+                "mean": np.zeros(d).tolist(), "n": 100.0,
+                "stat_domain": "patch"}
+    fb = FeatureBuilder(bindings, stats)
+
+    if a.model == "v1":
+        model = rep.RepresentationModel(
+            type_in_channels=4, phase_in_channels=3, z_type_dim=48,
+            type_encoder_channels=(128, 48), z_phase_dim=8,
+            phase_tcn_channels=(64, 64, 64),
+            phase_tcn_dilations=(1, 2, 4))
+    else:
+        model = rep.RepresentationModel(
+            type_in_channels=4, phase_in_channels=3, z_type_dim=8,
+            type_encoder_channels=(16, 8), z_phase_dim=3,
+            phase_tcn_channels=(12, 12), phase_tcn_dilations=(1, 2))
+
+    t, hw, b = 15, a.patch, a.batch
+    params = rep.init_variables(model, jax.random.key(0),
+                                num_timesteps=t)["params"]
+    n_par = sum(int(np.prod(p.shape))
+                for p in jax.tree_util.tree_leaves(params))
+    cfg = cb.build_step_config(bindings, {})
+    sampler = cb.build_sampler(bindings, {})
+    print(f"model {n_par/1e6:.3f} M params; anchors/patch: "
+          f"{sampler.n_anchors(hw, hw)}")
+
+    process = step_mod.make_process_batch(model, fb, sampler, cfg, hw)
+    opt = ts.make_optimizer(1e-4)
+    state = ts.init_train_state(params, opt)
+    step = jax.jit(ts.make_train_step(process, opt), donate_argnums=0)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "static_mask": jnp.asarray(
+            rng.random((b, hw, hw, 3)) > 0.1, jnp.float32),
+        "annual_mask": jnp.asarray(
+            rng.random((b, t, hw, hw, 1)) > 0.05, jnp.float32),
+        "static": jnp.asarray(rng.normal(size=(b, hw, hw, 4)), jnp.float32),
+        "static_categorical": jnp.asarray(
+            rng.choice([7001, 7002, 7003], size=(b, hw, hw, 1)),
+            jnp.float32),
+        "annual": jnp.asarray(np.concatenate([
+            rng.normal(size=(b, t, hw, hw, 2)),
+            rng.integers(0, 20, size=(b, t, hw, hw, 1)).astype(float),
+            np.broadcast_to((np.arange(t) / (t - 1))[None, :, None, None,
+                                                     None],
+                            (b, t, hw, hw, 1))], axis=-1), jnp.float32),
+    }
+    weights = {k: jnp.float32(v)
+               for k, v in step_mod.DEFAULT_WEIGHTS.items()}
+    cur = {"input_dropout_rate": jnp.float32(0.05),
+           "min_gate": jnp.float32(0.0)}
+
+    t0 = time.perf_counter()
+    state, m = step(state, batch, jax.random.key(0), weights, cur)
+    jax.block_until_ready(m["loss_total"])
+    print(f"compile+first step: {time.perf_counter()-t0:.1f}s  "
+          f"loss={float(m['loss_total']):.3f} "
+          f"skipped={int(m['skipped'])}")
+
+    t0 = time.perf_counter()
+    for i in range(a.iters):
+        state, m = step(state, batch, jax.random.key(i), weights, cur)
+    jax.block_until_ready(m["loss_total"])
+    dt = (time.perf_counter() - t0) / a.iters
+    ref = 1.1  # s/batch, reference A40 (BASELINE.md)
+    print(f"steady step: {dt*1e3:.1f} ms/batch @ B={b}, {hw}x{hw}  "
+          f"-> {ref/dt:.1f}x reference (1.1 s/batch)")
+    px_per_s = b * hw * hw / dt
+    print(f"throughput: {px_per_s/1e6:.1f} M type-pixels/s")
+
+
+if __name__ == "__main__":
+    main()
