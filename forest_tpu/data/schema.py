@@ -140,11 +140,15 @@ def build_and_save_schema(cube, run_dir: str | Path, batch_size: int,
 
     # Canopy target stats (mean NAIP CHM band) so the scalar head trains on a
     # standardized target instead of raw meters.
-    sample_rows = np.unique(np.linspace(0, h - 1, min(h, 64)).astype(int))
-    band0 = np.concatenate([
-        np.asarray(cube.naip[int(r):int(r) + 1])[..., 0].ravel()
-        for r in sample_rows])
-    band0 = band0[np.isfinite(band0)]
+    if cube.naip.shape[-1]:
+        sample_rows = np.unique(np.linspace(0, h - 1,
+                                            min(h, 64)).astype(int))
+        band0 = np.concatenate([
+            np.asarray(cube.naip[int(r):int(r) + 1])[..., 0].ravel()
+            for r in sample_rows])
+        band0 = band0[np.isfinite(band0)]
+    else:
+        band0 = np.zeros(0, np.float32)
     if band0.size == 0:
         band0 = np.zeros(1, np.float32)
     canopy_stats = {"mean": float(band0.mean()),

@@ -152,14 +152,17 @@ class VQVAEDataset:
 
         naip = self._read("naip", sy, sx)[ly, lx].astype(np.float32)
         naip_nan_mask = np.isfinite(naip)
-        band = naip[..., self.canopy_band].reshape(b, -1)
-        bm = np.isfinite(band)
-        cnt = bm.sum(axis=1)
-        canopy = np.where(cnt > 0,
-                          np.where(bm, band, 0.0).sum(axis=1)
-                          / np.maximum(cnt, 1), np.nan)
-        canopy = (canopy - self.canopy_stats["mean"]) \
-            / max(self.canopy_stats["std"], 1e-6)
+        if naip.shape[-1]:
+            band = naip[..., self.canopy_band].reshape(b, -1)
+            bm = np.isfinite(band)
+            cnt = bm.sum(axis=1)
+            canopy = np.where(cnt > 0,
+                              np.where(bm, band, 0.0).sum(axis=1)
+                              / np.maximum(cnt, 1), np.nan)
+            canopy = (canopy - self.canopy_stats["mean"]) \
+                / max(self.canopy_stats["std"], 1e-6)
+        else:
+            canopy = np.full(b, np.nan, np.float32)  # band-less cube
 
         return {
             "cont": cont_n,

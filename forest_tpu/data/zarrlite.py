@@ -258,6 +258,8 @@ class ZarrArray:
 
     def __setitem__(self, sel, value) -> None:
         slices = self._norm_sel(sel)
+        if any(s.stop - s.start == 0 for s in slices):
+            return  # zero-size write: nothing to store
         value = np.broadcast_to(
             np.asarray(value, dtype=self.dtype),
             tuple(s.stop - s.start for s in slices))
@@ -373,6 +375,9 @@ def create_array(path: str | Path, shape, chunks, dtype, fill_value=0,
     p = Path(path)
     p.mkdir(parents=True, exist_ok=True)
     dt = np.dtype(dtype)
+    # Zero-size dims are legal (e.g. a cube with no continuous channels)
+    # but chunk extents must stay >= 1 for the chunk-grid arithmetic.
+    chunks = [max(1, int(c)) for c in chunks]
     if compressor == "default":
         compressor = dict(DEFAULT_COMPRESSOR)
     fv = fill_value

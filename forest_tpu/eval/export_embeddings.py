@@ -1,0 +1,126 @@
+"""Dense full-map embedding export: frozen encoder over every patch ->
+embedding zarr cube.
+
+The serving-scale complement to the point-wise ``embed_locations``
+(SURVEY.md §2.7): iterate all patches of a (split=None) dataset through the
+frozen type encoder (and optionally the dense phase path), writing
+``z_type [H, W, zt]`` (and ``z_phase [T, H, W, zp]``) into a chunked zarr
+aligned to the source cube. Batched device execution with async dispatch so
+host writeback of patch i overlaps compute of patch i+1.
+
+Run: python -m forest_tpu.eval.export_embeddings --checkpoint CKPT \
+         --bindings B.yaml --out EMB.zarr [--patch-size 256] [--phase]
+"""
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from forest_tpu.data import zarrlite as zl
+
+
+def export_embeddings(encode_type_fn, dataset, out_path: str | Path,
+                      z_dim: int, batch_size: int = 4,
+                      encode_phase_dense_fn=None,
+                      z_phase_dim: Optional[int] = None,
+                      num_timesteps: Optional[int] = None) -> zl.ZarrGroup:
+    import jax.numpy as jnp
+
+    h, w = dataset.height, dataset.width
+    p = dataset.patch_size
+    root = zl.create_group(out_path)
+    root.attrs["source_cube"] = str(dataset.bindings.zarr_path)
+    root.attrs["z_type_dim"] = int(z_dim)
+    root.write_attrs()
+    zt_arr = root.create_array("z_type", (h, w, z_dim), (p, p, z_dim),
+                               np.float16, fill_value=float("nan"))
+    zp_arr = None
+    if encode_phase_dense_fn is not None:
+        zp_arr = root.create_array(
+            "z_phase", (num_timesteps, h, w, z_phase_dim),
+            (1, p, p, z_phase_dim), np.float16, fill_value=float("nan"))
+
+    saved = dataset._current_indices
+    dataset._current_indices = list(range(len(dataset.patches)))
+    try:
+        n = len(dataset.patches)
+        pending = []  # (windows, device arrays) for async overlap
+        for i in range(0, n, batch_size):
+            idx = list(range(i, min(i + batch_size, n)))
+            batch = {k: jnp.asarray(v)
+                     for k, v in dataset.load_batch(idx).items()}
+            z = encode_type_fn(batch)           # async dispatch
+            zp = (encode_phase_dense_fn(batch)
+                  if encode_phase_dense_fn is not None else None)
+            pending.append((idx, z, zp))
+            if len(pending) >= 2:
+                _drain(pending.pop(0), dataset, zt_arr, zp_arr)
+        while pending:
+            _drain(pending.pop(0), dataset, zt_arr, zp_arr)
+    finally:
+        dataset._current_indices = saved
+    return root
+
+
+def _drain(item, dataset, zt_arr, zp_arr) -> None:
+    idx, z, zp = item
+    z = np.asarray(z, np.float16)
+    if zp is not None:
+        zp = np.asarray(zp, np.float16)
+    for k, j in enumerate(idx):
+        win = dataset.patches[j]
+        zt_arr[win.row_slice, win.col_slice] = \
+            z[k, :win.height, :win.width]
+        if zp is not None:
+            zp_arr[:, win.row_slice, win.col_slice] = \
+                zp[k, :, :win.height, :win.width]
+
+
+def main(argv=None):
+    import jax
+
+    from forest_tpu.data.bindings import parse_bindings
+    from forest_tpu.data.feature_builder import FeatureBuilder
+    from forest_tpu.data.frl_dataset import ForestDatasetV2
+    from forest_tpu.eval import frozen
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--bindings", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--patch-size", type=int, default=256)
+    ap.add_argument("--batch-size", type=int, default=4)
+    ap.add_argument("--phase", action="store_true")
+    a = ap.parse_args(argv)
+
+    bindings = parse_bindings(a.bindings)
+    ds = ForestDatasetV2(bindings, split=None, patch_size=a.patch_size)
+    fb = FeatureBuilder(bindings)
+    model, params = frozen.load_frozen_model(a.checkpoint)
+    enc_t, _, _ = frozen.make_encode_fns(model, params, fb)
+
+    enc_p_dense = None
+    if a.phase:
+        variables = {"params": params}
+
+        @jax.jit
+        def enc_p_dense(batch):
+            import jax.numpy as jnp
+            x, _ = fb.build_feature("type_encoder_input", batch)
+            zt = model.apply(variables, x)
+            px, _ = fb.build_feature(
+                getattr(model, "phase_feature", "phase_ccdc"), batch)
+            return model.apply(variables, px, zt,
+                               method=model.forward_phase)
+
+    root = export_embeddings(
+        enc_t, ds, a.out, model.z_type_dim, a.batch_size, enc_p_dense,
+        model.z_phase_dim, bindings.time_window.num_years)
+    print(f"wrote {root.path}")
+
+
+if __name__ == "__main__":
+    main()

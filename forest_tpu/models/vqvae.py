@@ -59,14 +59,16 @@ class MixedInputEncoder(nn.Module):
     def __call__(self, cont: Array, cat: Array, naip: Array,
                  cont_nan_mask: Optional[Array] = None,
                  naip_nan_mask: Optional[Array] = None) -> Array:
-        b, t, _ = cont.shape
-        # NaN-safe continuous input with an explicit missingness channel per
-        # continuous feature (the loader's cont_nan_mask contract, SURVEY.md §3).
-        finite = jnp.isfinite(cont)
-        if cont_nan_mask is not None:
-            finite = finite & (cont_nan_mask > 0)
-        xc = jnp.where(finite, cont, 0.0)
-        feats = [xc, finite.astype(xc.dtype)]
+        b, t, c_cont = cont.shape
+        feats = []
+        if c_cont:
+            # NaN-safe continuous input with an explicit missingness channel
+            # per feature (the loader's cont_nan_mask contract, SURVEY.md §3).
+            finite = jnp.isfinite(cont)
+            if cont_nan_mask is not None:
+                finite = finite & (cont_nan_mask > 0)
+            xc = jnp.where(finite, cont, 0.0)
+            feats += [xc, finite.astype(xc.dtype)]
 
         # Per-categorical learned embeddings (dense ids, MISS=0/UNK=1).
         names = sorted(self.cat_vocab_sizes)
@@ -90,17 +92,20 @@ class MixedInputEncoder(nn.Module):
                                  axis=-1)  # [B, 2H]
 
         # NAIP patch branch: [B, kr, kc, bands] -> conv -> pooled vector.
-        nfin = jnp.isfinite(naip)
-        if naip_nan_mask is not None:
-            nfin = nfin & (naip_nan_mask > 0)
-        xn = jnp.where(nfin, naip, 0.0)
-        xn = jnp.concatenate([xn, nfin.astype(xn.dtype)], axis=-1)
-        g = nn.Conv(self.hidden // 2, (3, 3), padding="SAME",
-                    name="naip_conv")(xn)
-        g = nn.silu(g)
-        g = jnp.mean(g, axis=(1, 2))  # [B, H/2]
-
-        z = jnp.concatenate([pooled, g], axis=-1)
+        # Skipped entirely for band-less configs (EVT-only ladder rung).
+        if naip.shape[-1]:
+            nfin = jnp.isfinite(naip)
+            if naip_nan_mask is not None:
+                nfin = nfin & (naip_nan_mask > 0)
+            xn = jnp.where(nfin, naip, 0.0)
+            xn = jnp.concatenate([xn, nfin.astype(xn.dtype)], axis=-1)
+            g = nn.Conv(self.hidden // 2, (3, 3), padding="SAME",
+                        name="naip_conv")(xn)
+            g = nn.silu(g)
+            g = jnp.mean(g, axis=(1, 2))  # [B, H/2]
+            z = jnp.concatenate([pooled, g], axis=-1)
+        else:
+            z = pooled
         z = nn.silu(nn.Dense(self.hidden, name="fuse")(z))
         z = nn.Dense(self.emb_dim, name="out")(z)
         return z
@@ -126,7 +131,10 @@ class MixedDecoder(nn.Module):
         h = nn.silu(nn.Dense(self.hidden, name="mix1")(h))
         h = h + nn.silu(nn.Dense(self.hidden, name="mix2")(h))
 
-        cont_pred = nn.Dense(self.cont_dim, name="cont_head")(h)
+        if self.cont_dim:
+            cont_pred = nn.Dense(self.cont_dim, name="cont_head")(h)
+        else:  # EVT-only ladder rung: no continuous channels to decode
+            cont_pred = jnp.zeros(h.shape[:-1] + (0,), h.dtype)
         cat_logits = {
             name: nn.Dense(self.cat_vocab_sizes[name],
                            name=f"cat_head_{name}")(h)

@@ -247,3 +247,34 @@ class TestVisualization:
         # 200x200 cell: 7 (a) + 3 (b) = 10
         assert float(rows["200"][header.index("200")]) == 10.0
         assert float(rows["300"][header.index("300")]) == 9.0
+
+
+class TestExportEmbeddings:
+    def test_dense_export_roundtrip(self, frl_run):
+        from forest_tpu.data import zarrlite as zl
+        from forest_tpu.eval import export_embeddings as ee
+        from forest_tpu.eval import frozen
+        root, cfg, result = frl_run
+        enc_t, _, _ = frozen.make_encode_fns(
+            result["model"], result["state"].params, result["fb"])
+        ds = result["ds_train"]
+        out = ee.export_embeddings(enc_t, ds, root / "emb.zarr",
+                                   z_dim=8, batch_size=2)
+        arr = zl.open_zarr(root / "emb.zarr")["z_type"]
+        assert arr.shape == (96, 96, 8)
+        # exported patches match a direct encode
+        import jax.numpy as jnp
+        win = ds.patches[0]
+        batch = {k: jnp.asarray(v)
+                 for k, v in ds.load_batch([0]).items()}
+        # load_batch uses _current_indices; make patch 0 = patches[0]
+        saved = ds._current_indices
+        ds._current_indices = list(range(len(ds.patches)))
+        batch = {k: jnp.asarray(v) for k, v in ds.load_batch([0]).items()}
+        ds._current_indices = saved
+        z = np.asarray(enc_t(batch))[0]
+        stored = arr[win.row_slice, win.col_slice]
+        np.testing.assert_allclose(stored, z.astype(np.float16), atol=1e-2)
+        # non-train patches stay NaN-filled
+        full = arr[:]
+        assert np.isnan(full).any()
