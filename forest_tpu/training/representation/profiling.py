@@ -57,4 +57,27 @@ class StepTimers:
         return out
 
 
-__all__ = ["set_profile", "is_profiling", "maybe_trace", "StepTimers"]
+def print_device_summary() -> str:
+    """Device/memory summary (the legacy vqvae.train_debug_utils
+    ``print_device_summary`` contract, SURVEY.md §3)."""
+    import jax
+
+    lines = [f"backend: {jax.default_backend()}  "
+             f"devices: {len(jax.devices())}"]
+    for d in jax.devices():
+        line = f"  {d}"
+        try:
+            s = d.memory_stats()
+            if s:
+                line += (f"  mem {s.get('bytes_in_use', 0)/2**30:.2f}/"
+                         f"{s.get('bytes_limit', 0)/2**30:.2f} GiB")
+        except Exception:
+            pass
+        lines.append(line)
+    out = "\n".join(lines)
+    print(out)
+    return out
+
+
+__all__ = ["set_profile", "is_profiling", "maybe_trace", "StepTimers",
+           "print_device_summary"]

@@ -154,9 +154,24 @@ def train(cfg: Dict[str, Any]) -> Dict[str, Any]:
                    jax.tree_util.tree_leaves(state.params))
     log.info("model params: %.2f M", n_params / 1e6)
 
-    train_step = jax.jit(vqvae_step.make_train_step(model, opt,
-                                                    class_weights),
-                         donate_argnums=0)
+    # Data-parallel when multiple devices are visible: shard batches over a
+    # 1-D mesh -- gradient all-reduce + codebook EMA psum derived by XLA
+    # (SURVEY.md §6.8; forest_trajectory_v0 multi-chip contract).
+    n_dev = len(jax.devices())
+    mesh = None
+    if cfg.get("data_parallel", n_dev > 1) and n_dev > 1:
+        from forest_tpu.parallel import make_dp_train_step, make_mesh
+        from forest_tpu.parallel.mesh import shard_batch_pytree
+        mesh = make_mesh(n_dev)
+        log.info("data-parallel over %d devices", n_dev)
+        train_step = make_dp_train_step(model, opt, mesh,
+                                        class_weights=class_weights)
+        _shard = shard_batch_pytree
+    else:
+        train_step = jax.jit(vqvae_step.make_train_step(model, opt,
+                                                        class_weights),
+                             donate_argnums=0)
+        _shard = None
     eval_step = jax.jit(vqvae_step.make_eval_step(model, class_weights))
 
     ckpt = CheckpointManager(run_dir / "ckpt", prefix="ckpt", top_k=1,
@@ -194,7 +209,10 @@ def train(cfg: Dict[str, Any]) -> Dict[str, Any]:
             wait_t += time.perf_counter() - t_wait
             t_step = time.perf_counter()
             w = {k: jnp.float32(v) for k, v in annealer(global_step).items()}
-            state, m = train_step(state, host_to_device_batch(batch), w,
+            db = host_to_device_batch(batch)
+            if _shard is not None:
+                db = _shard(db, mesh)
+            state, m = train_step(state, db, w,
                                   jax.random.key(global_step))
             global_step += 1
             n_steps += 1

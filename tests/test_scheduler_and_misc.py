@@ -1,0 +1,115 @@
+"""Scheduler (two-phase cosine), curriculum, epoch logging, log shim,
+device summary, and multi-device train_vqvae CLI."""
+import numpy as np
+import pytest
+
+from forest_tpu.training.representation import curriculum as cur
+from forest_tpu.training.representation import epoch_logging
+from forest_tpu.training.scheduler import (cosine_lr, resume_cosine_lr,
+                                           two_phase_cosine_lr)
+
+
+class TestScheduler:
+    def test_cosine_endpoints(self):
+        s = cosine_lr(1e-3, 100, min_lr=1e-4)
+        assert float(s(0)) == pytest.approx(1e-3)
+        assert float(s(100)) == pytest.approx(1e-4, rel=1e-3)
+
+    def test_warmup(self):
+        s = cosine_lr(1e-3, 100, min_lr=0.0, warmup_steps=10)
+        assert float(s(0)) == pytest.approx(0.0, abs=1e-9)
+        assert float(s(10)) == pytest.approx(1e-3, rel=1e-3)
+
+    def test_two_phase_drop_and_rewarm(self):
+        """At the phase entry the LR drops to start_factor * cosine, then
+        ramps to peak_factor (scheduler.py:78-141 contract)."""
+        s = two_phase_cosine_lr(1e-3, 1000, phase_start_step=500,
+                                rewarmup_steps=100, min_lr=0.0,
+                                start_factor=0.1, peak_factor=1.0)
+        base = cosine_lr(1e-3, 1000, 0.0)
+        assert float(s(499)) == pytest.approx(float(base(499)), rel=1e-5)
+        assert float(s(500)) == pytest.approx(0.1 * float(base(500)),
+                                              rel=1e-4)
+        assert float(s(550)) == pytest.approx(0.55 * float(base(550)),
+                                              rel=1e-3)
+        assert float(s(700)) == pytest.approx(float(base(700)), rel=1e-5)
+
+    def test_resume_fresh_cosine(self):
+        s = resume_cosine_lr(1e-3, 50, 1e-5)
+        assert float(s(0)) == pytest.approx(1e-3)
+
+
+class TestCurriculum:
+    def test_input_dropout_schedules(self):
+        assert cur.compute_input_dropout_rate(0.2, 5, 10) == 0.2
+        lin = {"schedule": "linear", "start": 0.0, "end": 0.1,
+               "epochs": 10}
+        assert cur.compute_input_dropout_rate(lin, 5, 100) == \
+            pytest.approx(0.05)
+        cos = {"schedule": "cosine", "start": 0.0, "end": 0.1,
+               "epochs": 10}
+        assert cur.compute_input_dropout_rate(cos, 10, 100) == \
+            pytest.approx(0.1)
+
+    def test_ramp_zero_at_start_epoch(self):
+        """Exactly 0.0 AT start_epoch (the scheduler re-warmup relies on
+        this, curriculum.py:54-67 contract)."""
+        assert cur.ramp_weight(9, 10, 5) == 0.0
+        assert cur.ramp_weight(10, 10, 5) == 0.0
+        assert cur.ramp_weight(12, 10, 5) == pytest.approx(0.4)
+        assert cur.ramp_weight(15, 10, 5) == 1.0
+
+    def test_min_gate_complement(self):
+        assert cur.compute_smoothing_min_gate(0, 10, 5) == 1.0
+        assert cur.compute_smoothing_min_gate(15, 10, 5) == 0.0
+
+
+class TestEpochLogging:
+    def test_format_and_checkpoint_keys(self):
+        train = {"loss_total": 1.234, "gate_mean": 0.5, "n_steps": 3,
+                 "custom_metric": 9.0}
+        val = {"loss_total": 2.0}
+        block = epoch_logging.format_epoch_block(7, train, val, lr=1e-4)
+        assert "epoch 7" in block and "loss_total" in block
+        assert "custom_metric" in block  # unknown keys surface in [other]
+        m = epoch_logging.checkpoint_metrics(train, val)
+        assert m["train/loss_total"] == 1.234
+        assert m["val/loss_total"] == 2.0
+
+
+class TestLogShim:
+    def test_log_warn_ensure(self, capsys):
+        from forest_tpu.utils import log as ulog
+        ulog.log("hello")
+        ulog.warn("careful")
+        out = capsys.readouterr()
+        assert "hello" in out.out and "WARNING" in out.err
+        with pytest.raises(SystemExit):
+            ulog.ensure(False, "boom")
+        with ulog.timeit("t"):
+            pass
+
+    def test_device_summary(self, capsys):
+        from forest_tpu.training.representation.profiling import (
+            print_device_summary)
+        s = print_device_summary()
+        assert "devices: 8" in s
+
+
+class TestDataParallelVQVAE:
+    def test_cli_trains_over_mesh(self, tmp_path):
+        """train_vqvae auto-shards over all 8 virtual devices."""
+        from forest_tpu.data.cube import build_synthetic_cube
+        from forest_tpu.training import train_vqvae
+
+        build_synthetic_cube(tmp_path / "cube.zarr", height=64, width=64,
+                             chunk_yx=32, patch_size=32, seed=0)
+        cfg = train_vqvae.load_config(None, {})
+        cfg.update(zarr=str(tmp_path / "cube.zarr"),
+                   run_dir=str(tmp_path / "run"), epochs=1,
+                   steps_per_epoch=3, batch_size=64, num_workers=2,
+                   block_size=(1, 1), min_hits_per_epoch=1, val_steps=1,
+                   emb_dim=16, hidden=16, codebook_size=8, eager=True)
+        result = train_vqvae.train(cfg)
+        h = result["history"][-1]
+        assert np.isfinite(h["train/loss_total"])
