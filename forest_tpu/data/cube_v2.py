@@ -252,4 +252,47 @@ def synthetic_bindings(zarr_path: str | Path, stats_file: str | Path,
     }
 
 
+def main(argv=None):
+    """CLI: generate a synthetic cube + matching bindings YAML (and stats).
+
+    python -m forest_tpu.data.cube_v2 OUT_DIR [--height H] [--width W]
+        [--stats]
+    """
+    import argparse
+
+    import yaml
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("out_dir")
+    ap.add_argument("--height", type=int, default=512)
+    ap.add_argument("--width", type=int, default=512)
+    ap.add_argument("--chunk", type=int, default=256)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--stats", action="store_true",
+                    help="also compute the stats JSON")
+    a = ap.parse_args(argv)
+    out = Path(a.out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    build_synthetic_v2_cube(out / "cube.zarr", a.height, a.width,
+                            chunk_yx=a.chunk, seed=a.seed)
+    b = synthetic_bindings(out / "cube.zarr", out / "stats.json")
+    (out / "bindings.yaml").write_text(yaml.safe_dump(b))
+    print(f"wrote {out}/cube.zarr and bindings.yaml")
+    if a.stats:
+        from forest_tpu.data.bindings import parse_bindings
+        from forest_tpu.data.frl_dataset import ForestDatasetV2
+        from forest_tpu.data.stats import StatsCalculator
+
+        bindings = parse_bindings(b)
+        ds = ForestDatasetV2(bindings, split=None,
+                             patch_size=min(256, a.height),
+                             split_block_size=(1, 1))
+        StatsCalculator(bindings, ds).compute_and_save()
+        print(f"wrote {out}/stats.json")
+
+
+if __name__ == "__main__":
+    main()
+
+
 __all__ = ["build_synthetic_v2_cube", "synthetic_bindings", "create_band"]

@@ -299,3 +299,47 @@ class TestSpatialUtils:
         ok = np.asarray(valid)
         assert ok.sum() > 0
         assert np.all(d[ok] >= 16.0) and np.all(d[ok] <= 30.0)
+
+
+class TestDerivedFeatures:
+    def test_temporal_deltas(self, rng):
+        import jax.numpy as jnp
+        from forest_tpu.data import derived_features as df
+        x = jnp.asarray(rng.normal(size=(5, 4, 4, 2)), jnp.float32)
+        d = df.temporal_deltas(x)
+        assert d.shape == x.shape
+        np.testing.assert_allclose(np.asarray(d[0]), 0.0)
+        np.testing.assert_allclose(np.asarray(d[1]),
+                                   np.asarray(x[1] - x[0]), atol=1e-6)
+        # series layout [N, T, C]
+        s = jnp.asarray(rng.normal(size=(3, 5, 2)), jnp.float32)
+        ds = df.temporal_deltas(s)
+        np.testing.assert_allclose(np.asarray(ds[:, 2]),
+                                   np.asarray(s[:, 2] - s[:, 1]), atol=1e-6)
+
+    def test_sobel_magnitude(self, rng):
+        import jax.numpy as jnp
+        from forest_tpu.data import derived_features as df
+        # vertical edge -> nonzero magnitude at the edge
+        x = jnp.zeros((8, 8, 1)).at[:, 4:, :].set(1.0)
+        m = np.asarray(df.sobel_channels(x))
+        assert m[4, 4, 0] > 0.5
+        assert m[4, 1, 0] < 1e-3
+
+    def test_rolling_mean_nan_safe(self, rng):
+        import jax.numpy as jnp
+        from forest_tpu.data import derived_features as df
+        s = jnp.asarray(rng.normal(size=(2, 6, 1)), jnp.float32)
+        s = s.at[0, 3, 0].set(jnp.nan)
+        m = df.rolling_mean(s, 3)
+        assert np.isfinite(np.asarray(m[0, 2, 0]))
+
+
+class TestCubeV2CLI:
+    def test_main_generates(self, tmp_path):
+        from forest_tpu.data import cube_v2, zarrlite as zl
+        cube_v2.main([str(tmp_path), "--height", "64", "--width", "64",
+                      "--chunk", "32"])
+        root = zl.open_zarr(tmp_path / "cube.zarr")
+        assert "annual" in root and "static" in root
+        assert (tmp_path / "bindings.yaml").exists()
