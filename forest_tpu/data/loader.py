@@ -49,9 +49,20 @@ class PrefetchLoader:
                 for idx in self.sampler:
                     if stop.is_set():
                         break
-                    bounded.put(pool.submit(self.dataset.load_batch, idx))
+                    fut = pool.submit(self.dataset.load_batch, idx)
+                    # Bounded put with a stop check so an abandoned
+                    # iterator doesn't leave this thread blocked forever.
+                    while not stop.is_set():
+                        try:
+                            bounded.put(fut, timeout=0.25)
+                            break
+                        except queue.Full:
+                            continue
             finally:
-                bounded.put(None)
+                try:
+                    bounded.put(None, timeout=1.0)
+                except queue.Full:
+                    pass
 
         th = threading.Thread(target=feeder, daemon=True)
         th.start()

@@ -49,6 +49,7 @@ class RepresentationModel(nn.Module):
     spatial_conv_num_directions: int = 4
     spatial_conv_coarse_dilation: int = 3
     spatial_conv_rank: int = 4
+    spatial_conv_compute_dtype: Optional[str] = None
     phase_tcn_channels: Sequence[int] = (64, 64, 64)
     phase_tcn_kernel_size: int = 3
     phase_tcn_dilations: Sequence[int] = (1, 2, 4)
@@ -72,7 +73,8 @@ class RepresentationModel(nn.Module):
             gate_kernel_size=self.spatial_conv_gate_kernel_size,
             num_directions=self.spatial_conv_num_directions,
             coarse_dilation=self.spatial_conv_coarse_dilation,
-            rank=self.spatial_conv_rank)
+            rank=self.spatial_conv_rank,
+            compute_dtype=self.spatial_conv_compute_dtype)
         self.phase_tcn = TCNEncoder(
             channels=tuple(self.phase_tcn_channels),
             kernel_size=self.phase_tcn_kernel_size,
@@ -199,6 +201,7 @@ def from_config(cfg: Dict[str, Any], type_in_channels: int,
         spatial_conv_num_directions=s.get("num_directions", 4),
         spatial_conv_coarse_dilation=s.get("coarse_dilation", 3),
         spatial_conv_rank=s.get("rank", 4),
+        spatial_conv_compute_dtype=s.get("compute_dtype"),
         phase_tcn_channels=tuple(p.get("channels", (64, 64, 64))),
         phase_tcn_kernel_size=p.get("kernel_size", 3),
         phase_tcn_dilations=tuple(p.get("dilations", (1, 2, 4))),
@@ -230,6 +233,7 @@ def model_config_dict(model: RepresentationModel) -> Dict[str, Any]:
                 "num_directions": model.spatial_conv_num_directions,
                 "coarse_dilation": model.spatial_conv_coarse_dilation,
                 "rank": model.spatial_conv_rank,
+                "compute_dtype": model.spatial_conv_compute_dtype,
             },
             "phase_tcn": {
                 "channels": list(model.phase_tcn_channels),

@@ -85,10 +85,17 @@ class EdgeAwareSmoothingConv2D(nn.Module):
     num_directions: int = 4
     coarse_dilation: int = 3
     rank: int = 4
+    # Optional reduced-precision compute (params stay fp32): "bfloat16"
+    # measured ~22% faster at [12,256,256,48] on v5e (CLAUDE.md perf notes).
+    compute_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: Array, *, min_gate: float = 0.0,
                  return_gate: bool = False):
+        in_dtype = x.dtype
+        cdt = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
+        if cdt is not None:
+            x = x.astype(cdt)
         b, h, w, c = x.shape
         nd, r = self.num_directions, self.rank
         k = nd * 2
@@ -99,11 +106,13 @@ class EdgeAwareSmoothingConv2D(nn.Module):
         grads = depthwise_bank_conv(x, np.stack([sx, sy]))  # [B,H,W,C,2]
         feat = grads.reshape(b, h, w, 2 * c)
         feat = nn.relu(nn.Conv(self.gate_hidden, (3, 3), padding="SAME",
-                               name="mix_backbone")(feat))
+                               dtype=cdt, name="mix_backbone")(feat))
 
-        a_logits = nn.Conv(k * r, (1, 1), name="mix_head_A")(feat)
+        a_logits = nn.Conv(k * r, (1, 1), dtype=cdt,
+                           name="mix_head_A")(feat)
         a_w = jax.nn.softmax(a_logits.reshape(b, h, w, k, r), axis=3)
-        b_logits = nn.Conv(c * r, (1, 1), name="mix_head_B")(feat)
+        b_logits = nn.Conv(c * r, (1, 1), dtype=cdt,
+                           name="mix_head_B")(feat)
         b_w = jax.nn.softmax(b_logits.reshape(b, h, w, c, r), axis=4)
 
         # Filter bank at both scales: [B,H,W,C,K] with filters interleaved
@@ -119,14 +128,14 @@ class EdgeAwareSmoothingConv2D(nn.Module):
 
         residual = x - smoothed
         g = nn.Conv(self.gate_hidden, (self.gate_kernel_size,) * 2,
-                    padding="SAME", name="gate_0")(residual)
+                    padding="SAME", dtype=cdt, name="gate_0")(residual)
         g = nn.Conv(self.channels, (self.gate_kernel_size,) * 2,
-                    padding="SAME", name="gate_1")(nn.relu(g))
+                    padding="SAME", dtype=cdt, name="gate_1")(nn.relu(g))
         gate = jax.nn.sigmoid(g)
-        gate = jnp.maximum(gate, min_gate)
-        out = smoothed + gate * residual
+        gate = jnp.maximum(gate, jnp.asarray(min_gate, gate.dtype))
+        out = (smoothed + gate * residual).astype(in_dtype)
         if return_gate:
-            return out, gate
+            return out, gate.astype(in_dtype)
         return out
 
 

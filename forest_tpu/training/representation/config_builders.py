@@ -60,9 +60,12 @@ def build_step_config(bindings: BindingsConfig,
         "type_feature",
         training_cfg.get("model_input", {}).get("type_feature",
                                                 "type_encoder_input"))
-    return StepConfig(**{k: v for k, v in kw.items()
-                         if k in valid_fields and v is not None
-                         or k in ("neg_max_distance",)})
+    # Drop unknown keys and None values (None would clobber dataclass
+    # defaults) -- except neg_max_distance, where None means "no limit".
+    cleaned = {k: v for k, v in kw.items()
+               if k in valid_fields
+               and (v is not None or k == "neg_max_distance")}
+    return StepConfig(**cleaned)
 
 
 def build_loss_weights(training_cfg: Dict[str, Any]) -> Dict[str, float]:
