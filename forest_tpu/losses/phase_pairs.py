@@ -30,8 +30,11 @@ def ysfc_overlap_matrix(ysfc: Array, num_classes: int) -> Array:
     Negative / out-of-range values are ignored.
     """
     n, t = ysfc.shape
-    y = ysfc.astype(jnp.int32)
-    ok = (y >= 0) & (y < num_classes)
+    # Validity in the FLOAT domain: NaN (missing) must fail here -- an int
+    # cast of NaN is implementation-defined and can alias ysfc==0, which
+    # means "disturbance year".
+    ok = jnp.isfinite(ysfc) & (ysfc >= 0) & (ysfc < num_classes)
+    y = jnp.where(ok, ysfc, 0).astype(jnp.int32)
     yc = jnp.clip(y, 0, num_classes - 1)
     presence = jnp.zeros((n, num_classes), jnp.float32)
     presence = presence.at[jnp.arange(n)[:, None], yc].max(

@@ -278,3 +278,29 @@ class TestExportEmbeddings:
         # non-train patches stay NaN-filled
         full = arr[:]
         assert np.isnan(full).any()
+
+
+class TestPhaseProbe:
+    def test_fit_phase_linear_probe_e2e(self, frl_run):
+        from forest_tpu.eval import frozen
+        root, cfg, result = frl_run
+        model, params, fb = result["model"], result["state"].params, \
+            result["fb"]
+        enc_t, enc_p, _ = frozen.make_encode_fns(model, params, fb)
+        targets = frozen.make_phase_target_fn(fb, "phase_ccdc")
+
+        def enc_phase(batch, coords):
+            zp = enc_p(batch, coords)
+            ta, tm = targets(batch, coords)
+            return zp, ta, tm
+
+        def enc_phase_fn(batch, coords):
+            return enc_phase(batch, coords)
+
+        out = lp.fit_phase_linear_probe(
+            enc_t, enc_phase_fn, fb, result["ds_train"], result["ds_val"],
+            target_feature="phase_ccdc", anchor_stride=8,
+            max_batches=2, batch_size=2)
+        assert out["weights"].shape[1] == 3  # phase_ccdc channels
+        assert np.all(np.isfinite(out["r2_train"]))
+        assert out["n_train_pixels"] > 0

@@ -452,3 +452,13 @@ class TestEvt:
             jnp.asarray(w), jnp.asarray(metric.similarity),
             jnp.asarray(codes), min_valid_anchors=4)
         assert float(loss) == 0.0
+
+
+class TestNaNYsfc:
+    def test_overlap_matrix_ignores_nan(self):
+        """NaN ysfc must not alias to value 0 (= disturbance year)."""
+        ysfc = jnp.asarray([[jnp.nan, 1.0, 2.0], [0.0, 1.0, 5.0]])
+        ov = phase_pairs.ysfc_overlap_matrix(ysfc, 10)
+        # shared values: {1, 2} vs {0, 1, 5} -> only {1}
+        assert float(ov[0, 1]) == 1.0
+        assert float(ov[0, 0]) == 2.0  # NaN not counted for pixel 0
