@@ -393,6 +393,10 @@ def make_process_batch(model, feature_builder: FeatureBuilder,
         metrics["spectral_pos_sim"] = xb_aux["mean_pos_sim"]
         metrics["spectral_neg_sim"] = xb_aux["mean_neg_sim"]
         metrics["spectral_n_anchors"] = xb_aux["n_anchors_used"]
+        # 'Spectral sims' gap/T kernel-sizing diagnostic (SURVEY.md §6.5).
+        metrics["spectral_gap_over_T"] = (
+            (xb_aux["mean_pos_sim"] - xb_aux["mean_neg_sim"])
+            / cfg.xb_temperature)
 
         # ---- 7. optional EVT -------------------------------------------
         if cfg.evt_enabled and evt_tables is not None:

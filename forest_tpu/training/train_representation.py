@@ -163,6 +163,18 @@ def train(cfg: TrainingConfiguration,
     (exp_dir / "provenance.json").write_text(json.dumps(
         {"git_hash": _git_hash(), "config": cfg.summary(),
          "time": time.strftime("%Y-%m-%dT%H:%M:%S")}, indent=1))
+    # Artifact archival (train_representation.py:487-524 contract): copy
+    # the exact configs into the experiment dir for reproducibility.
+    arch = exp_dir / "configs"
+    arch.mkdir(exist_ok=True)
+    import dataclasses
+    (arch / "training_resolved.json").write_text(json.dumps(
+        dataclasses.asdict(cfg), indent=1, default=str))
+    if model_cfg:
+        (arch / "model.yaml").write_text(yaml.safe_dump(model_cfg))
+    bp = bindings_path or cfg.bindings_path
+    if bp and Path(bp).exists():
+        (arch / "bindings.yaml").write_text(Path(bp).read_text())
 
     ctx = setup(cfg, bindings_path, model_cfg)
     state = ctx["state"]
@@ -267,6 +279,8 @@ def main(argv=None):
                     default=None)
     ap.add_argument("--num-workers", dest="num_workers", type=int,
                     default=None)
+    ap.add_argument("--phase-start-epoch", dest="phase_start_epoch",
+                    type=int, default=None)
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--overwrite", action="store_true")
     ap.add_argument("--profile", action="store_true")
@@ -280,6 +294,8 @@ def main(argv=None):
         cfg.epoch.num_epochs = a.num_epochs
     if a.num_workers:
         cfg.hardware.num_workers = a.num_workers
+    if a.phase_start_epoch is not None:
+        cfg.curriculum["phase_start_epoch"] = a.phase_start_epoch
     if a.overwrite:
         import shutil
         shutil.rmtree(cfg.run.experiment_dir, ignore_errors=True)

@@ -113,3 +113,27 @@ class TestDataParallelVQVAE:
         result = train_vqvae.train(cfg)
         h = result["history"][-1]
         assert np.isfinite(h["train/loss_total"])
+
+
+class TestTauCalibration:
+    def test_infonce_sweep_prefers_matched_tau(self, rng):
+        from forest_tpu.eval import tau_calibration as tc
+        pos = rng.normal(loc=-0.2, scale=0.05, size=200)
+        neg = rng.normal(loc=-2.0, scale=0.3, size=2000)
+        sweep = tc.infonce_tau_sweep(pos, neg)
+        # with a clear gap, small tau separates -> lower loss than huge tau
+        assert sweep[0.1] < sweep[2.0]
+        assert all(np.isfinite(v) for v in sweep.values())
+
+    def test_entropy_sweep_monotone(self, rng):
+        from forest_tpu.eval import tau_calibration as tc
+        d = np.abs(rng.normal(size=(50, 10)))
+        sweep = tc.entropy_tau_sweep(d)
+        assert sweep[0.05] < sweep[2.0]  # sharper at small tau
+
+    def test_gap_report(self):
+        from forest_tpu.eval import tau_calibration as tc
+        r = tc.similarity_gap_report(np.asarray([-0.1]),
+                                     np.asarray([-1.1]), 0.2)
+        assert r["gap"] == pytest.approx(1.0)
+        assert r["gap_over_T"] == pytest.approx(5.0)
