@@ -152,7 +152,12 @@ class ForestDatasetV2:
         is_annual = arr.ndim == 3
         if is_annual:
             if ch.year is not None:
-                ti = int(np.searchsorted(self.years, ch.year))
+                matches = np.nonzero(self.years == ch.year)[0]
+                if matches.size == 0:
+                    raise ValueError(
+                        f"channel {ch.name!r}: year {ch.year} not in cube "
+                        f"years {self.years.tolist()}")
+                ti = int(matches[0])
                 data = np.asarray(arr[ti:ti + 1, win.row_slice,
                                       win.col_slice], np.float32)[0]
                 is_annual = False

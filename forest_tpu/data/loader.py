@@ -59,10 +59,16 @@ class PrefetchLoader:
                         except queue.Full:
                             continue
             finally:
-                try:
-                    bounded.put(None, timeout=1.0)
-                except queue.Full:
-                    pass
+                # The end-of-epoch sentinel MUST be delivered (a dropped
+                # sentinel deadlocks the consumer on bounded.get()); retry
+                # with the same stop-checked loop as normal puts.
+                while True:
+                    try:
+                        bounded.put(None, timeout=0.25)
+                        break
+                    except queue.Full:
+                        if stop.is_set():
+                            break
 
         th = threading.Thread(target=feeder, daemon=True)
         th.start()

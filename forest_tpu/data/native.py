@@ -106,7 +106,10 @@ def decode_chunks(paths: Sequence[Optional[str]], chunk_shape, dtype,
         buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         offsets, caps, results, 0 if compressed else 1, int(nthreads), 1)
     for k, (i, p) in enumerate(real):
-        if results[k] < 0 and results[k] != -1:
+        # Missing files never reach the C call (filtered above), so ANY
+        # negative code here -- including -1 -- is a genuine failure;
+        # silently substituting fill values would fabricate data.
+        if results[k] < 0:
             raise RuntimeError(
                 f"native decode failed for {p}: rc={results[k]}")
     del ok

@@ -120,6 +120,15 @@ class StatsCalculator:
                     if x.ndim == gm.ndim + 1:   # temporal
                         gm = np.broadcast_to(gm[None], x.shape)
                     vals = x[gm & np.isfinite(x)]
+                    # Stats must live in the SAME domain FeatureBuilder
+                    # normalizes in: apply the channel's pre-transform
+                    # before sampling (log-normalized channels etc.).
+                    if spec.transform:
+                        from forest_tpu.data.transforms import \
+                            apply_transform
+                        vals = np.asarray(apply_transform(spec.transform,
+                                                          vals))
+                        vals = vals[np.isfinite(vals)]
                     if is_cat:
                         u, c = np.unique(vals.astype(np.int64),
                                          return_counts=True)

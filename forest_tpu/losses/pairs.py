@@ -103,10 +103,10 @@ def pairs_quantile(distances: Array, q: float,
     distances (pairs.py:291 contract)."""
     d = _sanitize(distances, valid_mask)
     finite = jnp.isfinite(d)
-    # per-row quantile over valid entries: replace inf with row max first
-    big = jnp.where(finite, d, -INF).max(axis=1, keepdims=True)
-    dq = jnp.where(finite, d, big)
-    thr = jnp.quantile(dq, q, axis=1, keepdims=True)
+    # Per-row quantile over VALID entries only: invalid -> NaN so
+    # nanquantile ignores them (padding must not inflate the threshold).
+    dq = jnp.where(finite, d, jnp.nan)
+    thr = jnp.nanquantile(dq, q, axis=1, keepdims=True)
     return finite & (d <= thr)
 
 

@@ -58,6 +58,9 @@ def run_epoch(dataset, step_fn: Callable, state_or_params, *,
                 scheduler_step()
         else:
             m = step_fn(state_or_params, db, rng, weights, curriculum)
+        # One device->host transfer for the whole metrics dict (per-metric
+        # float() would pay ~0.5 ms dispatch latency each on the relay).
+        m = jax.device_get(m)
         for k, v in m.items():
             agg[k] = agg.get(k, 0.0) + float(v)
         n_steps += 1

@@ -112,9 +112,11 @@ def setup(cfg: TrainingConfiguration,
         evt_spec = bindings.losses["evt_soft_neighborhood"]
         counts = stats.get(evt_spec.get("counts_feature", ""), {}) \
             .get(step_cfg.evt_feature, {}).get("counts", {})
+        metric_keys = ("min_count", "min_confusion_samples",
+                       "diffusion_steps", "laplace_smoothing",
+                       "binary_threshold", "max_weight")
         metric = EvtDiffusionMetric(evt_spec["confusion_csv"], counts,
-                                    **{k: evt_spec[k] for k in
-                                       ("min_count", "diffusion_steps")
+                                    **{k: evt_spec[k] for k in metric_keys
                                        if k in evt_spec})
         evt_tables = step_mod.build_evt_tables(metric)
 
