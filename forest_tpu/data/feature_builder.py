@@ -135,8 +135,6 @@ class FeatureBuilder:
                         m.shape != x.shape:
                     m = jnp.broadcast_to(m, x.shape)
                 valid = valid & (m > 0)
-            if temporal and x.ndim == valid.ndim and x.shape != valid.shape:
-                valid = jnp.broadcast_to(valid, x.shape)
             if spec.transform:
                 x = apply_transform(spec.transform, x)
                 valid = valid & jnp.isfinite(x)
@@ -150,11 +148,10 @@ class FeatureBuilder:
 
         wm = self._whitening_for(feature_name, fc)
         if wm is not None:
+            from forest_tpu.ops.whitening import apply_whitening
             w, mean = wm
-            xc = jnp.where(mask, x - jnp.asarray(mean), 0.0)
-            x = jnp.einsum("...c,dc->...d", xc, jnp.asarray(w))
-            x = jnp.clip(x, -self.whiten_clip, self.whiten_clip)
-            x = jnp.where(mask, x, 0.0)
+            x = apply_whitening(x, jnp.asarray(w), jnp.asarray(mean),
+                                mask, clip=self.whiten_clip)
         return x, mask
 
     def build_feature_at_locations(self, feature_name: str,

@@ -63,9 +63,10 @@ def pairs_knn(distances: Array, k: int,
     return pairs, vflat
 
 
-def knn_membership(distances: Array, k: int,
-                   valid_mask: Optional[Array] = None) -> Array:
-    """Boolean [N, N]: member[i, j] = j in i's (valid) kNN."""
+def _knn_membership_parts(distances: Array, k: int,
+                          valid_mask: Optional[Array]
+                          ) -> Tuple[Array, Array, Array]:
+    """Shared core: (member [N, N] bool, idx [N, k], valid [N, k])."""
     n = distances.shape[0]
     d = _sanitize(distances, valid_mask)
     k = min(k, n)
@@ -73,7 +74,13 @@ def knn_membership(distances: Array, k: int,
     valid = jnp.isfinite(-neg)
     member = jnp.zeros((n, n), bool)
     member = member.at[jnp.arange(n)[:, None], idx].set(valid)
-    return member
+    return member, idx, valid
+
+
+def knn_membership(distances: Array, k: int,
+                   valid_mask: Optional[Array] = None) -> Array:
+    """Boolean [N, N]: member[i, j] = j in i's (valid) kNN."""
+    return _knn_membership_parts(distances, k, valid_mask)[0]
 
 
 def pairs_mutual_knn(distances: Array, k: int,
@@ -83,12 +90,8 @@ def pairs_mutual_knn(distances: Array, k: int,
     n = distances.shape[0]
     if distances.shape[0] != distances.shape[1]:
         raise ValueError("mutual kNN requires a square distance matrix")
-    d = _sanitize(distances, valid_mask)
-    k = min(k, n)
-    neg, idx = jax.lax.top_k(-d, k)
-    valid = jnp.isfinite(-neg)
-    member = jnp.zeros((n, n), bool)
-    member = member.at[jnp.arange(n)[:, None], idx].set(valid)
+    member, idx, valid = _knn_membership_parts(distances, k, valid_mask)
+    k = idx.shape[1]
     mutual = member & member.T
     rows = jnp.broadcast_to(jnp.arange(n)[:, None], (n, k))
     pairs = jnp.stack([rows.reshape(-1), idx.reshape(-1)],

@@ -239,7 +239,10 @@ def quantize_st(x: Array, codebook: Array, beta: float = 0.25,
     idx, _, counts, sums = vq_core(
         jax.lax.stop_gradient(x), jax.lax.stop_gradient(codebook), **kw)
     onehot = jax.nn.one_hot(idx, codebook.shape[0], dtype=x.dtype)
-    q = jnp.dot(onehot, codebook, preferred_element_type=jnp.float32)
+    # Keep the ST output in x.dtype (matching quantize_ema) so the
+    # downstream compute dtype doesn't depend on the quantizer mode.
+    q = jnp.dot(onehot, codebook,
+                preferred_element_type=jnp.float32).astype(x.dtype)
     codebook_loss = jnp.mean(
         jnp.sum((jax.lax.stop_gradient(x) - q) ** 2, axis=-1))
     commit_loss = jnp.mean(

@@ -69,6 +69,7 @@ class StepConfig:
     neg_max_distance: Optional[float] = None
     neg_per_anchor: int = 4
     spectral_sigma: float = 2.0
+    min_pair_weight: float = 0.05
     temperature: float = 0.2
     similarity: str = "l2"
     # VICReg
@@ -212,6 +213,9 @@ def make_process_batch(model, feature_builder: FeatureBuilder,
             in_axes=({k: 0 for k in batch}, 0))(
                 {k: v for k, v in batch.items()}, coords)
         a_valid = a_valid & jnp.any(spec_m, axis=-1)
+        a_valid = a_valid & jax.vmap(
+            lambda m, c: m[c[:, 0], c[:, 1]])(jnp.any(m_type, axis=-1),
+                                              coords)
         metrics["n_anchors_valid"] = jnp.sum(a_valid.astype(jnp.int32))
 
         a = n_anchors
@@ -222,9 +226,13 @@ def make_process_batch(model, feature_builder: FeatureBuilder,
         coords_flat = coords.reshape(-1, 2)
 
         # ---- 3. within-patch spatial InfoNCE ---------------------------
+        # Pair construction uses the DATA-validity mask (step.py:308-335
+        # contract): zero-padded boundary regions and nodata pixels must
+        # never become neighbors or negatives.
+        pixel_mask = jnp.any(m_type, axis=-1)              # [B, H, W]
+
         def one_sample_pairs(args):
-            z_t, c, valid, spec, key = args
-            mask = jnp.ones((h, w), bool)
+            z_t, c, valid, mask, key = args
             ai_p, nbr_p, v_p = sp.spatial_knn_pairs(
                 c, mask, cfg.knn_k, cfg.knn_max_radius)
             ai_n, nbr_n, v_n = sp.spatial_negative_pairs(
@@ -240,17 +248,22 @@ def make_process_batch(model, feature_builder: FeatureBuilder,
 
         keys_neg = jax.random.split(k_neg, bsz)
         ai, nbr, is_pos, pv, z_nbr = jax.vmap(one_sample_pairs)(
-            (z_type, coords, a_valid, spec_a, keys_neg))
-        # spectral weights for positives: exp(-||spec_a - spec_nbr|| / sigma)
+            (z_type, coords, a_valid, pixel_mask, keys_neg))
+        # Spectral pair weights (step.py:385-399 contract):
+        #   positives: clip(exp(-d/sigma), min_w, 1)
+        #   negatives: clip(1 - exp(-d/sigma), min_w, 1)
         spec_nbr, spec_nbr_m = jax.vmap(
             lambda g, c: fb.build_feature_at_locations(
                 cfg.spectral_feature, g, c),
             in_axes=({k: 0 for k in batch}, 0))(
                 {k: v for k, v in batch.items()}, nbr)
+        pv = pv & jnp.any(spec_nbr_m, axis=-1)
         d_spec = jnp.linalg.norm(
             jnp.take_along_axis(spec_a, ai[..., None], axis=1) - spec_nbr,
             axis=-1)
-        pw = jnp.where(is_pos, jnp.exp(-d_spec / cfg.spectral_sigma), 1.0)
+        e = jnp.exp(-d_spec / cfg.spectral_sigma)
+        pw = jnp.clip(jnp.where(is_pos, e, 1.0 - e),
+                      cfg.min_pair_weight, 1.0)
 
         p_per = ai.shape[1]
         anchor_ids_global = (ai + jnp.arange(bsz)[:, None] * a).reshape(-1)
@@ -373,7 +386,10 @@ def make_process_batch(model, feature_builder: FeatureBuilder,
             & flat_valid[neg_i] & flat_valid[neg_j]
         d_neg = jnp.linalg.norm(spec_flat[neg_i] - spec_flat[neg_j],
                                 axis=-1)
-        w_neg = 1.0 - jnp.exp(-d_neg / cfg.spectral_sigma)
+        # Reference contract (step.py:770-793): mutual-kNN positives are
+        # UNWEIGHTED; negatives get clip(1 - exp(-d/sigma), min_w, 1).
+        w_neg = jnp.clip(1.0 - jnp.exp(-d_neg / cfg.spectral_sigma),
+                         cfg.min_pair_weight, 1.0)
 
         xb_i = jnp.concatenate([xb_pairs[:, 0], neg_i])
         xb_j = jnp.concatenate([xb_pairs[:, 1], neg_j])
@@ -381,9 +397,7 @@ def make_process_batch(model, feature_builder: FeatureBuilder,
             jnp.ones(xb_pairs.shape[0], bool),
             jnp.zeros(neg_i.shape[0], bool)])
         xb_v = jnp.concatenate([xb_valid, neg_valid])
-        d_pos = jnp.linalg.norm(spec_flat[xb_pairs[:, 0]]
-                                - spec_flat[xb_pairs[:, 1]], axis=-1)
-        xb_w = jnp.concatenate([jnp.exp(-d_pos / cfg.spectral_sigma),
+        xb_w = jnp.concatenate([jnp.ones(xb_pairs.shape[0], jnp.float32),
                                 w_neg])
         xb_loss, xb_aux = contrastive_loss(
             z_a_flat[xb_i], z_a_flat[xb_j], xb_i, xb_pos, n_flat,
