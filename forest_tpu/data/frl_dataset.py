@@ -174,13 +174,13 @@ class ForestDatasetV2:
             data = np.where(np.isfinite(data), ch.ok_if.apply(data), 0.0)
 
         if is_annual:
-            # NaN-pad the loaded year range out to the config time window.
-            n_loaded = data.shape[0]
-            lo_year = int(self.years[self._t_lo]) if len(self.years) else \
-                self.temporal_window.start_year
-            off = self.temporal_window.year_to_index(lo_year)
+            # NaN-pad into the config time window, placing EACH loaded
+            # year at its own index (cube years may be non-contiguous).
             full = np.full((t_cfg, h, w), np.nan, np.float32)
-            full[off:off + n_loaded] = data
+            loaded_years = self.years[self._t_lo:self._t_hi]
+            idxs = np.asarray([self.temporal_window.year_to_index(int(y))
+                               for y in loaded_years])
+            full[idxs] = data
             data = full
             if ch.reducer:
                 red = {"mean": np.nanmean, "max": np.nanmax,

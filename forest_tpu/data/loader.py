@@ -58,6 +58,13 @@ class PrefetchLoader:
                             break
                         except queue.Full:
                             continue
+            except BaseException as exc:  # sampler-side failure: surface it
+                while not stop.is_set():
+                    try:
+                        bounded.put(exc, timeout=0.25)
+                        break
+                    except queue.Full:
+                        continue
             finally:
                 # The end-of-epoch sentinel MUST be delivered (a dropped
                 # sentinel deadlocks the consumer on bounded.get()); retry
@@ -77,6 +84,8 @@ class PrefetchLoader:
                 fut = bounded.get()
                 if fut is None:
                     break
+                if isinstance(fut, BaseException):
+                    raise fut  # sampler raised mid-epoch: don't truncate
                 batch = fut.result()
                 if self.device_put is not None:
                     batch = self.device_put(batch)

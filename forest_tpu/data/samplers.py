@@ -31,8 +31,21 @@ class ChunkBatchSampler:
         self.rng = np.random.default_rng(seed)
         self.chunk_sizes = [int(a.size) for a in self.xy_by_chunk]
         self.non_empty = [i for i, n in enumerate(self.chunk_sizes) if n > 0]
-        # Disjoint per-host chunk assignment.
-        self.my_chunks = self.non_empty[shard_id::num_shards]
+        # Disjoint per-host chunk assignment, SIZE-balanced (greedy
+        # largest-first) so lockstep multi-host runs get near-equal batch
+        # counts per shard instead of index round-robin luck.
+        if num_shards > 1:
+            order = sorted(self.non_empty,
+                           key=lambda i: -self.chunk_sizes[i])
+            loads = [0] * num_shards
+            assign = [[] for _ in range(num_shards)]
+            for i in order:
+                s = loads.index(min(loads))
+                assign[s].append(i)
+                loads[s] += self.chunk_sizes[i]
+            self.my_chunks = assign[shard_id]
+        else:
+            self.my_chunks = list(self.non_empty)
         self.total = sum(self.chunk_sizes[i] for i in self.my_chunks)
 
     def __len__(self) -> int:

@@ -110,27 +110,52 @@ def build_and_save_schema(cube, run_dir: str | Path, batch_size: int,
     samples_per_epoch = float(batch_size) * float(steps_per_epoch)
 
     t, c_cat, h, w = cube.categorical.shape
-    n_pix = h * w
-    if n_pix > max_sample_pixels:
-        ys = rng.integers(0, h, size=max_sample_pixels)
-        xs = rng.integers(0, w, size=max_sample_pixels)
+    # Sample in ROW BANDS, decoding each band once for ALL channels --
+    # never materializing the full cube per channel (bounded memory/IO on
+    # production-scale cubes).
+    band_h = max(cube.chunk_yx[0], 1)
+    n_bands_total = -(-h // band_h)
+    budget_bands = max(max_sample_pixels // max(t * w * band_h, 1), 1)
+    if budget_bands >= n_bands_total:
+        band_starts = np.arange(0, h, band_h)
     else:
-        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
-        ys, xs = yy.ravel(), xx.ravel()
+        band_starts = rng.choice(np.arange(0, h, band_h),
+                                 size=budget_bands, replace=False)
+
+    cat_counts: Dict[str, Dict[int, int]] = {n: {}
+                                             for n in cube.cat_names}
+    cont_vals: Dict[str, list] = {n: [] for n in cube.cont_names}
+    for r0 in sorted(int(r) for r in band_starts):
+        r1 = min(r0 + band_h, h)
+        if cube.cat_names:
+            cat_block = np.asarray(cube.categorical[:, :, r0:r1, :])
+            for ci, name in enumerate(cube.cat_names):
+                v = cat_block[:, ci].ravel()
+                v = v[v != MISS_RAW]
+                u, c = np.unique(v, return_counts=True)
+                d = cat_counts[name]
+                for uu, cc in zip(u, c):
+                    d[int(uu)] = d.get(int(uu), 0) + int(cc)
+        if cube.cont_names:
+            cont_block = np.asarray(cube.continuous[:, :, r0:r1, :],
+                                    np.float32)
+            for ci, name in enumerate(cube.cont_names):
+                v = cont_block[:, ci].ravel()
+                cont_vals[name].append(v[np.isfinite(v)])
 
     cat_schema: Dict[str, Any] = {}
-    for ci, name in enumerate(cube.cat_names):
-        vals = cube.categorical[:, ci:ci + 1, :, :][:, 0][:, ys, xs].ravel()
-        vals = vals[vals != MISS_RAW]
-        raw, counts = np.unique(vals, return_counts=True)
+    for name in cube.cat_names:
+        items = sorted(cat_counts[name].items())
+        raw = np.asarray([k for k, _ in items])
+        counts = np.asarray([c for _, c in items])
         cat_schema[name] = collapse_vocab(
             raw, counts, samples_per_epoch, min_hits_per_epoch,
             mass_coverage, vocab_cap)
 
     cont_schema: Dict[str, Any] = {}
-    for ci, name in enumerate(cube.cont_names):
-        vals = cube.continuous[:, ci:ci + 1, :, :][:, 0][:, ys, xs].ravel()
-        vals = vals[np.isfinite(vals)]
+    for name in cube.cont_names:
+        vals = np.concatenate(cont_vals[name]) if cont_vals[name] else \
+            np.zeros(0, np.float32)
         if vals.size == 0:
             vals = np.zeros(1, np.float32)
         cont_schema[name] = {

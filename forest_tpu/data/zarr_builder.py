@@ -169,7 +169,10 @@ def build_cube(spec: Dict[str, Any], base_dir: str | Path = ".",
             stored = (data.astype(np.float64) - offset) / scale \
                 if (scale != 1.0 or offset != 0.0) else data
             arr[:] = stored.astype(dtype)
-            st = _band_stats(np.asarray(data, np.float64))
+            # Statistics describe the STORED values (what every reader --
+            # ZarrStatsLoader, ForestDatasetV2 -- actually consumes);
+            # physical units are recoverable via scale_factor/add_offset.
+            st = _band_stats(np.asarray(stored, np.float64))
             arr.attrs.update({"scale_factor": scale, "add_offset": offset,
                               "semantic_type": g.get("semantic_type",
                                                      "continuous"),

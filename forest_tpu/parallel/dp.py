@@ -30,11 +30,13 @@ def make_dp_train_step(model: VQVAE, optimizer, mesh: Mesh,
     repl = NamedSharding(mesh, P())
     bsh = NamedSharding(mesh, P(data_axis))
 
-    def in_shard_batch(batch):
-        return jax.tree.map(
-            lambda x: bsh if getattr(x, "ndim", 0) >= 1 else repl, batch)
-
     def step(state, batch, loss_weights, rng):
+        # Enforce data-sharding IN-GRAPH: a caller passing an unsharded
+        # host batch still gets true data parallelism (XLA reshards on
+        # entry) instead of silent full replication.
+        batch = jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, bsh)
+            if getattr(x, "ndim", 0) >= 1 else x, batch)
         return raw(state, batch, loss_weights, rng)
 
     return jax.jit(

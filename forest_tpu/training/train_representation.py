@@ -89,9 +89,12 @@ def setup(cfg: TrainingConfiguration,
              len(ds_train.patches), len(ds_val.patches))
 
     fb = FeatureBuilder(bindings, stats)
-    type_c = len(bindings.get_feature("type_encoder_input").channels)
-    phase_feat = (model_cfg or {}).get("phase_feature", "phase_ccdc")
-    phase_c = len(bindings.get_feature(phase_feat).channels)
+    builder_dict = cfg.as_builder_dict()
+    step_cfg = cb.build_step_config(bindings, builder_dict)
+    # Channel counts come from the SAME features the jitted step consumes
+    # (step_cfg names them from the bindings losses section).
+    type_c = len(bindings.get_feature(step_cfg.type_feature).channels)
+    phase_c = len(bindings.get_feature(step_cfg.phase_feature).channels)
     model = rep.from_config(model_cfg or {}, type_c, phase_c)
     params = rep.init_variables(
         model, jax.random.key(cfg.seed),
@@ -100,8 +103,6 @@ def setup(cfg: TrainingConfiguration,
                    for p in jax.tree_util.tree_leaves(params))
     log.info("model params: %.3f M", n_params / 1e6)
 
-    builder_dict = cfg.as_builder_dict()
-    step_cfg = cb.build_step_config(bindings, builder_dict)
     sampler = cb.build_sampler(bindings, builder_dict)
     weights = cb.build_loss_weights(builder_dict)
     curricula = cb.build_curricula(builder_dict)
@@ -123,7 +124,17 @@ def setup(cfg: TrainingConfiguration,
     process = step_mod.make_process_batch(model, fb, sampler, step_cfg,
                                           sd.patch_size, evt_tables)
 
-    steps_per_epoch = max(len(ds_train) // cfg.epoch.batch_size, 1)
+    # Steps per epoch reflect the EFFECTIVE epoch size under the configured
+    # epoch mode -- the LR schedule and the phase re-warmup step are pinned
+    # to real step counts, not the full split size.
+    if cfg.epoch.mode == "number":
+        epoch_size = min(cfg.epoch.sample_number, len(ds_train.patches))
+    elif cfg.epoch.mode == "frac":
+        epoch_size = max(int(cfg.epoch.sample_frac
+                             * len(ds_train.patches)), 1)
+    else:
+        epoch_size = len(ds_train.patches)
+    steps_per_epoch = max(epoch_size // cfg.epoch.batch_size, 1)
     total_steps = cfg.epoch.num_epochs * steps_per_epoch
     phase_start = curricula["phase_start_epoch"] * steps_per_epoch
     s = cfg.scheduler
@@ -251,10 +262,16 @@ def train(cfg: TrainingConfiguration,
         history.append({"epoch": epoch, **metrics})
         ckpt.save(epoch, state, metrics, extra_meta)
 
-        # early stopping on the monitored metric (SURVEY.md §6.6 config)
+        # early stopping on the monitored metric (SURVEY.md §6.6 config);
+        # direction follows the checkpoint monitor mode.
         if es_enabled and monitor in metrics:
             v = float(metrics[monitor])
-            if np.isfinite(v) and v < es_best - 1e-9:
+            if cfg.run.checkpoint.mode == "max":
+                improved = np.isfinite(v) and -v < es_best - 1e-9
+                v = -v
+            else:
+                improved = np.isfinite(v) and v < es_best - 1e-9
+            if improved:
                 es_best, es_bad = v, 0
             else:
                 es_bad += 1

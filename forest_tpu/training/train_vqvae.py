@@ -216,6 +216,7 @@ def train(cfg: Dict[str, Any]) -> Dict[str, Any]:
                                   jax.random.key(global_step))
             global_step += 1
             n_steps += 1
+            m = jax.device_get(m)  # one transfer for the whole dict
             for k, v in m.items():
                 agg[k] = agg.get(k, 0.0) + float(v)
             step_t += time.perf_counter() - t_step
@@ -236,7 +237,8 @@ def train(cfg: Dict[str, Any]) -> Dict[str, Any]:
         w = {k: jnp.float32(v) for k, v in annealer(global_step).items()}
         for batch in PrefetchLoader(ds_va, va_sampler,
                                     num_workers=cfg["num_workers"]):
-            m = eval_step(state.params, host_to_device_batch(batch), w)
+            m = jax.device_get(
+                eval_step(state.params, host_to_device_batch(batch), w))
             for k, v in m.items():
                 va_agg[k] = va_agg.get(k, 0.0) + float(v)
             nv += 1
