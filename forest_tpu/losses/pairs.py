@@ -152,6 +152,39 @@ def apply_spatial_constraint(adj: Array, coords: Array,
     return adj & (d2 >= min_spatial ** 2)
 
 
+def pairs_with_spatial_constraint(distances: Array, coords: Array,
+                                  strategy: str = "knn", k: int = 8,
+                                  q: float = 0.1, radius: float = 1.0,
+                                  min_spatial: float = 4.0,
+                                  valid_mask: Optional[Array] = None
+                                  ) -> Tuple[Array, Array]:
+    """Strategy + spatial-exclusion combo (pairs.py:458-528 contract):
+    build candidate pairs by the named strategy over FEATURE distances,
+    then drop pairs whose PIXEL coordinates are closer than
+    ``min_spatial`` (spatially-adjacent pixels are trivial positives).
+
+    Returns fixed-size (pairs, valid). For quantile/radius strategies the
+    adjacency is converted via :func:`mask_to_pairs` with max_pairs = N*k.
+    """
+    n = distances.shape[0]
+    if strategy == "knn":
+        pairs, valid = pairs_knn(distances, k, valid_mask)
+    elif strategy == "mutual_knn":
+        pairs, valid = pairs_mutual_knn(distances, k, valid_mask)
+    elif strategy in ("quantile", "radius"):
+        adj = (pairs_quantile(distances, q, valid_mask)
+               if strategy == "quantile"
+               else pairs_radius(distances, radius, valid_mask))
+        adj = apply_spatial_constraint(adj, coords, min_spatial)
+        return mask_to_pairs(adj, max_pairs=n * k)
+    else:
+        raise ValueError(f"unknown pair strategy {strategy!r}")
+    c = coords.astype(jnp.float32)
+    d2 = jnp.sum((c[pairs[:, 0]] - c[pairs[:, 1]]) ** 2, axis=-1)
+    valid = valid & (d2 >= min_spatial ** 2)
+    return pairs, valid
+
+
 def _chunked_knn_idx(features: Array, k: int, chunk_size: int,
                      patch_ids: Optional[Array],
                      coords: Optional[Array],
@@ -216,5 +249,6 @@ def pairs_mutual_knn_chunked(features: Array, k: int,
 
 
 __all__ = ["pairs_knn", "pairs_mutual_knn", "pairs_quantile", "pairs_radius",
+           "pairs_with_spatial_constraint",
            "mask_to_pairs", "apply_spatial_constraint", "knn_membership",
            "pairs_mutual_knn_chunked"]

@@ -462,3 +462,32 @@ class TestNaNYsfc:
         # shared values: {1, 2} vs {0, 1, 5} -> only {1}
         assert float(ov[0, 1]) == 1.0
         assert float(ov[0, 0]) == 2.0  # NaN not counted for pixel 0
+
+
+class TestSpatialConstraintCombo:
+    def test_knn_with_constraint(self, rng):
+        x = jnp.asarray(rng.normal(size=(20, 4)), jnp.float32)
+        d = jnp.sqrt(soft_neighborhood.pairwise_sq_distances(x))
+        coords = jnp.asarray(rng.integers(0, 64, size=(20, 2)))
+        p, v = pairs.pairs_with_spatial_constraint(
+            d, coords, strategy="knn", k=3, min_spatial=8.0)
+        c = np.asarray(coords)
+        for (i, j), ok in zip(np.asarray(p), np.asarray(v)):
+            if ok:
+                dist = np.sqrt(((c[i] - c[j]) ** 2).sum())
+                assert dist >= 8.0
+
+    def test_quantile_strategy_path(self, rng):
+        x = jnp.asarray(rng.normal(size=(12, 3)), jnp.float32)
+        d = jnp.sqrt(soft_neighborhood.pairwise_sq_distances(x))
+        coords = jnp.asarray(rng.integers(0, 64, size=(12, 2)))
+        p, v = pairs.pairs_with_spatial_constraint(
+            d, coords, strategy="quantile", q=0.3, k=4, min_spatial=2.0)
+        assert p.shape[1] == 2
+        assert bool(jnp.any(v))
+
+    def test_unknown_strategy_raises(self, rng):
+        d = jnp.ones((4, 4))
+        with pytest.raises(ValueError):
+            pairs.pairs_with_spatial_constraint(d, jnp.zeros((4, 2)),
+                                                strategy="bogus")
