@@ -21,7 +21,6 @@ chunk per array (SURVEY.md §2.3 ChunkBatchSampler).
 """
 from __future__ import annotations
 
-import json
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Tuple
 

@@ -17,7 +17,6 @@ import json
 from pathlib import Path
 from typing import Dict, Tuple
 
-import jax
 import numpy as np
 
 from forest_tpu.data.vqvae_dataset import VQVAEDataset

@@ -11,7 +11,6 @@ from pathlib import Path
 from typing import Callable, Dict, Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 
 from forest_tpu.data.feature_builder import FeatureBuilder
 from forest_tpu.models import representation as rep

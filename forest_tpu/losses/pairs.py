@@ -19,7 +19,6 @@ outputs with validity masks (SURVEY.md §8.3 "padded/masked formulations"):
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

@@ -19,7 +19,6 @@ import json
 import math
 import os
 import re
-import shutil
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Tuple
 

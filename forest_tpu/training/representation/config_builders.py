@@ -7,7 +7,7 @@ explicit default so partial configs work; losses declared in the bindings
 """
 from __future__ import annotations
 
-from dataclasses import fields, replace
+from dataclasses import fields
 from typing import Any, Dict, Tuple
 
 from forest_tpu.data.anchor_sampling import AnchorSampler, build_anchor_sampler

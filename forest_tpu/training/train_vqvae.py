@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 import yaml
 
-from forest_tpu.data.loader import PrefetchLoader, make_device_put
+from forest_tpu.data.loader import PrefetchLoader
 from forest_tpu.data.samplers import ChunkBatchSampler
 from forest_tpu.data.schema import build_and_save_schema
 from forest_tpu.data.cube import LegacyCube
