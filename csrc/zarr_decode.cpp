@@ -53,18 +53,26 @@ BloscApi& blosc() {
   return api;
 }
 
-// Read a whole file; returns size or -1.
+// Read a whole file; returns size or -1 (open/seek/short-read failure).
 long read_file(const char* path, std::vector<uint8_t>& buf) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return -1;
-  std::fseek(f, 0, SEEK_END);
+  if (std::fseek(f, 0, SEEK_END) != 0) {
+    std::fclose(f);
+    return -1;
+  }
   long n = std::ftell(f);
-  std::fseek(f, 0, SEEK_SET);
+  if (n < 0 || std::fseek(f, 0, SEEK_SET) != 0) {
+    std::fclose(f);
+    return -1;  // non-seekable / ftell failure: never resize(SIZE_MAX)
+  }
   buf.resize(static_cast<size_t>(n));
   size_t got = std::fread(buf.data(), 1, static_cast<size_t>(n), f);
   std::fclose(f);
   return got == static_cast<size_t>(n) ? n : -1;
 }
+
+constexpr long kBloscMinHeader = 16;
 
 }  // namespace
 
@@ -76,22 +84,32 @@ extern "C" {
 //   -4 dst too small.
 long ftpu_decode_file(const char* path, void* dst, size_t dst_cap,
                       int mode) {
-  std::vector<uint8_t> raw;
-  long n = read_file(path, raw);
-  if (n < 0) return -1;
-  if (mode == 1) {
-    if (static_cast<size_t>(n) > dst_cap) return -4;
-    std::memcpy(dst, raw.data(), static_cast<size_t>(n));
-    return n;
+  try {
+    std::vector<uint8_t> raw;
+    long n = read_file(path, raw);
+    if (n < 0) return -1;
+    if (mode == 1) {
+      if (static_cast<size_t>(n) > dst_cap) return -4;
+      std::memcpy(dst, raw.data(), static_cast<size_t>(n));
+      return n;
+    }
+    // Truncated/empty files must not reach blosc_cbuffer_sizes: it reads
+    // a 16-byte header unconditionally (out-of-bounds read -> SIGSEGV).
+    if (n < kBloscMinHeader) return -5;
+    auto& api = blosc();
+    if (!api.ok) return -2;
+    size_t nbytes = 0, cbytes = 0, blocksize = 0;
+    api.cbuffer_sizes(raw.data(), &nbytes, &cbytes, &blocksize);
+    if (nbytes > dst_cap) return -4;
+    if (cbytes > static_cast<size_t>(n)) return -5;  // header lies
+    int rc = api.decompress_ctx(raw.data(), dst, nbytes, 1);
+    if (rc <= 0) return -3;
+    return rc;
+  } catch (...) {
+    // Exceptions must never cross the extern "C"/thread boundary
+    // (std::terminate would abort the whole Python process).
+    return -6;
   }
-  auto& api = blosc();
-  if (!api.ok) return -2;
-  size_t nbytes = 0, cbytes = 0, blocksize = 0;
-  api.cbuffer_sizes(raw.data(), &nbytes, &cbytes, &blocksize);
-  if (nbytes > dst_cap) return -4;
-  int rc = api.decompress_ctx(raw.data(), dst, nbytes, 1);
-  if (rc <= 0) return -3;
-  return rc;
 }
 
 // Decode n chunk files in parallel. `paths` are NUL-terminated strings;

@@ -103,13 +103,13 @@ def make_device_put(sharding=None, keep_host_keys=("years",)):
     def put(batch: Dict[str, Any]) -> Dict[str, Any]:
         out = {}
         for k, v in batch.items():
-            if isinstance(v, dict):
+            if k in keep_host_keys:  # host keys stay host-side, dict or not
+                out[k] = v
+            elif isinstance(v, dict):
                 out[k] = {n: jax.device_put(
                     a, sharding if sharding is not None
                     and getattr(a, "ndim", 0) >= 1 else None)
                     for n, a in v.items()}
-            elif k in keep_host_keys:
-                out[k] = v
             elif sharding is not None and getattr(v, "ndim", 0) >= 1:
                 out[k] = jax.device_put(v, sharding)
             else:

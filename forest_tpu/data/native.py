@@ -31,12 +31,18 @@ _tried = False
 
 def _build() -> bool:
     _BUILD_DIR.mkdir(parents=True, exist_ok=True)
+    # Compile to a unique temp name and atomically rename: concurrent
+    # builders (pytest-xdist, multi-host launch) must never cache a
+    # half-written .so with a fresh mtime.
+    tmp = _BUILD_DIR / f".libftpu_loader.{os.getpid()}.so"
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-           "-o", str(_LIB_PATH), str(_SRC), "-ldl", "-pthread"]
+           "-o", str(tmp), str(_SRC), "-ldl", "-pthread"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _LIB_PATH)
         return True
     except Exception:
+        tmp.unlink(missing_ok=True)
         return False
 
 
@@ -79,19 +85,22 @@ def decode_chunks(paths: Sequence[Optional[str]], chunk_shape, dtype,
     lib = _load()
     if lib is None:
         raise RuntimeError("native loader unavailable")
+    from forest_tpu.data.zarrlite import normalize_fill_value
+
     dt = np.dtype(dtype)
     n = len(paths)
     chunk_nbytes = int(np.prod(chunk_shape)) * dt.itemsize
-    fv = fill_value
-    if fv is None:
-        fv = 0
-    if isinstance(fv, str) and fv == "NaN":
-        fv = np.nan
-    out = np.full((n,) + tuple(chunk_shape), fv, dtype=dt)
-    buf = out.reshape(n, -1).view(np.uint8)
+    fv = normalize_fill_value(fill_value)
 
     real = [(i, p) for i, p in enumerate(paths)
             if p is not None and os.path.exists(p)]
+    # Only missing slots need the fill memset (hot path keeps np.empty).
+    out = np.empty((n,) + tuple(chunk_shape), dtype=dt)
+    present = {i for i, _ in real}
+    for i in range(n):
+        if i not in present:
+            out[i] = fv
+    buf = out.reshape(n, -1).view(np.uint8)
     if not real:
         return out
     c_paths = (ctypes.c_char_p * len(real))(
@@ -108,10 +117,16 @@ def decode_chunks(paths: Sequence[Optional[str]], chunk_shape, dtype,
     for k, (i, p) in enumerate(real):
         # Missing files never reach the C call (filtered above), so ANY
         # negative code here -- including -1 -- is a genuine failure;
-        # silently substituting fill values would fabricate data.
+        # silently substituting fill values would fabricate data. A short
+        # decode (wrong chunk shape / corruption) is equally fatal: the
+        # Python path raises on reshape, so the native path must too.
         if results[k] < 0:
             raise RuntimeError(
                 f"native decode failed for {p}: rc={results[k]}")
+        if int(results[k]) != chunk_nbytes:
+            raise RuntimeError(
+                f"native decode size mismatch for {p}: got "
+                f"{int(results[k])} bytes, expected {chunk_nbytes}")
     del ok
     return out
 

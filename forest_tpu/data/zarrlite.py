@@ -74,7 +74,14 @@ def blosc_compress(data: bytes, typesize: int, cname: str = "lz4",
     return dest.raw[:rc]
 
 
+_BLOSC_MIN_HEADER = 16
+_BLOSC_MAX_NBYTES = 1 << 34  # 16 GiB sanity cap on a single chunk
+
+
 def blosc_decompress(buf: bytes, nthreads: int = 1) -> bytes:
+    if len(buf) < _BLOSC_MIN_HEADER:
+        raise RuntimeError(
+            f"truncated blosc chunk: {len(buf)} bytes (< 16-byte header)")
     lib = _Blosc.lib()
     nbytes = ctypes.c_size_t()
     cbytes = ctypes.c_size_t()
@@ -82,11 +89,26 @@ def blosc_decompress(buf: bytes, nthreads: int = 1) -> bytes:
     src = ctypes.create_string_buffer(buf, len(buf))
     lib.blosc_cbuffer_sizes(src, ctypes.byref(nbytes), ctypes.byref(cbytes),
                             ctypes.byref(blocksize))
+    if cbytes.value > len(buf) or nbytes.value > _BLOSC_MAX_NBYTES:
+        raise RuntimeError(
+            f"corrupt blosc header: cbytes={cbytes.value} "
+            f"nbytes={nbytes.value} file={len(buf)}")
     dest = ctypes.create_string_buffer(nbytes.value)
     rc = lib.blosc_decompress_ctx(src, dest, nbytes.value, nthreads)
     if rc <= 0:
         raise RuntimeError(f"blosc_decompress_ctx failed rc={rc}")
     return dest.raw[:rc]
+
+
+def normalize_fill_value(fv):
+    """Decode a zarr v2 JSON fill value (None -> 0, 'NaN'/'Infinity'
+    strings -> floats). Single source of truth for Python + native paths."""
+    if fv is None:
+        return 0
+    if isinstance(fv, str):
+        return {"NaN": np.nan, "Infinity": np.inf,
+                "-Infinity": -np.inf}.get(fv, fv)
+    return fv
 
 
 # ---------------------------------------------------------------------------
@@ -158,12 +180,8 @@ class ZarrArray:
         return self.path / ".".join(str(i) for i in cidx)
 
     def _fill_chunk(self) -> np.ndarray:
-        fv = self.fill_value
-        if fv is None:
-            fv = 0
-        if isinstance(fv, str) and fv == "NaN":
-            fv = np.nan
-        return np.full(self.chunks, fv, dtype=self.dtype)
+        return np.full(self.chunks, normalize_fill_value(self.fill_value),
+                       dtype=self.dtype)
 
     def read_chunk(self, cidx: Sequence[int]) -> np.ndarray:
         """Decode one full chunk (edge chunks returned at full chunk shape)."""
@@ -182,6 +200,8 @@ class ZarrArray:
         reads+decodes run in parallel native threads (csrc/zarr_decode.cpp);
         otherwise falls back to sequential :meth:`read_chunk`.
         """
+        if len(cidxs) == 0:
+            return np.empty((0,) + tuple(self.chunks), self.dtype)
         is_blosc = (self.compressor or {}).get("id") == "blosc"
         if use_native is None:
             from forest_tpu.data import native
@@ -210,7 +230,10 @@ class ZarrArray:
             sel.append(slice(None))
         out = []
         for s, size in zip(sel, self.shape):
-            if isinstance(s, int):
+            if isinstance(s, (int, np.integer)):
+                if s < -size or s >= size:
+                    raise IndexError(
+                        f"index {s} out of bounds for axis of size {size}")
                 if s < 0:
                     s += size
                 out.append(slice(s, s + 1))

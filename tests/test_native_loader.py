@@ -61,3 +61,53 @@ class TestNative:
         print(f"python {t_py*1e3:.1f}ms native {t_nat*1e3:.1f}ms "
               f"({t_py/max(t_nat,1e-9):.1f}x)")
         assert t_nat < t_py * 1.5  # allow noise; typically several x faster
+
+
+class TestNativeRobustness:
+    def test_truncated_chunk_errors_not_segfault(self, tmp_path):
+        """0-byte / truncated chunk files must raise, never SIGSEGV or
+        silently fill (review-pass regression)."""
+        a = zl.create_array(tmp_path / "t", (4, 4), (4, 4), np.float32,
+                            fill_value=7.0)
+        a[:] = np.ones((4, 4), np.float32)
+        chunk = tmp_path / "t" / "0.0"
+        chunk.write_bytes(b"")  # interrupted writer
+        with pytest.raises(RuntimeError):
+            a.read_chunks_batch([(0, 0)], use_native=True)
+        with pytest.raises(RuntimeError, match="truncated"):
+            a.read_chunks_batch([(0, 0)], use_native=False)
+        chunk.write_bytes(b"\x02\x01" * 4)  # 8 bytes < header
+        with pytest.raises(RuntimeError):
+            a.read_chunks_batch([(0, 0)], use_native=True)
+
+    def test_short_decode_raises_both_paths(self, tmp_path):
+        """A chunk whose payload decompresses to the wrong size must raise
+        on the native path just like the Python reshape does."""
+        small = zl.create_array(tmp_path / "s", (2, 4), (2, 4), np.float32)
+        small[:] = np.ones((2, 4), np.float32)
+        big = zl.create_array(tmp_path / "b", (4, 4), (4, 4), np.float32,
+                              fill_value=7.0)
+        big[:] = np.ones((4, 4), np.float32)
+        # swap in the smaller chunk's file
+        (tmp_path / "b" / "0.0").write_bytes(
+            (tmp_path / "s" / "0.0").read_bytes())
+        with pytest.raises((RuntimeError, ValueError)):
+            big.read_chunks_batch([(0, 0)], use_native=True)
+        with pytest.raises((RuntimeError, ValueError)):
+            big.read_chunks_batch([(0, 0)], use_native=False)
+
+    def test_empty_batch_consistent(self, tmp_path):
+        a = zl.create_array(tmp_path / "e", (4, 4), (4, 4), np.float32)
+        for un in (True, False):
+            out = a.read_chunks_batch([], use_native=un)
+            assert out.shape == (0, 4, 4)
+
+    def test_int_index_bounds(self, tmp_path):
+        a = zl.create_array(tmp_path / "i", (4, 4), (4, 4), np.float32,
+                            fill_value=float("nan"))
+        a[:] = np.ones((4, 4), np.float32)
+        with pytest.raises(IndexError):
+            a[10]
+        with pytest.raises(IndexError):
+            a[-7]
+        np.testing.assert_array_equal(a[-1], np.ones(4))
