@@ -170,7 +170,15 @@ def main():
     import jax
 
     log(f"[bench] backend: {jax.default_backend()} devices: {jax.devices()}")
-    name, tpu_us = bench_tpu_quantize()
+    best = bench_tpu_quantize()
+    if best is None:
+        # The driver contract is ONE JSON line no matter what.
+        print(json.dumps({
+            "metric": "vq_quantize_us_per_32x32_patch", "value": -1.0,
+            "unit": "us", "vs_baseline": 0.0,
+            "extra": {"error": "both quantize kernels failed"}}))
+        return
+    name, tpu_us = best
     torch_us = bench_torch_cpu_quantize()
     extra = {"kernel": name}
     try:

@@ -252,6 +252,45 @@ def synthetic_bindings(zarr_path: str | Path, stats_file: str | Path,
     }
 
 
+def synthetic_feature_stats(bindings) -> Dict:
+    """Handcrafted stats for :func:`synthetic_bindings` features -- used by
+    dry runs / benches that never touch a real cube (shared by
+    __graft_entry__ and scripts/bench_frl_step)."""
+    stats: Dict = {}
+    for fname, fc in bindings.features.items():
+        stats[fname] = {ref: {"mean": 0.0, "sd": 1.0, "q25": -0.5,
+                              "q50": 0.0, "q75": 0.5, "min": -3.0,
+                              "max": 3.0} for ref in fc.channels}
+        if fc.covariance.calculate:
+            d = len(fc.channels)
+            stats[fname]["__covariance__"] = {
+                "matrix": np.eye(d).tolist(),
+                "mean": np.zeros(d).tolist(), "n": 100.0,
+                "stat_domain": fc.covariance.stat_domain}
+    return stats
+
+
+def synthetic_frl_batch(rng, b: int, hw: int, t: int = 15) -> Dict:
+    """In-memory group batch matching :func:`synthetic_bindings`'s dataset
+    groups (numpy; callers jnp-ify)."""
+    return {
+        "static_mask": (rng.random((b, hw, hw, 3)) > 0.1
+                        ).astype(np.float32),
+        "annual_mask": (rng.random((b, t, hw, hw, 1)) > 0.05
+                        ).astype(np.float32),
+        "static": rng.normal(size=(b, hw, hw, 4)).astype(np.float32),
+        "static_categorical": rng.choice(
+            [7001, 7002, 7003], size=(b, hw, hw, 1)).astype(np.float32),
+        "annual": np.concatenate([
+            rng.normal(size=(b, t, hw, hw, 2)),
+            rng.integers(0, 20, size=(b, t, hw, hw, 1)).astype(float),
+            np.broadcast_to(
+                (np.arange(t) / (t - 1))[None, :, None, None, None],
+                (b, t, hw, hw, 1))], axis=-1).astype(np.float32),
+        "__window__": np.zeros((b, 2), np.int32),
+    }
+
+
 def main(argv=None):
     """CLI: generate a synthetic cube + matching bindings YAML (and stats).
 

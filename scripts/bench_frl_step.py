@@ -45,17 +45,10 @@ def main(argv=None):
             "type": "weighted",
             "weight_by": ["static_mask.aoi", "static_mask.forest"]}},
     }
-    stats = {}
-    for fname, fc in bindings.features.items():
-        stats[fname] = {ref: {"mean": 0.0, "sd": 1.0, "q25": -0.5,
-                              "q50": 0.0, "q75": 0.5, "min": -3.0,
-                              "max": 3.0} for ref in fc.channels}
-        if fc.covariance.calculate:
-            d = len(fc.channels)
-            stats[fname]["__covariance__"] = {
-                "matrix": np.eye(d).tolist(),
-                "mean": np.zeros(d).tolist(), "n": 100.0,
-                "stat_domain": "patch"}
+    from forest_tpu.data.cube_v2 import (synthetic_feature_stats,
+                                         synthetic_frl_batch)
+
+    stats = synthetic_feature_stats(bindings)
     fb = FeatureBuilder(bindings, stats)
 
     cdt = "bfloat16" if a.bf16_smoothing else None
@@ -88,22 +81,8 @@ def main(argv=None):
     step = jax.jit(ts.make_train_step(process, opt), donate_argnums=0)
 
     rng = np.random.default_rng(0)
-    batch = {
-        "static_mask": jnp.asarray(
-            rng.random((b, hw, hw, 3)) > 0.1, jnp.float32),
-        "annual_mask": jnp.asarray(
-            rng.random((b, t, hw, hw, 1)) > 0.05, jnp.float32),
-        "static": jnp.asarray(rng.normal(size=(b, hw, hw, 4)), jnp.float32),
-        "static_categorical": jnp.asarray(
-            rng.choice([7001, 7002, 7003], size=(b, hw, hw, 1)),
-            jnp.float32),
-        "annual": jnp.asarray(np.concatenate([
-            rng.normal(size=(b, t, hw, hw, 2)),
-            rng.integers(0, 20, size=(b, t, hw, hw, 1)).astype(float),
-            np.broadcast_to((np.arange(t) / (t - 1))[None, :, None, None,
-                                                     None],
-                            (b, t, hw, hw, 1))], axis=-1), jnp.float32),
-    }
+    batch = {k: jnp.asarray(v)
+             for k, v in synthetic_frl_batch(rng, b, hw, t).items()}
     weights = {k: jnp.float32(v)
                for k, v in step_mod.DEFAULT_WEIGHTS.items()}
     cur = {"input_dropout_rate": jnp.float32(0.05),
@@ -121,11 +100,14 @@ def main(argv=None):
         state, m = step(state, batch, jax.random.key(i), weights, cur)
     jax.block_until_ready(m["loss_total"])
     dt = (time.perf_counter() - t0) / a.iters
-    ref = 1.1  # s/batch, reference A40 (BASELINE.md)
+    # Reference: 1.1 s/batch at B=12, 256^2 (BASELINE.md). Normalize the
+    # comparison per-pixel so non-default --batch/--patch stay honest.
+    ref_s_per_px = 1.1 / (12 * 256 * 256)
+    px_per_batch = b * hw * hw
+    speedup = ref_s_per_px * px_per_batch / dt
     print(f"steady step: {dt*1e3:.1f} ms/batch @ B={b}, {hw}x{hw}  "
-          f"-> {ref/dt:.1f}x reference (1.1 s/batch)")
-    px_per_s = b * hw * hw / dt
-    print(f"throughput: {px_per_s/1e6:.1f} M type-pixels/s")
+          f"-> {speedup:.1f}x reference (per-pixel vs 1.1 s @ B=12 256^2)")
+    print(f"throughput: {px_per_batch/dt/1e6:.1f} M type-pixels/s")
 
 
 if __name__ == "__main__":

@@ -1,8 +1,10 @@
 #!/usr/bin/env bash
 # TPU training launcher — the forest-tpu analogue of the reference's SLURM
-# scripts (train_isaac*.sh, SURVEY.md §1 "Ops"): stage the cube to fast
-# local storage, pin host BLAS threads, and launch with auto-resume so a
-# preempted job continues from encoder_last on resubmit.
+# scripts (train_isaac*.sh, SURVEY.md §1 "Ops"): pin host BLAS threads and
+# launch with auto-resume so a preempted job continues from the last
+# checkpoint on resubmit. In vq mode, FOREST_TPU_STAGE_DIR stages the cube
+# to fast local storage first (frl mode reads the cube path from the
+# bindings YAML, so stage it yourself and point the bindings at the copy).
 #
 # Usage:
 #   scripts/train_tpu.sh frl  BINDINGS.yaml TRAINING.yaml [extra args...]
@@ -16,14 +18,20 @@ shift
 # (the reference pins torch/BLAS the same way, train_representation.py:61-71).
 export OPENBLAS_NUM_THREADS=1 OMP_NUM_THREADS=1 MKL_NUM_THREADS=1
 
-# Optional fast staging: FOREST_TPU_STAGE_DIR=/dev/shm scripts/train_tpu.sh ...
+# Optional fast staging (vq mode): FOREST_TPU_STAGE_DIR=/dev/shm ...
+# Atomic: copy to a temp dir then mv, so a preempted copy is never reused
+# as a (silently truncated) cube; progress goes to stderr (stdout is the
+# captured path).
 stage_cube() {
   local src=$1
   if [[ -n "${FOREST_TPU_STAGE_DIR:-}" && -d "$src" ]]; then
     local dst="${FOREST_TPU_STAGE_DIR}/$(basename "$src")"
     if [[ ! -d "$dst" ]]; then
-      echo "staging $src -> $dst"
-      cp -r "$src" "$dst"
+      echo "staging $src -> $dst" >&2
+      local tmp="${dst}.tmp.$$"
+      rm -rf "$tmp"
+      cp -r "$src" "$tmp"
+      mv "$tmp" "$dst"
     fi
     echo "$dst"
   else
