@@ -119,8 +119,13 @@ def fit_linear_probe(encode_fn: Callable, fb, ds_train, ds_val,
     Returns dict with weights and per-metric train/val R^2 + MSE arrays
     aligned to the target feature's channel order.
     """
-    first = next(_iter_embeddings(encode_fn, ds_train, fb, target_feature,
-                                  1, batch_size))
+    try:
+        first = next(_iter_embeddings(encode_fn, ds_train, fb,
+                                      target_feature, 1, batch_size))
+    except StopIteration:
+        raise ValueError(
+            "train dataset yielded no patches -- check the split / "
+            "split_block_size geometry") from None
     ridge = StreamingRidge(first[0].shape[1], first[1].shape[1])
     for z, y, v in _iter_embeddings(encode_fn, ds_train, fb,
                                     target_feature, max_batches_train,

@@ -180,6 +180,55 @@ def combine_evt_contingency_tables(csv_a: str | Path, csv_b: str | Path,
     return out_csv
 
 
+def main(argv=None):
+    """CLI: all three phase diagnostics from a trained checkpoint.
+
+    python -m forest_tpu.eval.phase_diagnostics --checkpoint CKPT
+        --bindings B.yaml --out DIR [--split train] [--n-patches 8]
+    """
+    import argparse
+
+    from forest_tpu.data.bindings import parse_bindings
+    from forest_tpu.data.feature_builder import FeatureBuilder
+    from forest_tpu.data.frl_dataset import ForestDatasetV2
+    from forest_tpu.eval import frozen
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--bindings", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--split", default="train")
+    ap.add_argument("--patch-size", type=int, default=256)
+    ap.add_argument("--split-block-size", type=int, nargs=2,
+                    default=(4, 4))
+    ap.add_argument("--n-patches", type=int, default=8)
+    ap.add_argument("--evt-source", default="static_categorical.evt")
+    ap.add_argument("--ysfc-source", default="annual.ysfc")
+    a = ap.parse_args(argv)
+
+    bindings = parse_bindings(a.bindings)
+    fb = FeatureBuilder(bindings)
+    ds = ForestDatasetV2(bindings, split=a.split, patch_size=a.patch_size,
+                         split_block_size=tuple(a.split_block_size))
+    model, params = frozen.load_frozen_model(a.checkpoint)
+    enc_t, _, _ = frozen.make_encode_fns(model, params, fb)
+    enc_pf = frozen.make_encode_phase_film(model, params, fb)
+
+    z_phase, gamma, ysfc, evt = collect_phase_samples(
+        enc_t, enc_pf, fb, ds, a.evt_source, a.ysfc_source, a.n_patches)
+    out = Path(a.out)
+    out.mkdir(parents=True, exist_ok=True)
+    p1 = phase_evt_diagnostics(z_phase, gamma, evt, out / "phase_evt.png")
+    p2 = phase_recovery_curves(z_phase, ysfc, evt,
+                               out / "recovery_curves.png")
+    p3 = ysfc_evt_histograms(ysfc, evt, out / "ysfc_histograms.png")
+    print(f"wrote {p1}, {p2}, {p3}")
+
+
+if __name__ == "__main__":
+    main()
+
+
 __all__ = ["collect_phase_samples", "phase_evt_diagnostics",
            "phase_recovery_curves", "ysfc_evt_histograms",
            "combine_evt_contingency_tables"]

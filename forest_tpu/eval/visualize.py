@@ -117,5 +117,72 @@ def visualize_forest_diagnostics(encode_gate_fn: Callable, dataset,
     return paths
 
 
+def main(argv=None):
+    """CLI: figure sheets from a trained checkpoint.
+
+    python -m forest_tpu.eval.visualize --checkpoint CKPT --bindings B.yaml
+        --out DIR [--split test] [--patch-size 256] [--n 4] [--probe]
+    """
+    import argparse
+
+    import jax
+
+    from forest_tpu.data.bindings import parse_bindings
+    from forest_tpu.data.feature_builder import FeatureBuilder
+    from forest_tpu.data.frl_dataset import ForestDatasetV2
+    from forest_tpu.eval import frozen, linear_probe as lp
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--bindings", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--split", default="test")
+    ap.add_argument("--patch-size", type=int, default=256)
+    ap.add_argument("--split-block-size", type=int, nargs=2,
+                    default=(4, 4))
+    ap.add_argument("--n", type=int, default=4)
+    ap.add_argument("--target-feature", default="infonce_type_spectral")
+    ap.add_argument("--probe", action="store_true",
+                    help="also fit + overlay a linear probe")
+    a = ap.parse_args(argv)
+
+    bindings = parse_bindings(a.bindings)
+    fb = FeatureBuilder(bindings)
+    ds = ForestDatasetV2(bindings, split=a.split, patch_size=a.patch_size,
+                         split_block_size=tuple(a.split_block_size))
+    model, params = frozen.load_frozen_model(a.checkpoint)
+    enc_t, _, _ = frozen.make_encode_fns(model, params, fb)
+
+    weights = None
+    if a.probe:
+        ds_tr = ForestDatasetV2(bindings, split="train",
+                                patch_size=a.patch_size,
+                                split_block_size=tuple(a.split_block_size))
+        probe = lp.fit_linear_probe(enc_t, fb, ds_tr, ds,
+                                    a.target_feature,
+                                    max_batches_train=16,
+                                    max_batches_eval=4)
+        weights = probe["weights"]
+        print("probe r2 (val):", probe["r2_val"])
+
+    paths = visualize_test_patches(enc_t, fb, ds, a.target_feature,
+                                   weights, a.out, a.n)
+
+    variables = {"params": params}
+
+    @jax.jit
+    def encode_gate(batch):
+        import jax.numpy as jnp
+        x, _ = fb.build_feature("type_encoder_input", batch)
+        return model.apply(variables, x, return_gate=True)
+
+    paths += visualize_forest_diagnostics(encode_gate, ds, a.out, a.n)
+    print(f"wrote {len(paths)} figures to {a.out}")
+
+
+if __name__ == "__main__":
+    main()
+
+
 __all__ = ["visualize_test_patches", "visualize_forest_diagnostics",
            "_pca_rgb"]
