@@ -238,11 +238,18 @@ def train(cfg: TrainingConfiguration,
         curriculum = {"input_dropout_rate": jnp.float32(idr),
                       "min_gate": jnp.float32(min_gate)}
 
-        state, train_m = loops.train_epoch(
-            ctx["ds_train"], ctx["train_step"], state,
-            batch_size=cfg.epoch.batch_size, weights=weights,
-            curriculum=curriculum, rng_seed=cfg.seed + epoch,
-            num_workers=cfg.hardware.num_workers, max_batches=max_batches)
+        # --profile captures a jax.profiler trace of the FIRST trained
+        # epoch (SURVEY.md §6.1's opt-in tracing).
+        trace_dir = (str(exp_dir / cfg.run.log_dir / "trace")
+                     if profiling.is_profiling() and epoch == start_epoch
+                     else None)
+        with profiling.maybe_trace(trace_dir):
+            state, train_m = loops.train_epoch(
+                ctx["ds_train"], ctx["train_step"], state,
+                batch_size=cfg.epoch.batch_size, weights=weights,
+                curriculum=curriculum, rng_seed=cfg.seed + epoch,
+                num_workers=cfg.hardware.num_workers,
+                max_batches=max_batches)
 
         val_m = None
         if val_every and epoch % val_every == 0:
