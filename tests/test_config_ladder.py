@@ -8,11 +8,16 @@ from forest_tpu.data.cube import build_synthetic_cube
 from forest_tpu.training import train_vqvae
 
 
+from pathlib import Path
+
+CONFIG_DIR = Path(__file__).resolve().parents[1] / "configs"
+
+
 def _run(tmp_path, cube_kwargs, cfg_overrides, config_name=None):
     build_synthetic_cube(tmp_path / "cube.zarr", height=64, width=64,
                          chunk_yx=32, patch_size=32, seed=0, **cube_kwargs)
     cfg = train_vqvae.load_config(
-        str(pytest.CONFIG_DIR / config_name) if config_name else None, {})
+        str(CONFIG_DIR / config_name) if config_name else None, {})
     cfg.update(zarr=str(tmp_path / "cube.zarr"),
                run_dir=str(tmp_path / "run"), epochs=1, steps_per_epoch=4,
                batch_size=32, num_workers=2, block_size=(1, 1),
@@ -22,12 +27,6 @@ def _run(tmp_path, cube_kwargs, cfg_overrides, config_name=None):
     h = result["history"][-1]
     assert np.isfinite(h["train/loss_total"]), h
     return result
-
-
-@pytest.fixture(autouse=True)
-def _config_dir():
-    from pathlib import Path
-    pytest.CONFIG_DIR = Path(__file__).resolve().parents[1] / "configs"
 
 
 class TestConfigLadder:

@@ -265,13 +265,14 @@ class TestExportEmbeddings:
         # exported patches match a direct encode
         import jax.numpy as jnp
         win = ds.patches[0]
-        batch = {k: jnp.asarray(v)
-                 for k, v in ds.load_batch([0]).items()}
         # load_batch uses _current_indices; make patch 0 = patches[0]
         saved = ds._current_indices
-        ds._current_indices = list(range(len(ds.patches)))
-        batch = {k: jnp.asarray(v) for k, v in ds.load_batch([0]).items()}
-        ds._current_indices = saved
+        try:
+            ds._current_indices = list(range(len(ds.patches)))
+            batch = {k: jnp.asarray(v)
+                     for k, v in ds.load_batch([0]).items()}
+        finally:
+            ds._current_indices = saved
         z = np.asarray(enc_t(batch))[0]
         stored = arr[win.row_slice, win.col_slice]
         np.testing.assert_allclose(stored, z.astype(np.float16), atol=1e-2)

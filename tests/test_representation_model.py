@@ -105,7 +105,6 @@ class TestPhasePath:
                             method=model.forward_phase)
         ys = np.array([1, 5, 9])
         xs = np.array([2, 7, 11])
-        flat_x = xp[0, :, ys, xs]          # [3, T, CP]? check axes
         # index [B, T, H, W, C] at b=0, all T, (y, x) pairs:
         px = jnp.stack([xp[0, :, y, x] for y, x in zip(ys, xs)])
         pz = jnp.stack([zt[0, y, x] for y, x in zip(ys, xs)])

@@ -77,7 +77,9 @@ class TestTrainRepresentation:
         assert meta["model_config"]["model"]["z_type_dim"] == 12
 
     def test_auto_resume(self, trained):
+        import copy
         root, cfg, bpath, model_cfg, _ = trained
+        cfg = copy.deepcopy(cfg)  # never mutate the shared fixture config
         cfg.epoch.num_epochs = 3
         result = tr.train(cfg, bpath, model_cfg, max_batches=3)
         assert [h["epoch"] for h in result["history"]] == [2]

@@ -37,11 +37,16 @@ class TestTrainCLI:
         assert (root / "run" / "ckpt" / "ckpt_last.msgpack").exists()
         assert (root / "run" / "ckpt" / "ckpt_best_0.msgpack").exists()
 
-    def test_auto_resume_continues(self, trained_run):
+    def test_auto_resume_continues(self, trained_run, tmp_path):
+        import shutil
         root, cfg, _ = trained_run
-        cfg2 = dict(cfg, epochs=3)
+        # Resume in a COPY of the run dir so the module-scoped fixture's
+        # artifacts stay untouched for other tests (order independence).
+        run2 = tmp_path / "run_copy"
+        shutil.copytree(root / "run", run2)
+        cfg2 = dict(cfg, epochs=3, run_dir=str(run2))
         result = train_vqvae.train(cfg2)
-        hist = json.loads((root / "run" / "history.json").read_text())
+        hist = json.loads((run2 / "history.json").read_text())
         # resumed run trains only epoch 2
         assert [h["epoch"] for h in hist] == [2]
 
