@@ -50,6 +50,8 @@ class RepresentationModel(nn.Module):
     spatial_conv_coarse_dilation: int = 3
     spatial_conv_rank: int = 4
     spatial_conv_compute_dtype: Optional[str] = None
+    # None = fused Pallas bank+mixing kernel on TPU (escape hatch: False).
+    spatial_conv_use_pallas: Optional[bool] = None
     phase_tcn_channels: Sequence[int] = (64, 64, 64)
     phase_tcn_kernel_size: int = 3
     phase_tcn_dilations: Sequence[int] = (1, 2, 4)
@@ -74,7 +76,8 @@ class RepresentationModel(nn.Module):
             num_directions=self.spatial_conv_num_directions,
             coarse_dilation=self.spatial_conv_coarse_dilation,
             rank=self.spatial_conv_rank,
-            compute_dtype=self.spatial_conv_compute_dtype)
+            compute_dtype=self.spatial_conv_compute_dtype,
+            use_pallas=self.spatial_conv_use_pallas)
         self.phase_tcn = TCNEncoder(
             channels=tuple(self.phase_tcn_channels),
             kernel_size=self.phase_tcn_kernel_size,
@@ -202,6 +205,9 @@ def from_config(cfg: Dict[str, Any], type_in_channels: int,
         spatial_conv_coarse_dilation=s.get("coarse_dilation", 3),
         spatial_conv_rank=s.get("rank", 4),
         spatial_conv_compute_dtype=s.get("compute_dtype"),
+        # Execution detail, not architecture: settable from configs as an
+        # escape hatch but never serialized into checkpoints.
+        spatial_conv_use_pallas=s.get("use_pallas"),
         phase_tcn_channels=tuple(p.get("channels", (64, 64, 64))),
         phase_tcn_kernel_size=p.get("kernel_size", 3),
         phase_tcn_dilations=tuple(p.get("dilations", (1, 2, 4))),

@@ -13,11 +13,12 @@ EdgeAwareSmoothingConv2D -- behavioral contract from
   clamped from below by a curriculum ``min_gate`` (1 = identity), and
   ``output = smoothed + gate * (x - smoothed)``.
 
-TPU-native formulation: all K depthwise convs run as ONE
-``lax.conv_general_dilated`` pair with ``feature_group_count=C`` (channels
-expanded into the filter count), and the slot accumulation / channel mixing
-collapses to a single einsum that XLA fuses -- no Python loop over
-directions, no [B, C, R, H, W] materialization.
+TPU-native formulation: the filter bank + rank-R mixing runs as ONE fused
+Pallas pass per row tile (``forest_tpu/ops/smoothing.bank_mix``) -- the
+directional 3-tap means are in-VMEM shift-adds contracted against the
+mixing weights on the fly, so the [B, H, W, C, K] filtered tensor never
+touches HBM. On non-TPU backends the same op falls back to a grouped
+``lax.conv_general_dilated`` pair + einsum (the parity oracle).
 
 GatedResidualConv2D is the retained predecessor
 (/root/reference/frl/models/spatial.py:15-162): per-pixel learned gate
@@ -25,56 +26,19 @@ blending a smoothing conv with the identity.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
+
+# _direction_bank/_sobel/depthwise_bank_conv are re-exported here for
+# existing importers (tests, derived_features).
+from forest_tpu.ops.smoothing import (_direction_bank, _sobel,  # noqa: F401
+                                      bank_mix, depthwise_bank_conv,
+                                      sobel_grads)
 
 Array = jax.Array
-
-
-def _direction_bank() -> np.ndarray:
-    """[4, 3, 3] fixed orientation templates (3-tap means)."""
-    t = np.zeros((4, 3, 3), np.float32)
-    t[0, 1, :] = 1 / 3          # horizontal
-    t[1, :, 1] = 1 / 3          # vertical
-    t[2, [0, 1, 2], [0, 1, 2]] = 1 / 3   # main diagonal
-    t[3, [0, 1, 2], [2, 1, 0]] = 1 / 3   # anti-diagonal
-    return t
-
-
-def _sobel() -> Tuple[np.ndarray, np.ndarray]:
-    sx = np.array([[-1., 0., 1.], [-2., 0., 2.], [-1., 0., 1.]],
-                  np.float32) / 4.0
-    sy = np.array([[-1., -2., -1.], [0., 0., 0.], [1., 2., 1.]],
-                  np.float32) / 4.0
-    return sx, sy
-
-
-def depthwise_bank_conv(x: Array, bank: Array, dilation: int = 1) -> Array:
-    """Apply F fixed [3,3] filters depthwise to every channel.
-
-    x: [B, H, W, C]; bank: [F, 3, 3] -> returns [B, H, W, C, F].
-    Implemented as one grouped conv with C*F output features (a shift-add
-    formulation was tried and measured no faster while compiling ~50x
-    slower -- the op is HBM-bound either way).
-    """
-    b, h, w, c = x.shape
-    bank = jnp.asarray(bank)
-    f = bank.shape[0]
-    # HWIO kernel for feature_group_count=C: [3, 3, 1, C*F]; output feature
-    # j = ci * F + fi must convolve input channel ci with filter fi.
-    k = jnp.transpose(bank, (1, 2, 0))  # [3, 3, F]
-    k = jnp.tile(k[:, :, None, :], (1, 1, 1, c)).reshape(3, 3, 1, c * f)
-    out = jax.lax.conv_general_dilated(
-        x, k.astype(x.dtype), window_strides=(1, 1),
-        padding=[(dilation, dilation)] * 2,
-        rhs_dilation=(dilation, dilation),
-        feature_group_count=c,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    return out.reshape(b, h, w, c, f)
 
 
 class EdgeAwareSmoothingConv2D(nn.Module):
@@ -88,6 +52,8 @@ class EdgeAwareSmoothingConv2D(nn.Module):
     # Optional reduced-precision compute (params stay fp32): "bfloat16"
     # measured ~22% faster at [12,256,256,48] on v5e (CLAUDE.md perf notes).
     compute_dtype: Optional[str] = None
+    # None = fused Pallas bank+mixing kernel on TPU, XLA path elsewhere.
+    use_pallas: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: Array, *, min_gate: float = 0.0,
@@ -99,12 +65,9 @@ class EdgeAwareSmoothingConv2D(nn.Module):
         b, h, w, c = x.shape
         nd, r = self.num_directions, self.rank
         k = nd * 2
-        bank = _direction_bank()[:nd]  # numpy: taps stay compile-time consts
-        sx, sy = _sobel()
 
         # Per-channel Sobel gradients -> shared mixing backbone.
-        grads = depthwise_bank_conv(x, np.stack([sx, sy]))  # [B,H,W,C,2]
-        feat = grads.reshape(b, h, w, 2 * c)
+        feat = sobel_grads(x)  # [B,H,W,2C], gx/gy interleaved per channel
         feat = nn.relu(nn.Conv(self.gate_hidden, (3, 3), padding="SAME",
                                dtype=cdt, name="mix_backbone")(feat))
 
@@ -115,16 +78,12 @@ class EdgeAwareSmoothingConv2D(nn.Module):
                            name="mix_head_B")(feat)
         b_w = jax.nn.softmax(b_logits.reshape(b, h, w, c, r), axis=4)
 
-        # Filter bank at both scales: [B,H,W,C,K] with filters interleaved
-        # (2i = fine, 2i+1 = coarse) to match the reference's A indexing.
-        fine = depthwise_bank_conv(x, bank, dilation=1)        # [B,H,W,C,nd]
-        coarse = depthwise_bank_conv(x, bank,
-                                     dilation=self.coarse_dilation)
-        filtered = jnp.stack([fine, coarse], axis=-1)  # [B,H,W,C,nd,2]
-        filtered = filtered.reshape(b, h, w, c, k)
-
-        # smoothed[c] = sum_r B[c,r] * sum_k A[k,r] * filtered[c,k]
-        smoothed = jnp.einsum("bhwck,bhwkr,bhwcr->bhwc", filtered, a_w, b_w)
+        # Fused fine/coarse filter bank + rank-R mixing (filters interleaved
+        # 2i = fine, 2i+1 = coarse to match the reference's A indexing):
+        # smoothed[c] = sum_k filtered[c,k] * sum_r A[k,r] * B[c,r]
+        smoothed = bank_mix(x, a_w, b_w, num_directions=nd,
+                            coarse_dilation=self.coarse_dilation,
+                            use_pallas=self.use_pallas)
 
         residual = x - smoothed
         g = nn.Conv(self.gate_hidden, (self.gate_kernel_size,) * 2,

@@ -22,6 +22,8 @@ def main(argv=None):
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--model", choices=["v1", "tiny"], default="v1")
     ap.add_argument("--bf16-smoothing", action="store_true")
+    ap.add_argument("--no-pallas", action="store_true",
+                    help="force the XLA smoothing path (diagnostics)")
     a = ap.parse_args(argv)
 
     import jax
@@ -52,13 +54,15 @@ def main(argv=None):
     fb = FeatureBuilder(bindings, stats)
 
     cdt = "bfloat16" if a.bf16_smoothing else None
+    up = False if a.no_pallas else None
     if a.model == "v1":
         model = rep.RepresentationModel(
             type_in_channels=4, phase_in_channels=3, z_type_dim=48,
             type_encoder_channels=(128, 48), z_phase_dim=8,
             phase_tcn_channels=(64, 64, 64),
             phase_tcn_dilations=(1, 2, 4),
-            spatial_conv_compute_dtype=cdt)
+            spatial_conv_compute_dtype=cdt,
+            spatial_conv_use_pallas=up)
     else:
         model = rep.RepresentationModel(
             type_in_channels=4, phase_in_channels=3, z_type_dim=8,

@@ -1,0 +1,127 @@
+"""Fused bank+mixing Pallas kernel vs the XLA oracle.
+
+The fused kernel (forest_tpu/ops/smoothing.bank_mix) must reproduce the
+reference smoothing math (/root/reference/frl/models/spatial.py:290-328:
+depthwise directional bank + rank-R factored mixing einsum) bit-closely in
+both forward and backward, including image borders (zero padding), halo
+tiles, and the lane/sublane padding paths (C not a multiple of 16, W not a
+multiple of 128, H not a multiple of the row tile)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from forest_tpu.ops import smoothing as sm
+
+
+def _rand(rng, shape):
+    return jnp.asarray(rng.normal(size=shape), jnp.float32)
+
+
+def _inputs(rng, b, h, w, c, nd=4, r=4):
+    x = _rand(rng, (b, h, w, c))
+    a_w = jax.nn.softmax(_rand(rng, (b, h, w, 2 * nd, r)), axis=3)
+    b_w = jax.nn.softmax(_rand(rng, (b, h, w, c, r)), axis=4)
+    return x, a_w, b_w
+
+
+class TestForwardParity:
+    @pytest.mark.parametrize("shape", [
+        (2, 32, 40, 8),     # W, C both need padding; two row tiles
+        (1, 8, 128, 16),    # single clamped tile (H < TH)
+        (1, 33, 128, 48),   # H not a multiple of TH
+    ])
+    def test_matches_xla(self, shape):
+        rng = np.random.default_rng(0)
+        x, a_w, b_w = _inputs(rng, *shape)
+        ref = sm.bank_mix_xla(x, a_w, b_w)
+        out = sm.bank_mix(x, a_w, b_w, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-6, rtol=1e-5)
+
+    def test_nondefault_geometry(self):
+        rng = np.random.default_rng(1)
+        x, a_w, b_w = _inputs(rng, 1, 16, 64, 8, nd=2, r=2)
+        ref = sm.bank_mix_xla(x, a_w, b_w, num_directions=2,
+                              coarse_dilation=2)
+        out = sm.bank_mix(x, a_w, b_w, num_directions=2, coarse_dilation=2,
+                          interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-6, rtol=1e-5)
+
+    def test_bf16_inputs(self):
+        rng = np.random.default_rng(2)
+        x, a_w, b_w = _inputs(rng, 1, 16, 128, 16)
+        args = [v.astype(jnp.bfloat16) for v in (x, a_w, b_w)]
+        ref = sm.bank_mix_xla(*args)
+        out = sm.bank_mix(*args, interpret=True)
+        assert out.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            atol=0.05, rtol=0.05)
+
+    def test_border_zero_padding_semantics(self):
+        # A one-hot input at the corner exercises every zero-padding edge.
+        x = jnp.zeros((1, 16, 128, 16), jnp.float32).at[0, 0, 0, 0].set(1.0)
+        rng = np.random.default_rng(3)
+        a_w = jax.nn.softmax(_rand(rng, (1, 16, 128, 8, 4)), axis=3)
+        b_w = jax.nn.softmax(_rand(rng, (1, 16, 128, 16, 4)), axis=4)
+        ref = sm.bank_mix_xla(x, a_w, b_w)
+        out = sm.bank_mix(x, a_w, b_w, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-6, rtol=1e-5)
+
+
+class TestBackwardParity:
+    def test_grads_match_xla(self):
+        rng = np.random.default_rng(4)
+        x, a_w, b_w = _inputs(rng, 2, 32, 40, 8)
+        w = _rand(rng, x.shape)
+
+        def loss(fn):
+            return lambda x, a, b: jnp.sum(fn(x, a, b) * w)
+
+        gp = jax.grad(loss(lambda x, a, b: sm.bank_mix(
+            x, a, b, interpret=True)), argnums=(0, 1, 2))(x, a_w, b_w)
+        gx = jax.grad(loss(sm.bank_mix_xla), argnums=(0, 1, 2))(x, a_w, b_w)
+        for got, ref in zip(gp, gx):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=2e-6, rtol=1e-5)
+
+    def test_grads_through_softmax(self):
+        # The custom VJP boundary is (x, a_w, b_w); autodiff must continue
+        # correctly through the producing softmaxes.
+        rng = np.random.default_rng(5)
+        b, h, w, c, nd, r = 1, 16, 128, 16, 4, 4
+        x = _rand(rng, (b, h, w, c))
+        al = _rand(rng, (b, h, w, 2 * nd, r))
+        bl = _rand(rng, (b, h, w, c, r))
+
+        def loss(fn):
+            def inner(al, bl):
+                a_w = jax.nn.softmax(al, axis=3)
+                b_w = jax.nn.softmax(bl, axis=4)
+                return jnp.sum(fn(x, a_w, b_w) ** 2)
+            return inner
+
+        gp = jax.grad(loss(lambda x, a, b: sm.bank_mix(
+            x, a, b, interpret=True)), argnums=(0, 1))(al, bl)
+        gx = jax.grad(loss(sm.bank_mix_xla), argnums=(0, 1))(al, bl)
+        for got, ref in zip(gp, gx):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=2e-5, rtol=1e-4)
+
+
+class TestModuleIntegration:
+    def test_module_cpu_auto_uses_xla_and_matches(self):
+        from forest_tpu.models.spatial import EdgeAwareSmoothingConv2D
+        rng = np.random.default_rng(6)
+        x = _rand(rng, (1, 16, 16, 48))
+        key = jax.random.key(0)
+        mod = EdgeAwareSmoothingConv2D(channels=48)
+        p = mod.init(key, x)
+        out_auto = mod.apply(p, x, min_gate=0.2)
+        out_xla = EdgeAwareSmoothingConv2D(
+            channels=48, use_pallas=False).apply(p, x, min_gate=0.2)
+        np.testing.assert_array_equal(np.asarray(out_auto),
+                                      np.asarray(out_xla))
