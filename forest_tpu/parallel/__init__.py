@@ -1,4 +1,5 @@
 """Device mesh construction and data-parallel step builders."""
 
 from forest_tpu.parallel.mesh import make_mesh, batch_sharding  # noqa: F401
-from forest_tpu.parallel.dp import make_dp_train_step  # noqa: F401
+from forest_tpu.parallel.dp import (make_dp_train_step,  # noqa: F401
+                                    make_dp_frl_step)

@@ -1,15 +1,26 @@
-"""Data-parallel train-step builder (pjit over a 1-D data mesh).
+"""Data-parallel train-step builders over a 1-D ("data",) mesh.
 
-Wraps :func:`forest_tpu.training.vqvae_step.make_train_step` (a pure
-function) with mesh shardings: state/weights replicated, batch sharded on
-axis 0. XLA inserts the gradient all-reduce and the psum of the VQ codebook
-EMA sufficient statistics (counts/sums are ``jnp.sum`` over the global batch,
-which under a sharded batch IS the cross-replica reduction) -- the
-BASELINE.json north-star contract with zero hand-written collectives.
+Two implementations:
+
+- ``impl="shard_map"`` (default): the step runs replica-local under Manual
+  mesh axes with explicit collectives (gradient/metric pmean, VQ EMA
+  sufficient-statistic psum) supplied by the ``axis_name`` plumbing in the
+  step builders. This is the REQUIRED path when the Pallas kernels are on
+  (the fused VQ and smoothing kernels): ``pallas_call`` only partitions
+  under Manual mesh axes -- under GSPMD auto-sharding XLA treats the custom
+  call as opaque and surrounds it with all-gathers (full replication).
+- ``impl="gspmd"``: plain jit + sharding constraints; XLA derives the
+  collectives. Kept for the pure-XLA path and as a cross-check -- both
+  implementations are asserted equivalent in tests/test_vqvae_model.py.
+
+Replicating the reference's semantics: the reference is single-GPU
+(SURVEY.md §2.9), so scaling out keeps per-replica batch semantics and
+psums only what the single-GPU update would see globally (gradients and the
+codebook EMA statistics -- the BASELINE.json north-star contract).
 """
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Callable, Dict, Optional
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -18,15 +29,37 @@ from forest_tpu.models.vqvae import VQVAE
 from forest_tpu.training import vqvae_step
 
 
+def _shard_map_step(raw: Callable, mesh: Mesh, data_axis: str,
+                    n_batch_args: int, n_repl_args: int,
+                    donate: bool):
+    """shard_map a step(state, batch..., repl...) -> (state, metrics)."""
+    in_specs = (P(),) + (P(data_axis),) * n_batch_args \
+        + (P(),) * n_repl_args
+    sm = jax.shard_map(raw, mesh=mesh, in_specs=in_specs,
+                       out_specs=(P(), P()))
+    return jax.jit(sm, donate_argnums=(0,) if donate else ())
+
+
 def make_dp_train_step(model: VQVAE, optimizer, mesh: Mesh,
                        class_weights: Optional[Dict] = None,
                        use_pallas: Optional[bool] = None,
                        data_axis: str = "data",
-                       donate_state: bool = True):
+                       donate_state: bool = True,
+                       impl: str = "shard_map",
+                       **step_kw):
     """Returns jitted ``step(state, batch, loss_weights, rng)`` with the batch
     sharded over ``data_axis`` and everything else replicated."""
+    if impl == "shard_map":
+        raw = vqvae_step.make_train_step(model, optimizer, class_weights,
+                                         use_pallas=use_pallas,
+                                         axis_name=data_axis, **step_kw)
+        return _shard_map_step(raw, mesh, data_axis, n_batch_args=1,
+                               n_repl_args=2, donate=donate_state)
+
+    if impl != "gspmd":
+        raise ValueError(f"unknown impl {impl!r}")
     raw = vqvae_step.make_train_step(model, optimizer, class_weights,
-                                     use_pallas=use_pallas)
+                                     use_pallas=use_pallas, **step_kw)
     repl = NamedSharding(mesh, P())
     bsh = NamedSharding(mesh, P(data_axis))
 
@@ -47,4 +80,22 @@ def make_dp_train_step(model: VQVAE, optimizer, mesh: Mesh,
     )
 
 
-__all__ = ["make_dp_train_step"]
+def make_dp_frl_step(process_batch: Callable, optimizer, mesh: Mesh,
+                     data_axis: str = "data", donate_state: bool = True):
+    """Data-parallel FRL train step: ``step(state, batch, rng, weights,
+    curriculum)`` with the batch dict sharded on dim 0 over ``data_axis``.
+
+    shard_map-based (Manual axes) so the fused Pallas smoothing kernel
+    partitions per-replica; gradients/metrics pmean'd inside the step."""
+    from forest_tpu.training.representation import train_step as ts
+
+    raw = ts.make_train_step(process_batch, optimizer, axis_name=data_axis)
+
+    # arg order: (state, batch, rng, weights, curriculum)
+    in_specs = (P(), P(data_axis), P(), P(), P())
+    sm = jax.shard_map(raw, mesh=mesh, in_specs=in_specs,
+                       out_specs=(P(), P()))
+    return jax.jit(sm, donate_argnums=(0,) if donate_state else ())
+
+
+__all__ = ["make_dp_train_step", "make_dp_frl_step"]

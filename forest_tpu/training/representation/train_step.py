@@ -34,7 +34,15 @@ def init_train_state(params, optimizer) -> FRLTrainState:
                          jnp.zeros((), jnp.int32))
 
 
-def make_train_step(process_batch: Callable, optimizer) -> Callable:
+def make_train_step(process_batch: Callable, optimizer,
+                    axis_name: str | None = None) -> Callable:
+    """With ``axis_name`` set (inside shard_map over the data mesh),
+    gradients and metrics are pmean'd across replicas. A non-finite loss on
+    ANY replica poisons the pmean'd gradients, so the finite-check below
+    (taken after the pmean) yields one consistent global skip decision --
+    replicas can never diverge. Cross-batch losses inside process_batch pool
+    anchors over the REPLICA-local batch (the reference's per-GPU batch
+    semantics scaled by adding replicas)."""
     def train_step(state: FRLTrainState, batch, rng, weights, curriculum):
         def loss_fn(params):
             return process_batch(params, batch, rng, weights, curriculum,
@@ -42,6 +50,11 @@ def make_train_step(process_batch: Callable, optimizer) -> Callable:
 
         (loss, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            loss = jax.lax.pmean(loss, axis_name)
+            metrics = jax.tree.map(
+                lambda m: jax.lax.pmean(m, axis_name), metrics)
         gnorm = optax.global_norm(grads)
         finite = jnp.isfinite(loss) & jnp.isfinite(gnorm)
         safe_grads = jax.tree.map(
@@ -63,10 +76,14 @@ def make_train_step(process_batch: Callable, optimizer) -> Callable:
     return train_step
 
 
-def make_eval_step(process_batch: Callable) -> Callable:
+def make_eval_step(process_batch: Callable,
+                   axis_name: str | None = None) -> Callable:
     def eval_step(params, batch, rng, weights, curriculum):
         _, metrics = process_batch(params, batch, rng, weights, curriculum,
                                    False)
+        if axis_name is not None:
+            metrics = jax.tree.map(
+                lambda m: jax.lax.pmean(m, axis_name), metrics)
         return metrics
 
     return eval_step

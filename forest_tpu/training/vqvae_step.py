@@ -97,11 +97,17 @@ def make_train_step(model: VQVAE, optimizer: optax.GradientTransformation,
                     class_weights: Optional[Dict[str, Array]] = None,
                     use_pallas: Optional[bool] = None,
                     reseed_dead: bool = False,
-                    reseed_threshold: float = 1e-3) -> Callable:
+                    reseed_threshold: float = 1e-3,
+                    axis_name: Optional[str] = None) -> Callable:
     """Returns pure ``train_step(state, batch, loss_weights, rng) -> (state, metrics)``.
 
     jit / pjit is applied by the caller (single-chip: jax.jit with donation;
     multi-chip: forest_tpu.parallel.dp wraps it with mesh shardings).
+    With ``axis_name`` set (inside shard_map over the data mesh), gradients
+    and metrics are pmean'd, EMA sufficient statistics psum'd, and dead-code
+    reseed candidates all-gathered, so every replica applies the identical
+    update -- the explicit-collective path required because the Pallas VQ
+    kernel only partitions under Manual (shard_map) mesh axes.
     """
     cw = class_weights or {}
 
@@ -115,6 +121,8 @@ def make_train_step(model: VQVAE, optimizer: optax.GradientTransformation,
 
         (_, (out, metrics)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)
@@ -123,18 +131,29 @@ def make_train_step(model: VQVAE, optimizer: optax.GradientTransformation,
         if model.quantizer == "ema":
             vq_stats, new_cb = vq_ops.ema_codebook_update(
                 vq_stats, params["codebook"], out.counts, out.sums,
-                decay=model.ema_decay, eps=model.ema_eps)
+                decay=model.ema_decay, eps=model.ema_eps,
+                axis_name=axis_name)
             if reseed_dead:
+                cand = out.z_e
+                if axis_name is not None:
+                    cand = jax.lax.all_gather(out.z_e, axis_name, axis=0,
+                                              tiled=True)
                 new_cb, vq_stats = vq_ops.reseed_dead_codes(
-                    new_cb, vq_stats, out.z_e, rng,
+                    new_cb, vq_stats, cand, rng,
                     threshold=reseed_threshold)
             params = dict(params)
             params["codebook"] = new_cb
         else:
+            counts = out.counts
+            if axis_name is not None:
+                counts = jax.lax.psum(counts, axis_name)
             vq_stats = vq_stats._replace(
-                code_usage=vq_stats.code_usage + out.counts)
+                code_usage=vq_stats.code_usage + counts)
 
         metrics["grad_norm"] = optax.global_norm(grads)
+        if axis_name is not None:
+            metrics = jax.tree.map(
+                lambda m: jax.lax.pmean(m, axis_name), metrics)
         new_state = VQVAETrainState(params, opt_state, vq_stats,
                                     state.step + 1)
         return new_state, metrics

@@ -175,3 +175,109 @@ class TestAnnealers:
         assert sched(50)["vq"] == pytest.approx(0.1)
         assert sched(150)["vq"] == pytest.approx(0.5)
         assert sched(250)["vq"] == pytest.approx(1.0)
+
+
+class TestShardMapDP:
+    """shard_map DP (Manual mesh axes -- the Pallas-compatible path) must
+    match both the single-device step and the GSPMD implementation. Balanced
+    batch (no NaNs / ignore_index): per-shard loss means then equal the
+    global mean, so the comparison is exact up to float reassociation."""
+
+    def _balanced_batch(self, rng, b=32):
+        batch = make_batch(rng, b=b)
+        batch["cont"] = jnp.asarray(
+            rng.normal(size=(b, T, C_CONT)).astype(np.float32))
+        batch["cat_target"] = {
+            "evt": jnp.asarray(rng.integers(0, 12, size=(b, T)), jnp.int32),
+            "lcms": jnp.asarray(rng.integers(0, 7, size=(b, T)), jnp.int32),
+        }
+        return batch
+
+    def test_shard_map_matches_single_and_gspmd(self, rng):
+        from forest_tpu.parallel import make_dp_train_step
+        from forest_tpu.parallel.mesh import make_mesh, shard_batch_pytree
+
+        model = make_model("ema")
+        batch = self._balanced_batch(rng)
+        opt = vqvae_step.make_optimizer(1e-3)
+        state = vqvae_step.init_train_state(model, opt, batch,
+                                            jax.random.key(0))
+
+        single = jax.jit(vqvae_step.make_train_step(model, opt,
+                                                    use_pallas=False))
+        s0, m0 = single(state, batch, WEIGHTS, jax.random.key(0))
+
+        mesh = make_mesh(8)
+        bs = shard_batch_pytree(batch, mesh)
+        results = {}
+        for impl in ("shard_map", "gspmd"):
+            step = make_dp_train_step(model, opt, mesh, use_pallas=False,
+                                      impl=impl, donate_state=False)
+            s, m = step(state, bs, WEIGHTS, jax.random.key(0))
+            results[impl] = (s, m)
+            np.testing.assert_allclose(float(m["loss/total"]),
+                                       float(m0["loss/total"]), rtol=2e-5)
+            np.testing.assert_allclose(np.asarray(s.params["codebook"]),
+                                       np.asarray(s0.params["codebook"]),
+                                       rtol=1e-4, atol=1e-5)
+            np.testing.assert_allclose(
+                np.asarray(s.vq_stats.cluster_size),
+                np.asarray(s0.vq_stats.cluster_size), rtol=1e-5, atol=1e-6)
+
+    def test_frl_shard_map_dp_runs_and_matches_on_one_device(self):
+        """On a 1-device mesh the shard_map FRL step must equal the plain
+        jitted step bit-for-bit; on 8 devices it must stay finite."""
+        import jax.numpy as jnp
+        from forest_tpu.data.bindings import parse_bindings
+        from forest_tpu.data.cube_v2 import (synthetic_bindings,
+                                             synthetic_feature_stats,
+                                             synthetic_frl_batch)
+        from forest_tpu.data.feature_builder import FeatureBuilder
+        from forest_tpu.models import representation as rep
+        from forest_tpu.parallel import make_dp_frl_step
+        from forest_tpu.parallel.mesh import make_mesh, shard_batch_pytree
+        from forest_tpu.training.representation import (
+            config_builders as cb, step as step_mod, train_step as ts)
+
+        bindings = parse_bindings(synthetic_bindings("/dev/null", "/dev/null"))
+        fb = FeatureBuilder(bindings, synthetic_feature_stats(bindings))
+        model = rep.RepresentationModel(
+            type_in_channels=4, phase_in_channels=3, z_type_dim=8,
+            type_encoder_channels=(16, 8), z_phase_dim=3,
+            phase_tcn_channels=(12, 12), phase_tcn_dilations=(1, 2))
+        t, hw = 15, 32
+        params = rep.init_variables(model, jax.random.key(0),
+                                    num_timesteps=t)["params"]
+        process = step_mod.make_process_batch(
+            model, fb, cb.build_sampler(bindings, {}),
+            cb.build_step_config(bindings, {}), hw)
+        opt = ts.make_optimizer(1e-3)
+        weights = {k: jnp.float32(v)
+                   for k, v in step_mod.DEFAULT_WEIGHTS.items()}
+        cur = {"input_dropout_rate": jnp.float32(0.0),
+               "min_gate": jnp.float32(0.0)}
+        nprng = np.random.default_rng(0)
+        batch16 = {k: jnp.asarray(v)
+                   for k, v in synthetic_frl_batch(nprng, 16, hw, t).items()}
+
+        # 1-device mesh == plain step
+        state = ts.init_train_state(params, opt)
+        plain = jax.jit(ts.make_train_step(process, opt))
+        b2 = {k: v[:2] for k, v in batch16.items()}
+        _, m_plain = plain(state, b2, jax.random.key(3), weights, cur)
+        mesh1 = make_mesh(1)
+        step1 = make_dp_frl_step(process, opt, mesh1, donate_state=False)
+        state = ts.init_train_state(params, opt)
+        _, m_1 = step1(state, shard_batch_pytree(b2, mesh1),
+                       jax.random.key(3), weights, cur)
+        np.testing.assert_allclose(float(m_1["loss_total"]),
+                                   float(m_plain["loss_total"]), rtol=1e-6)
+
+        # 8-device mesh: finite, no skip
+        mesh8 = make_mesh(8)
+        step8 = make_dp_frl_step(process, opt, mesh8, donate_state=False)
+        state = ts.init_train_state(params, opt)
+        _, m_8 = step8(state, shard_batch_pytree(batch16, mesh8),
+                       jax.random.key(3), weights, cur)
+        assert np.isfinite(float(m_8["loss_total"]))
+        assert int(m_8["skipped"]) == 0
