@@ -164,6 +164,34 @@ def bench_pipeline(tmpdir: str):
     return sps, chunk_rate
 
 
+def bench_frl_step(iters: int = 10):
+    """Production-scale FRL train step (B=12, 256^2, bf16 smoothing, fused
+    Pallas kernel). Returns (ms_per_batch, speedup_vs_A40_reference)."""
+    import importlib.util
+    import io
+    import pathlib
+    from contextlib import redirect_stdout
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_frl_step",
+        pathlib.Path(__file__).parent / "scripts" / "bench_frl_step.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    frl_main = mod.main
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        frl_main(["--bf16-smoothing", "--iters", str(iters)])
+    out = buf.getvalue()
+    log(out.strip())
+    for line in out.splitlines():
+        if line.startswith("steady step:"):
+            ms = float(line.split("steady step:")[1].split("ms/batch")[0])
+            x = float(line.split("-> ")[1].split("x reference")[0])
+            return ms, x
+    raise RuntimeError("frl bench produced no steady-step line")
+
+
 def main():
     import tempfile
 
@@ -188,6 +216,11 @@ def main():
                      zarr_chunks_per_sec=round(chunk_rate, 1))
     except Exception as e:  # pipeline bench is best-effort
         log(f"[bench] pipeline bench failed: {type(e).__name__}: {e}")
+    try:
+        ms, x_ref = bench_frl_step()
+        extra.update(frl_step_ms=round(ms, 1), frl_vs_a40_ref=round(x_ref, 2))
+    except Exception as e:  # best-effort
+        log(f"[bench] frl step bench failed: {type(e).__name__}: {e}")
 
     print(json.dumps({
         "metric": "vq_quantize_us_per_32x32_patch",

@@ -97,4 +97,61 @@ def contrastive_loss(z_anchor: Array, z_other: Array, anchor_ids: Array,
     return loss, aux
 
 
-__all__ = ["contrastive_loss", "pair_similarity", "segment_logsumexp"]
+def contrastive_loss_grouped(z_anchor: Array, z_other: Array,
+                             is_positive: Array,
+                             weights: Optional[Array] = None,
+                             pair_valid: Optional[Array] = None,
+                             similarity: str = "l2", temperature: float = 0.2
+                             ) -> Tuple[Array, dict]:
+    """Anchor-grouped InfoNCE over a REGULAR [S, K] pair layout.
+
+    Identical math to :func:`contrastive_loss` with
+    ``anchor_ids = repeat(arange(S), K)`` but expressed as dense masked
+    logsumexps over the K axis: the segment-sum/scatter-add formulation
+    profiled at ~10 ms/step on v5e (TPU scatters serialize) while this
+    form is pure vector reductions.
+
+    z_anchor: [S, D]; z_other: [S, K, D]; is_positive/weights/pair_valid:
+    [S, K]. Returns (scalar loss, aux dict) matching contrastive_loss.
+    """
+    s, k = z_other.shape[:2]
+    if pair_valid is None:
+        pair_valid = jnp.ones((s, k), bool)
+    if weights is None:
+        weights = jnp.ones((s, k), jnp.float32)
+    sim = pair_similarity(
+        jnp.broadcast_to(z_anchor[:, None, :], z_other.shape), z_other,
+        similarity)                                          # [S, K]
+    logw = jnp.log(jnp.maximum(weights.astype(jnp.float32), 1e-12))
+    logits = sim / temperature + logw
+
+    def masked_lse(valid):
+        x = jnp.where(valid, logits, _NEG)
+        m = jnp.max(x, axis=1)                               # [S]
+        has = m > _NEG / 2
+        m_safe = jnp.where(has, m, 0.0)
+        e = jnp.where(valid, jnp.exp(x - m_safe[:, None]), 0.0)
+        lse = jnp.log(jnp.maximum(jnp.sum(e, axis=1), 1e-38)) + m_safe
+        return lse, has
+
+    pos_valid = pair_valid & is_positive
+    lse_all, has_all = masked_lse(pair_valid)
+    lse_pos, has_pos = masked_lse(pos_valid)
+    per_anchor = lse_all - lse_pos
+    anchor_ok = has_pos & has_all
+    denom = jnp.maximum(jnp.sum(anchor_ok.astype(jnp.float32)), 1.0)
+    loss = jnp.sum(jnp.where(anchor_ok, per_anchor, 0.0)) / denom
+
+    neg_valid = pair_valid & ~is_positive
+    aux = {
+        "n_anchors_used": jnp.sum(anchor_ok.astype(jnp.int32)),
+        "mean_pos_sim": (jnp.sum(jnp.where(pos_valid, sim, 0.0))
+                         / jnp.maximum(jnp.sum(pos_valid), 1)),
+        "mean_neg_sim": (jnp.sum(jnp.where(neg_valid, sim, 0.0))
+                         / jnp.maximum(jnp.sum(neg_valid), 1)),
+    }
+    return loss, aux
+
+
+__all__ = ["contrastive_loss", "contrastive_loss_grouped",
+           "pair_similarity", "segment_logsumexp"]

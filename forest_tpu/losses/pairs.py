@@ -234,20 +234,34 @@ def pairs_mutual_knn_chunked(features: Array, k: int,
     within-patch spatial exclusion. Returns (pairs [N*k', 2], valid).
     """
     n = features.shape[0]
+    knn_idx, valid = mutual_knn_grouped(features, k, patch_ids, coords,
+                                        pos_min_spatial, chunk_size)
+    kk = knn_idx.shape[1]
+    rows = jnp.broadcast_to(jnp.arange(n)[:, None], (n, kk)).reshape(-1)
+    pairs = jnp.stack([rows, knn_idx.reshape(-1)], axis=1).astype(jnp.int32)
+    return pairs, valid.reshape(-1)
+
+
+def mutual_knn_grouped(features: Array, k: int,
+                       patch_ids: Optional[Array] = None,
+                       coords: Optional[Array] = None,
+                       pos_min_spatial: float = 4.0,
+                       chunk_size: int = 128) -> Tuple[Array, Array]:
+    """Mutual-kNN in anchor-major grouped form: (knn_idx [N, k'],
+    valid [N, k'] with the mutuality filter applied). The grouped layout
+    feeds contrastive_loss_grouped without any segment scatters."""
+    n = features.shape[0]
     knn_idx, knn_valid = _chunked_knn_idx(features, k, chunk_size,
                                           patch_ids, coords,
                                           pos_min_spatial)
-    kk = knn_idx.shape[1]
     member = jnp.zeros((n, n), bool)
     member = member.at[jnp.arange(n)[:, None], knn_idx].set(knn_valid)
-    rows = jnp.broadcast_to(jnp.arange(n)[:, None], (n, kk)).reshape(-1)
-    cols = knn_idx.reshape(-1)
-    valid = knn_valid.reshape(-1) & member[cols, rows]
-    pairs = jnp.stack([rows, cols], axis=1).astype(jnp.int32)
-    return pairs, valid
+    rows = jnp.broadcast_to(jnp.arange(n)[:, None], knn_idx.shape)
+    valid = knn_valid & member[knn_idx, rows]
+    return knn_idx, valid
 
 
 __all__ = ["pairs_knn", "pairs_mutual_knn", "pairs_quantile", "pairs_radius",
            "pairs_with_spatial_constraint",
            "mask_to_pairs", "apply_spatial_constraint", "knn_membership",
-           "pairs_mutual_knn_chunked"]
+           "pairs_mutual_knn_chunked", "mutual_knn_grouped"]

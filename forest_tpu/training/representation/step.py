@@ -38,7 +38,7 @@ import numpy as np
 from forest_tpu.data.anchor_sampling import AnchorSampler
 from forest_tpu.data.feature_builder import FeatureBuilder
 from forest_tpu.losses import pairs as pairs_mod
-from forest_tpu.losses.contrastive import contrastive_loss
+from forest_tpu.losses.contrastive import contrastive_loss_grouped
 from forest_tpu.losses.evt_soft_neighborhood import evt_soft_neighborhood_loss
 from forest_tpu.losses.phase_neighborhood import (
     build_phase_neighborhood_batch, compute_phase_spread_ranking,
@@ -231,24 +231,32 @@ def make_process_batch(model, feature_builder: FeatureBuilder,
         # never become neighbors or negatives.
         pixel_mask = jnp.any(m_type, axis=-1)              # [B, H, W]
 
+        # Pair builders emit anchor-major REGULAR layouts ([A, K] per
+        # sample), so the InfoNCE runs in grouped form -- dense masked
+        # logsumexps over the K axis instead of segment scatters (profiled
+        # ~10 ms/step of scatter-add/gather on v5e).
         def one_sample_pairs(args):
-            z_t, c, valid, mask, key = args
-            ai_p, nbr_p, v_p = sp.spatial_knn_pairs(
+            c, mask, key = args
+            _, nbr_p, v_p = sp.spatial_knn_pairs(
                 c, mask, cfg.knn_k, cfg.knn_max_radius)
-            ai_n, nbr_n, v_n = sp.spatial_negative_pairs(
+            _, nbr_n, v_n = sp.spatial_negative_pairs(
                 c, mask, key, cfg.neg_min_distance, cfg.neg_max_distance,
                 cfg.neg_per_anchor)
-            ai = jnp.concatenate([ai_p, ai_n])
-            nbr = jnp.concatenate([nbr_p, nbr_n])
-            is_pos = jnp.concatenate([jnp.ones_like(v_p),
-                                      jnp.zeros_like(v_n)]).astype(bool)
-            pv = jnp.concatenate([v_p, v_n]) & valid[ai]
-            z_nbr = sp.extract_at_locations(z_t, nbr)
-            return ai, nbr, is_pos, pv, z_nbr
+            a_ = c.shape[0]
+            return (nbr_p.reshape(a_, -1, 2), v_p.reshape(a_, -1),
+                    nbr_n.reshape(a_, -1, 2), v_n.reshape(a_, -1))
 
         keys_neg = jax.random.split(k_neg, bsz)
-        ai, nbr, is_pos, pv, z_nbr = jax.vmap(one_sample_pairs)(
-            (z_type, coords, a_valid, pixel_mask, keys_neg))
+        nbr_p, v_p, nbr_n, v_n = jax.vmap(one_sample_pairs)(
+            (coords, pixel_mask, keys_neg))
+        k1 = v_p.shape[-1]
+        nbr = jnp.concatenate([nbr_p, nbr_n], axis=2)      # [B, A, K, 2]
+        k_tot = nbr.shape[2]
+        is_pos = jnp.broadcast_to(
+            jnp.arange(k_tot) < k1, (bsz, a, k_tot))
+        pv = jnp.concatenate([v_p, v_n], axis=2) & a_valid[:, :, None]
+        nbr_flat = nbr.reshape(bsz, a * k_tot, 2)
+        z_nbr = jax.vmap(sp.extract_at_locations)(z_type, nbr_flat)
         # Spectral pair weights (step.py:385-399 contract):
         #   positives: clip(exp(-d/sigma), min_w, 1)
         #   negatives: clip(1 - exp(-d/sigma), min_w, 1)
@@ -256,23 +264,23 @@ def make_process_batch(model, feature_builder: FeatureBuilder,
             lambda g, c: fb.build_feature_at_locations(
                 cfg.spectral_feature, g, c),
             in_axes=({k: 0 for k in batch}, 0))(
-                {k: v for k, v in batch.items()}, nbr)
+                {k: v for k, v in batch.items()}, nbr_flat)
+        spec_nbr = spec_nbr.reshape(bsz, a, k_tot, -1)
+        spec_nbr_m = spec_nbr_m.reshape(bsz, a, k_tot, -1)
         pv = pv & jnp.any(spec_nbr_m, axis=-1)
-        d_spec = jnp.linalg.norm(
-            jnp.take_along_axis(spec_a, ai[..., None], axis=1) - spec_nbr,
-            axis=-1)
+        d_spec = jnp.linalg.norm(spec_a[:, :, None, :] - spec_nbr, axis=-1)
         e = jnp.exp(-d_spec / cfg.spectral_sigma)
         pw = jnp.clip(jnp.where(is_pos, e, 1.0 - e),
                       cfg.min_pair_weight, 1.0)
 
-        p_per = ai.shape[1]
-        anchor_ids_global = (ai + jnp.arange(bsz)[:, None] * a).reshape(-1)
-        z_anchor_rows = jnp.take_along_axis(
-            z_a, ai[..., None], axis=1).reshape(-1, z_a.shape[-1])
-        spatial_loss, sp_aux = contrastive_loss(
-            z_anchor_rows, z_nbr.reshape(-1, z_a.shape[-1]),
-            anchor_ids_global, is_pos.reshape(-1), bsz * a,
-            weights=pw.reshape(-1), pair_valid=pv.reshape(-1),
+        s_dim = bsz * a
+        d_z = z_a.shape[-1]
+        spatial_loss, sp_aux = contrastive_loss_grouped(
+            z_a.reshape(s_dim, d_z),
+            z_nbr.reshape(s_dim, k_tot, d_z),
+            is_pos.reshape(s_dim, k_tot),
+            weights=pw.reshape(s_dim, k_tot),
+            pair_valid=pv.reshape(s_dim, k_tot),
             similarity=cfg.similarity, temperature=cfg.temperature)
         metrics["loss_spatial_infonce"] = spatial_loss
         metrics["spatial_pos_sim"] = sp_aux["mean_pos_sim"]
@@ -371,36 +379,34 @@ def make_process_batch(model, feature_builder: FeatureBuilder,
         spec_guard = jnp.where(flat_valid[:, None], spec_flat,
                                big * (1.0 + jnp.arange(n_flat)
                                       )[:, None].astype(jnp.float32))
-        xb_pairs, xb_valid = pairs_mod.pairs_mutual_knn_chunked(
+        # Grouped (anchor-major) mutual-kNN positives + random negatives:
+        # dense masked logsumexp instead of segment scatters.
+        knn_idx, knn_valid = pairs_mod.mutual_knn_grouped(
             spec_guard, cfg.xb_knn_k, patch_ids, coords_flat,
             cfg.xb_pos_min_spatial, cfg.xb_chunk_size)
-        xb_valid = xb_valid & flat_valid[xb_pairs[:, 0]] \
-            & flat_valid[xb_pairs[:, 1]]
+        pos_valid = knn_valid & flat_valid[:, None] & flat_valid[knn_idx]
         # random cross-patch negatives
         k_xb = jax.random.fold_in(k_neg, 7)
         neg_j = jax.random.randint(k_xb, (n_flat, cfg.xb_neg_per_anchor),
                                    0, n_flat)
-        neg_i = jnp.repeat(jnp.arange(n_flat), cfg.xb_neg_per_anchor)
-        neg_j = neg_j.reshape(-1)
-        neg_valid = (patch_ids[neg_i] != patch_ids[neg_j]) \
-            & flat_valid[neg_i] & flat_valid[neg_j]
-        d_neg = jnp.linalg.norm(spec_flat[neg_i] - spec_flat[neg_j],
+        neg_valid = (patch_ids[:, None] != patch_ids[neg_j]) \
+            & flat_valid[:, None] & flat_valid[neg_j]
+        d_neg = jnp.linalg.norm(spec_flat[:, None, :] - spec_flat[neg_j],
                                 axis=-1)
         # Reference contract (step.py:770-793): mutual-kNN positives are
         # UNWEIGHTED; negatives get clip(1 - exp(-d/sigma), min_w, 1).
         w_neg = jnp.clip(1.0 - jnp.exp(-d_neg / cfg.spectral_sigma),
                          cfg.min_pair_weight, 1.0)
 
-        xb_i = jnp.concatenate([xb_pairs[:, 0], neg_i])
-        xb_j = jnp.concatenate([xb_pairs[:, 1], neg_j])
-        xb_pos = jnp.concatenate([
-            jnp.ones(xb_pairs.shape[0], bool),
-            jnp.zeros(neg_i.shape[0], bool)])
-        xb_v = jnp.concatenate([xb_valid, neg_valid])
-        xb_w = jnp.concatenate([jnp.ones(xb_pairs.shape[0], jnp.float32),
-                                w_neg])
-        xb_loss, xb_aux = contrastive_loss(
-            z_a_flat[xb_i], z_a_flat[xb_j], xb_i, xb_pos, n_flat,
+        kp = knn_idx.shape[1]
+        xb_idx = jnp.concatenate([knn_idx, neg_j], axis=1)   # [N, kp+nk]
+        xb_pos = jnp.broadcast_to(
+            jnp.arange(xb_idx.shape[1]) < kp, xb_idx.shape)
+        xb_v = jnp.concatenate([pos_valid, neg_valid], axis=1)
+        xb_w = jnp.concatenate(
+            [jnp.ones(knn_idx.shape, jnp.float32), w_neg], axis=1)
+        xb_loss, xb_aux = contrastive_loss_grouped(
+            z_a_flat, z_a_flat[xb_idx], xb_pos,
             weights=xb_w, pair_valid=xb_v, similarity=cfg.similarity,
             temperature=cfg.xb_temperature)
         metrics["loss_spectral_infonce"] = xb_loss

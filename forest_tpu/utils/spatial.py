@@ -61,7 +61,9 @@ def spatial_knn_pairs(anchor_coords: Array, mask: Array, k: int = 4,
                  & (nbr[..., 1] >= 0) & (nbr[..., 1] < w))
     rr = jnp.clip(nbr[..., 0], 0, h - 1)
     cc = jnp.clip(nbr[..., 1], 0, w - 1)
-    valid = mask[rr, cc].astype(bool) & in_bounds            # [N, k']
+    # Gather from an f32 view: boolean gathers hit a byte-packed layout
+    # path on TPU (profiled ~3 ms/step at production pair counts).
+    valid = (mask.astype(jnp.float32)[rr, cc] > 0) & in_bounds  # [N, k']
     anchor_idx = jnp.broadcast_to(jnp.arange(n)[:, None], (n, kk))
     return (anchor_idx.reshape(-1),
             jnp.stack([rr, cc], -1).reshape(-1, 2).astype(jnp.int32),
@@ -89,7 +91,7 @@ def spatial_negative_pairs(anchor_coords: Array, mask: Array,
     d = jnp.sqrt(jnp.sum(
         (cand.astype(jnp.float32)
          - anchor_coords[:, None, :].astype(jnp.float32)) ** 2, -1))
-    ok = (d >= min_distance) & mask[rows, cols].astype(bool)
+    ok = (d >= min_distance) & (mask.astype(jnp.float32)[rows, cols] > 0)
     if max_distance is not None:
         ok = ok & (d <= max_distance)
     # Order survivors first, take n_per_anchor.

@@ -491,3 +491,50 @@ class TestSpatialConstraintCombo:
         with pytest.raises(ValueError):
             pairs.pairs_with_spatial_constraint(d, jnp.zeros((4, 2)),
                                                 strategy="bogus")
+
+
+class TestGroupedContrastiveEquivalence:
+    """contrastive_loss_grouped over a regular [S, K] layout must equal the
+    flat segment-op contrastive_loss with anchor-major ids (the grouped form
+    replaces TPU scatters with dense reductions on the hot path)."""
+
+    def test_matches_flat(self, rng):
+        import jax.numpy as jnp
+        from forest_tpu.losses.contrastive import (contrastive_loss,
+                                                   contrastive_loss_grouped)
+
+        s, k, d = 37, 11, 6
+        za = jnp.asarray(rng.normal(size=(s, d)), jnp.float32)
+        zo = jnp.asarray(rng.normal(size=(s, k, d)), jnp.float32)
+        is_pos = jnp.asarray(rng.random((s, k)) < 0.4)
+        valid = jnp.asarray(rng.random((s, k)) < 0.8)
+        w = jnp.asarray(rng.random((s, k)).astype(np.float32) + 0.05)
+
+        lg, ag = contrastive_loss_grouped(za, zo, is_pos, weights=w,
+                                          pair_valid=valid,
+                                          similarity="l2", temperature=0.3)
+        ids = jnp.repeat(jnp.arange(s), k)
+        lf, af = contrastive_loss(
+            jnp.repeat(za, k, axis=0), zo.reshape(-1, d), ids,
+            is_pos.reshape(-1), s, weights=w.reshape(-1),
+            pair_valid=valid.reshape(-1), similarity="l2", temperature=0.3)
+        np.testing.assert_allclose(float(lg), float(lf), rtol=1e-5)
+        for key in ag:
+            np.testing.assert_allclose(np.asarray(ag[key]),
+                                       np.asarray(af[key]), rtol=1e-4,
+                                       atol=1e-6)
+
+    def test_mutual_knn_grouped_matches_flat(self, rng):
+        import jax.numpy as jnp
+        from forest_tpu.losses.pairs import (mutual_knn_grouped,
+                                             pairs_mutual_knn_chunked)
+
+        f = jnp.asarray(rng.normal(size=(40, 5)), jnp.float32)
+        pids = jnp.asarray(rng.integers(0, 4, size=(40,)), jnp.int32)
+        coords = jnp.asarray(rng.integers(0, 32, size=(40, 2)), jnp.int32)
+        idx, valid = mutual_knn_grouped(f, 6, pids, coords, 4.0, 16)
+        pairs, vflat = pairs_mutual_knn_chunked(f, 6, pids, coords, 4.0, 16)
+        np.testing.assert_array_equal(np.asarray(idx).reshape(-1),
+                                      np.asarray(pairs[:, 1]))
+        np.testing.assert_array_equal(np.asarray(valid).reshape(-1),
+                                      np.asarray(vflat))
