@@ -230,5 +230,55 @@ def compute_phase_spread_ranking(
     return loss, stats
 
 
+def type_local_spectral_demean(z_type: Array, spec: Array, valid: Array,
+                               pca_dim: int, knn_k: int
+                               ) -> Tuple[Array, Array]:
+    """Demean pooled spectral features by a type-local baseline.
+
+    Contract: /root/reference/frl/training/representation/step.py:907-932 --
+    rank-``pca_dim`` PCA on (stop-gradient) pooled z_type, kNN in the
+    whitened reduced space, neighbor-mean of the time-pooled spectral
+    feature subtracted from every timestep (``spec_demeaned``) before the
+    cross-batch phase neighborhood / spread losses.
+
+    The reference uses ``torch.pca_lowrank(Z_c, q=K, center=False)`` and
+    keeps U (whitened scores). The Gram similarity ``U @ U.T`` is invariant
+    to any right-orthogonal transform of U, so an exact top-K eigenbasis of
+    ``Z_c.T @ Z_c`` with scores divided by the singular values reproduces
+    the same neighbor ranking.
+
+    TPU-native divergence: the reference concatenates only valid anchors
+    (dynamic N); here N is static and ``valid`` masks rows -- invalid rows
+    contribute nothing to the mean/covariance, are never selected as
+    neighbors, and their own baseline is meaningless (their loss terms are
+    masked downstream).
+
+    z_type: [N, D] (already stop-gradient), spec: [N, T, C], valid: [N].
+    Returns (spec_demeaned [N, T, C], baseline [N, C]).
+    """
+    n, d = z_type.shape
+    v = valid.astype(jnp.float32)[:, None]
+    cnt = jnp.maximum(jnp.sum(v), 1.0)
+    mu = jnp.sum(z_type * v, axis=0, keepdims=True) / cnt
+    zc = (z_type - mu) * v                                   # [N, D]
+    gram = jnp.dot(zc.T, zc, precision="highest")            # [D, D]
+    evals, evecs = jnp.linalg.eigh(gram)                     # ascending
+    k = min(pca_dim, d)
+    lam = jnp.sqrt(jnp.clip(evals[d - k:], 1e-12, None))     # singular values
+    u = jnp.dot(zc, evecs[:, d - k:], precision="highest") / lam[None, :]
+    sim = jnp.dot(u, u.T, precision="highest")               # [N, N]
+    neg = jnp.float32(-1e30)
+    sim = jnp.where(jnp.eye(n, dtype=bool), neg, sim)
+    sim = jnp.where(valid[None, :], sim, neg)  # never pick invalid neighbors
+    kk = min(knn_k, n - 1)
+    _, idx = jax.lax.top_k(sim, kk)                          # [N, kk]
+    s_mean = jnp.mean(spec, axis=1)                          # [N, C]
+    nb_v = valid[idx].astype(jnp.float32)                    # [N, kk]
+    denom = jnp.maximum(jnp.sum(nb_v, axis=1, keepdims=True), 1.0)
+    s_hat = jnp.sum(s_mean[idx] * nb_v[..., None], axis=1) / denom
+    return spec - s_hat[:, None, :], s_hat
+
+
 __all__ = ["build_phase_neighborhood_batch", "phase_neighborhood_loss",
-           "compute_phase_spread_ranking", "seq_lengths_per_t"]
+           "compute_phase_spread_ranking", "seq_lengths_per_t",
+           "type_local_spectral_demean"]

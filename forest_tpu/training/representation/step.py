@@ -42,7 +42,7 @@ from forest_tpu.losses.contrastive import contrastive_loss_grouped
 from forest_tpu.losses.evt_soft_neighborhood import evt_soft_neighborhood_loss
 from forest_tpu.losses.phase_neighborhood import (
     build_phase_neighborhood_batch, compute_phase_spread_ranking,
-    phase_neighborhood_loss)
+    phase_neighborhood_loss, type_local_spectral_demean)
 from forest_tpu.losses.phase_pairs import build_phase_pairs
 from forest_tpu.losses.triplet_phase import phase_recovery_discrimination_loss
 from forest_tpu.losses.variance_covariance import variance_covariance_loss
@@ -337,11 +337,19 @@ def make_process_batch(model, feature_builder: FeatureBuilder,
         pvalid_flat = pvalid.reshape(-1) \
             & flat_valid[pp_flat[:, 0]] & flat_valid[pp_flat[:, 1]]
 
+        # Cross-batch type-local spectral baseline (step.py:907-932): the
+        # phase losses see spectral features demeaned by the mean over the
+        # kNN (in rank-reduced z_type space) of each anchor's time-pooled
+        # spectrum, so "phase" can't re-learn type identity.
+        spec_dm, _ = type_local_spectral_demean(
+            z_type_sg, phase_flat, flat_valid,
+            cfg.xb_phase_pca_dim, cfg.xb_phase_knn_k)
+
         phase_batch = build_phase_neighborhood_batch(
-            phase_flat, z_phase, ysfc_flat, pp_flat, pvalid_flat,
+            spec_dm, z_phase, ysfc_flat, pp_flat, pvalid_flat,
             cfg.phase_min_overlap, cfg.num_ysfc_classes)
         ph_loss, ph_stats = phase_neighborhood_loss(
-            phase_flat, z_phase, ysfc_flat, pp_flat, pw_flat,
+            spec_dm, z_phase, ysfc_flat, pp_flat, pw_flat,
             pvalid_flat, cfg.phase_tau_ref, cfg.phase_tau_learned,
             cfg.phase_min_overlap, 2, cfg.phase_self_weight,
             cfg.phase_cross_weight, cfg.num_ysfc_classes,

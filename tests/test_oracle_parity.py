@@ -93,3 +93,69 @@ class TestOracleParity:
         expect_q = cb[torch_oracle_assign(x, cb)]
         mse = float(np.mean((np.asarray(r.quantized) - expect_q) ** 2))
         assert mse <= 1e-5
+
+
+class TestTypeLocalDemeanOracle:
+    """Pin type_local_spectral_demean against a torch oracle of
+    /root/reference/frl/training/representation/step.py:907-932."""
+
+    def _torch_oracle(self, z, spec, k, k_nbrs):
+        import torch
+
+        Z = torch.from_numpy(z)
+        spec_all = torch.from_numpy(spec)
+        Z_c = Z - Z.mean(0, keepdim=True)
+        U, _, _ = torch.pca_lowrank(Z_c, q=k, center=False)
+        sim = U @ U.T
+        sim.fill_diagonal_(float("-inf"))
+        k_nbrs = min(k_nbrs, sim.shape[0] - 1)
+        topk_idx = sim.topk(k_nbrs, dim=1).indices
+        S_mean = spec_all.mean(dim=1)
+        S_hat = S_mean[topk_idx].mean(dim=1)
+        return (spec_all - S_hat.unsqueeze(1)).numpy(), topk_idx.numpy()
+
+    def test_demeaned_matches_torch_pca_lowrank(self, rng):
+        import torch
+
+        torch.manual_seed(0)
+        n, d, t, c, k, k_nbrs = 96, 16, 6, 5, 8, 20
+        # Clear rank-k spectral structure so the randomized pca_lowrank
+        # oracle and the exact eigendecomposition find the same subspace.
+        basis = rng.normal(size=(k, d)).astype(np.float32)
+        coef = rng.normal(size=(n, k)).astype(np.float32) * \
+            np.linspace(4.0, 1.5, k, dtype=np.float32)
+        z = coef @ basis + 0.01 * rng.normal(size=(n, d)).astype(np.float32)
+        spec = rng.normal(size=(n, t, c)).astype(np.float32)
+
+        expect, _ = self._torch_oracle(z, spec, k, k_nbrs)
+        from forest_tpu.losses.phase_neighborhood import \
+            type_local_spectral_demean
+        with jax.default_matmul_precision("highest"):
+            got, _ = jax.jit(type_local_spectral_demean,
+                             static_argnums=(3, 4))(
+                jnp.asarray(z), jnp.asarray(spec),
+                jnp.ones(n, bool), k, k_nbrs)
+        np.testing.assert_allclose(np.asarray(got), expect,
+                                   atol=1e-4, rtol=1e-4)
+
+    def test_invalid_rows_never_selected_as_neighbors(self, rng):
+        from forest_tpu.losses.phase_neighborhood import \
+            type_local_spectral_demean
+
+        n, d, t, c = 48, 8, 4, 3
+        z = rng.normal(size=(n, d)).astype(np.float32)
+        spec = rng.normal(size=(n, t, c)).astype(np.float32)
+        valid = np.ones(n, bool)
+        valid[5] = valid[17] = False
+
+        def run(poison):
+            z2, s2 = z.copy(), spec.copy()
+            z2[~valid] = poison
+            s2[~valid] = poison
+            with jax.default_matmul_precision("highest"):
+                out, _ = type_local_spectral_demean(
+                    jnp.asarray(z2), jnp.asarray(s2),
+                    jnp.asarray(valid), 8, 10)
+            return np.asarray(out)[valid]
+
+        np.testing.assert_allclose(run(0.0), run(1e4), atol=1e-3)
