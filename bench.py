@@ -32,6 +32,12 @@ def log(*a):
 
 
 def bench_tpu_quantize():
+    """Assignment-only quantize (distances + argmin), the same computation the
+    torch-CPU baseline runs. Timing chains the carry: each iteration folds the
+    previous iteration's indices back into the (tiny) codebook, so dispatches
+    serialize and nothing can be deduplicated/overlapped (CLAUDE.md rule --
+    independent dispatches under-report >100x through the axon relay).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -40,26 +46,31 @@ def bench_tpu_quantize():
     r = np.random.default_rng(0)
     n = N_PATCHES * N_PATCH_PIXELS
     x = jnp.asarray(r.normal(size=(n, D)).astype(np.float32))
-    cb = jnp.asarray(r.normal(size=(K, D)).astype(np.float32))
+    cb0 = jnp.asarray(r.normal(size=(K, D)).astype(np.float32))
 
     best = None
     for name, up in [("xla", False), ("pallas", True)]:
         try:
+            def body(i, cb, _up=up):
+                idx = vq.vq_assign(x, cb, use_pallas=_up)
+                return cb + 1e-12 * jnp.sum(idx).astype(jnp.float32)
+
+            run = jax.jit(lambda cb: jax.lax.fori_loop(0, ITERS, body, cb))
             t0 = time.perf_counter()
-            f = jax.jit(lambda x, cb, _up=up: vq.vq_core(
-                x, cb, use_pallas=_up)[0])
-            jax.block_until_ready(f(x, cb))
+            jax.block_until_ready(run(cb0))
             log(f"[bench] {name} compile {time.perf_counter() - t0:.1f}s")
             for _ in range(WARMUP):
-                out = f(x, cb)
+                out = run(cb0)
             jax.block_until_ready(out)
             t0 = time.perf_counter()
-            for _ in range(ITERS):
-                out = f(x, cb)
+            reps = 3
+            for _ in range(reps):
+                out = run(cb0)
             jax.block_until_ready(out)
-            us_per_patch = ((time.perf_counter() - t0) / ITERS
+            us_per_patch = ((time.perf_counter() - t0) / (reps * ITERS)
                             / N_PATCHES * 1e6)
-            log(f"[bench] {name}: {us_per_patch:.3f} us/patch")
+            log(f"[bench] {name}: {us_per_patch:.3f} us/patch "
+                f"(chained x{ITERS}, {reps} reps)")
             if best is None or us_per_patch < best[1]:
                 best = (name, us_per_patch)
         except Exception as e:  # pragma: no cover
@@ -83,17 +94,20 @@ def bench_torch_cpu_quantize():
     x = torch.randn(n, D)
     cb = torch.randn(K, D)
 
-    def f():
+    def f(cb):
         d = (x * x).sum(1, keepdim=True) - 2.0 * x @ cb.T \
             + (cb * cb).sum(1)[None, :]
-        return d.argmin(1)
+        idx = d.argmin(1)
+        # Same chained-carry shape as the TPU bench (torch is synchronous so
+        # this is symmetry, not necessity).
+        return cb + 1e-12 * idx.sum().float()
 
     for _ in range(2):
-        f()
+        cb = f(cb)
     t0 = time.perf_counter()
     iters = 5
     for _ in range(iters):
-        f()
+        cb = f(cb)
     us = (time.perf_counter() - t0) / iters / N_PATCHES * 1e6
     log(f"[bench] torch-cpu: {us:.3f} us/patch "
         f"({torch.get_num_threads()} threads)")

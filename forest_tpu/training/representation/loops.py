@@ -31,13 +31,15 @@ def run_epoch(dataset, step_fn: Callable, state_or_params, *,
     n = len(dataset)
     idx_batches = [list(range(i, min(i + batch_size, n)))
                    for i in range(0, n, batch_size)]
-    idx_batches = [b for b in idx_batches if len(b) == batch_size]
-    if not idx_batches and n > 0:
-        # Tiny datasets (debug windows): fill one batch by repetition so
-        # the static batch shape holds.
-        idx_batches = [[i % n for i in range(batch_size)]]
+    # The ragged tail batch is repeat-filled to the static batch shape and
+    # de-weighted through the per-sample validity mask consumed by
+    # process_batch (the reference trains on every sample -- reference
+    # loops.py drops none). Tiny debug datasets reduce to one padded batch.
+    valid_counts = [len(b) for b in idx_batches]
+    idx_batches = [b + [b[-1]] * (batch_size - len(b)) for b in idx_batches]
     if max_batches:
         idx_batches = idx_batches[:max_batches]
+        valid_counts = valid_counts[:max_batches]
 
     loader = PrefetchLoader(dataset, iter(idx_batches),
                             num_workers=num_workers)
@@ -51,6 +53,9 @@ def run_epoch(dataset, step_fn: Callable, state_or_params, *,
         t_step = time.perf_counter()
         rng = jax.random.key(rng_seed * 100003 + i)
         db = _to_device_batch(batch)
+        mask = np.zeros((batch_size,), bool)
+        mask[:valid_counts[i]] = True
+        db["__sample_valid__"] = jnp.asarray(mask)
         if train:
             state_or_params, m = step_fn(state_or_params, db, rng,
                                          weights, curriculum)

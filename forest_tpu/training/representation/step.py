@@ -37,6 +37,7 @@ import numpy as np
 
 from forest_tpu.data.anchor_sampling import AnchorSampler
 from forest_tpu.data.feature_builder import FeatureBuilder
+from forest_tpu.training.representation import diagnostics as dg
 from forest_tpu.losses import pairs as pairs_mod
 from forest_tpu.losses.contrastive import contrastive_loss_grouped
 from forest_tpu.losses.evt_soft_neighborhood import evt_soft_neighborhood_loss
@@ -147,8 +148,8 @@ def frobenius_type_leakage(h_pre: Array, z_type_sg: Array,
 def make_process_batch(model, feature_builder: FeatureBuilder,
                        sampler: AnchorSampler, cfg: StepConfig,
                        patch_size: int,
-                       evt_tables: Optional[Dict[str, np.ndarray]] = None
-                       ) -> Callable:
+                       evt_tables: Optional[Dict[str, np.ndarray]] = None,
+                       diag: bool = False) -> Callable:
     """Returns pure fn(params, batch, rng, weights, curriculum, train)
     -> (total_loss, metrics). ``batch`` is the dict of group arrays
     [B, ...] from ForestDatasetV2.load_batch; ``weights`` a dict of traced
@@ -195,6 +196,16 @@ def make_process_batch(model, feature_builder: FeatureBuilder,
 
         # ---- 1. type pathway -------------------------------------------
         x_type, m_type = fb.build_feature(cfg.type_feature, batch)
+        # Per-sample numerical containment (reference step.py:661-678): a
+        # sample whose built features are non-finite is zeroed at the INPUT
+        # and its anchors invalidated below, so it contributes nothing to any
+        # loss while the rest of the batch trains normally. Input-level
+        # sanitization is required -- masking only at the loss level cannot
+        # stop NaN activations from poisoning param-gradients (0*NaN=NaN).
+        # The batch-level finite guard in train_step stays as the backstop
+        # for NaNs born inside the network.
+        ok_type = jnp.all(jnp.isfinite(x_type), axis=(1, 2, 3))      # [B]
+        x_type = jnp.where(ok_type[:, None, None, None], x_type, 0.0)
         variables = {"params": params}
         z_type, gate = model.apply(
             variables, x_type, return_gate=True,
@@ -216,6 +227,31 @@ def make_process_batch(model, feature_builder: FeatureBuilder,
         a_valid = a_valid & jax.vmap(
             lambda m, c: m[c[:, 0], c[:, 1]])(jnp.any(m_type, axis=-1),
                                               coords)
+
+        # Phase features are built here (rather than stage 5) so per-sample
+        # containment can cover every network input in one place.
+        phase_x, _phase_m = jax.vmap(
+            lambda g, c: fb.build_feature_at_locations(
+                cfg.phase_feature, g, c),
+            in_axes=({k: 0 for k in batch}, 0))(
+                {k: v for k, v in batch.items()}, coords)  # [B,A,T,C]
+
+        ok_spec = jnp.all(jnp.isfinite(spec_a), axis=(1, 2))
+        ok_phase = jnp.all(jnp.isfinite(phase_x), axis=(1, 2, 3))
+        sample_fin = ok_type & ok_spec & ok_phase                    # [B]
+        # Ragged-tail repeat-fill padding from loops.run_epoch: padded
+        # duplicate rows are valid data but must not contribute twice.
+        pad_valid = batch.get("__sample_valid__")
+        if pad_valid is None:
+            pad_valid = jnp.ones((bsz,), bool)
+        else:
+            pad_valid = pad_valid.astype(bool)
+        metrics["samples_skipped"] = jnp.sum(
+            (~sample_fin & pad_valid).astype(jnp.int32))
+        sample_ok = sample_fin & pad_valid
+        spec_a = jnp.where(sample_ok[:, None, None], spec_a, 0.0)
+        phase_x = jnp.where(sample_ok[:, None, None, None], phase_x, 0.0)
+        a_valid = a_valid & sample_ok[:, None]
         metrics["n_anchors_valid"] = jnp.sum(a_valid.astype(jnp.int32))
 
         a = n_anchors
@@ -294,12 +330,7 @@ def make_process_batch(model, feature_builder: FeatureBuilder,
         metrics["vicreg_type_var"] = vcr_v
         metrics["vicreg_type_cov"] = vcr_c
 
-        # ---- 5. phase pathway ------------------------------------------
-        phase_x, phase_m = jax.vmap(
-            lambda g, c: fb.build_feature_at_locations(
-                cfg.phase_feature, g, c),
-            in_axes=({k: 0 for k in batch}, 0))(
-                {k: v for k, v in batch.items()}, coords)  # [B,A,T,C]
+        # ---- 5. phase pathway (phase_x built + sanitized in stage 2) ----
         ys_g, ys_c = cfg.ysfc_source.split(".")
         ys_cfg = fb.bindings.dataset[ys_g]
         ysfc_grid = jnp.asarray(
@@ -453,6 +484,41 @@ def make_process_batch(model, feature_builder: FeatureBuilder,
         else:
             evt_loss = jnp.float32(0.0)
             metrics["loss_evt"] = evt_loss
+
+        # ---- 7b. optional reference-depth diagnostics -------------------
+        if diag:
+            pos_m = pv & is_pos
+            neg_m = pv & ~is_pos
+            metrics.update(dg.masked_stats(
+                gate, jnp.broadcast_to(pixel_mask[..., None], gate.shape),
+                "diag_gate"))
+            metrics.update(dg.masked_stats(pw, pos_m, "diag_pos_weight"))
+            metrics.update(dg.masked_stats(pw, neg_m, "diag_neg_weight"))
+            metrics.update(dg.masked_stats(d_spec, pos_m,
+                                           "diag_pos_spec_dist"))
+            metrics.update(dg.masked_stats(d_spec, neg_m,
+                                           "diag_neg_spec_dist"))
+            # similarity distributions in the same -||a-b||^2/D units the
+            # softmax sees (reference 'Spatial sims'/'Spectral sims' rows)
+            sim_sp = -jnp.sum((z_a[:, :, None, :] - z_nbr.reshape(
+                bsz, a, k_tot, d_z)) ** 2, axis=-1) / d_z
+            metrics.update(dg.masked_stats(sim_sp, pos_m, "diag_pos_sim"))
+            metrics.update(dg.masked_stats(sim_sp, neg_m, "diag_neg_sim"))
+            sim_xb = -jnp.sum((z_a_flat[:, None, :]
+                               - z_a_flat[knn_idx]) ** 2, axis=-1) / d_z
+            metrics.update(dg.masked_stats(sim_xb, pos_valid,
+                                           "diag_spectral_pos_sim"))
+            # tau sweeps (reference logs them at epoch 0 only; computing
+            # every step is a few masked reductions -- logging decides)
+            metrics.update(dg.tau_sweep_stats(
+                d_spec, pos_m, cfg.min_pair_weight, "diag_tau_pos", False))
+            metrics.update(dg.tau_sweep_stats(
+                d_spec, neg_m, cfg.min_pair_weight, "diag_tau_neg", True))
+            metrics.update(dg.tau_sweep_stats(
+                d_neg, neg_valid, cfg.min_pair_weight,
+                "diag_tau_spectral_neg", True))
+            metrics.update(dg.type_leakage_ridge(
+                jnp.mean(h_pre, axis=1), z_type_sg, flat_valid))
 
         # ---- 8. total ---------------------------------------------------
         total = (weights["spatial_infonce"] * spatial_loss

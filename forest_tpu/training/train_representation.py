@@ -122,7 +122,8 @@ def setup(cfg: TrainingConfiguration,
         evt_tables = step_mod.build_evt_tables(metric)
 
     process = step_mod.make_process_batch(model, fb, sampler, step_cfg,
-                                          sd.patch_size, evt_tables)
+                                          sd.patch_size, evt_tables,
+                                          diag=True)
 
     # Steps per epoch reflect the EFFECTIVE epoch size under the configured
     # epoch mode -- the LR schedule and the phase re-warmup step are pinned

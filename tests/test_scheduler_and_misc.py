@@ -137,3 +137,99 @@ class TestTauCalibration:
                                      np.asarray([-1.1]), 0.2)
         assert r["gap"] == pytest.approx(1.0)
         assert r["gap_over_T"] == pytest.approx(5.0)
+
+
+class TestRunEpochRaggedTail:
+    """loops.run_epoch must consume every dataset index exactly once per
+    epoch (the ragged tail is repeat-filled + masked, never dropped)."""
+
+    class _FakeDS:
+        def __init__(self, n):
+            self.n = n
+
+        def __len__(self):
+            return self.n
+
+        def on_epoch_start(self):
+            pass
+
+        def load_batch(self, idxs):
+            return {"idx": np.asarray(idxs, np.int32)}
+
+    @pytest.mark.parametrize("n,bs", [(10, 4), (3, 8), (8, 4)])
+    def test_every_index_once(self, n, bs):
+        import jax.numpy as jnp
+
+        from forest_tpu.training.representation import loops
+
+        seen = []
+
+        def step_fn(state, db, rng, weights, curriculum):
+            seen.append((np.asarray(db["idx"]),
+                         np.asarray(db["__sample_valid__"])))
+            return state, {"loss_total": jnp.float32(0.0)}
+
+        _, m = loops.run_epoch(
+            self._FakeDS(n), step_fn, None, batch_size=bs, weights={},
+            curriculum={}, rng_seed=0, train=True, num_workers=1)
+        assert all(i.shape == (bs,) for i, _ in seen)
+        valid_idx = np.concatenate([i[v] for i, v in seen])
+        assert sorted(valid_idx.tolist()) == list(range(n))
+        assert m["n_steps"] == -(-n // bs)
+
+
+class TestStepDiagnostics:
+    def test_diag_metrics_present_and_finite(self):
+        import jax
+        import jax.numpy as jnp
+
+        from forest_tpu.data.bindings import parse_bindings
+        from forest_tpu.data.cube_v2 import (synthetic_bindings,
+                                             synthetic_feature_stats,
+                                             synthetic_frl_batch)
+        from forest_tpu.data.feature_builder import FeatureBuilder
+        from forest_tpu.models import representation as rep
+        from forest_tpu.training.representation import (
+            config_builders as cb, epoch_logging, step as step_mod)
+
+        bindings = parse_bindings(synthetic_bindings("/dev/null",
+                                                     "/dev/null"))
+        fb = FeatureBuilder(bindings, synthetic_feature_stats(bindings))
+        model = rep.RepresentationModel(
+            type_in_channels=4, phase_in_channels=3, z_type_dim=8,
+            type_encoder_channels=(16, 8), z_phase_dim=3,
+            phase_tcn_channels=(12, 12), phase_tcn_dilations=(1, 2))
+        t, hw = 15, 32
+        params = rep.init_variables(model, jax.random.key(0),
+                                    num_timesteps=t)["params"]
+        process = step_mod.make_process_batch(
+            model, fb, cb.build_sampler(bindings, {}),
+            cb.build_step_config(bindings, {}), hw, diag=True)
+        weights = {k: jnp.float32(v)
+                   for k, v in step_mod.DEFAULT_WEIGHTS.items()}
+        cur = {"input_dropout_rate": jnp.float32(0.0),
+               "min_gate": jnp.float32(0.0)}
+        batch = {k: jnp.asarray(v) for k, v in synthetic_frl_batch(
+            np.random.default_rng(3), 3, hw, t).items()}
+        _, m = jax.jit(lambda p, b, r: process(p, b, r, weights, cur, True)
+                       )(params, batch, jax.random.key(1))
+        m = {k: float(v) for k, v in m.items()}
+        for p in ("diag_gate", "diag_pos_weight", "diag_neg_weight",
+                  "diag_pos_sim", "diag_neg_sim"):
+            for s in ("mean", "std", "p05", "p50", "p95"):
+                assert np.isfinite(m[f"{p}_{s}"]), f"{p}_{s}"
+            assert m[f"{p}_p05"] <= m[f"{p}_p50"] <= m[f"{p}_p95"]
+        for s in ("mean", "q25", "q50"):
+            assert np.isfinite(m[f"diag_tau_pos_0.5_{s}"])
+            assert np.isfinite(m[f"diag_tau_spectral_neg_50_{s}"])
+        assert -1.5 <= m["leak_r2_mean"] <= 1.0 + 1e-6
+        assert np.isfinite(m["leak_cross_cov_frob"])
+        # weights are clipped to [min_w, 1]
+        assert 0.05 - 1e-6 <= m["diag_pos_weight_p05"] <= 1.0 + 1e-6
+
+        block = epoch_logging.format_epoch_block(0, m)
+        assert "[distributions]" in block
+        assert "tau sweep" in block
+        assert "[type leakage]" in block
+        block1 = epoch_logging.format_epoch_block(1, m)
+        assert "tau sweep" not in block1

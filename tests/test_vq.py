@@ -27,6 +27,22 @@ class TestAssignment:
         got = vq.vq_assign(x, cb, use_pallas=False)
         np.testing.assert_array_equal(np.asarray(got), expect)
 
+    def test_assign_only_pallas_interpret_matches_xla(self):
+        x, cb = _rand(n=1000, d=40, k=50)
+        expect = vq.vq_assign(x, cb, use_pallas=False)
+        got = vq._vq_assign_pallas(x, cb, tile_n=256, mxu_bf16=False,
+                                   interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(expect))
+
+    def test_assign_only_bf16_mxu_near_identical(self):
+        # bf16-multiply/f32-accumulate (XLA DEFAULT-precision numerics):
+        # assignments may flip only on near-ties; require <0.5% mismatch.
+        x, cb = _rand(n=2000, d=64, k=128)
+        expect = np.asarray(vq.vq_assign(x, cb, use_pallas=False))
+        got = np.asarray(vq._vq_assign_pallas(x, cb, tile_n=512,
+                                              mxu_bf16=True, interpret=True))
+        assert (got != expect).mean() < 0.005
+
     def test_pallas_interpret_matches_xla(self):
         x, cb = _rand(n=1000, d=40, k=50)
         ix, qx, cx, sx = vq._vq_core_xla(x, cb)

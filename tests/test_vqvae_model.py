@@ -224,6 +224,80 @@ class TestShardMapDP:
                 np.asarray(s.vq_stats.cluster_size),
                 np.asarray(s0.vq_stats.cluster_size), rtol=1e-5, atol=1e-6)
 
+    def test_frl_per_sample_nan_containment(self):
+        """One NaN-poisoned sample must not kill the step: params still
+        update, loss stays finite, samples_skipped==1, and the update
+        equals the one from the clean-subset-only gradient semantics
+        (reference step.py:661-678 per-sample skip)."""
+        import jax.numpy as jnp
+        from forest_tpu.data.bindings import parse_bindings
+        from forest_tpu.data.cube_v2 import (synthetic_bindings,
+                                             synthetic_feature_stats,
+                                             synthetic_frl_batch)
+        from forest_tpu.data.feature_builder import FeatureBuilder
+        from forest_tpu.models import representation as rep
+        from forest_tpu.training.representation import (
+            config_builders as cb, step as step_mod, train_step as ts)
+
+        bindings = parse_bindings(synthetic_bindings("/dev/null", "/dev/null"))
+        fb = FeatureBuilder(bindings, synthetic_feature_stats(bindings))
+        model = rep.RepresentationModel(
+            type_in_channels=4, phase_in_channels=3, z_type_dim=8,
+            type_encoder_channels=(16, 8), z_phase_dim=3,
+            phase_tcn_channels=(12, 12), phase_tcn_dilations=(1, 2))
+        t, hw = 15, 32
+        params = rep.init_variables(model, jax.random.key(0),
+                                    num_timesteps=t)["params"]
+        process = step_mod.make_process_batch(
+            model, fb, cb.build_sampler(bindings, {}),
+            cb.build_step_config(bindings, {}), hw)
+        opt = ts.make_optimizer(1e-3)
+        weights = {k: jnp.float32(v)
+                   for k, v in step_mod.DEFAULT_WEIGHTS.items()}
+        cur = {"input_dropout_rate": jnp.float32(0.0),
+               "min_gate": jnp.float32(0.0)}
+        nprng = np.random.default_rng(1)
+        batch = {k: jnp.asarray(v)
+                 for k, v in synthetic_frl_batch(nprng, 4, hw, t).items()}
+        # FeatureBuilder sanitizes non-finite raw data to 0, so per-sample
+        # non-finite features only arise from numerical escapes (degenerate
+        # stats, overflow). Inject at that level: poison sample 2 of the
+        # built type feature.
+        orig_build = fb.build_feature
+
+        def poisoned_build(name, b):
+            x, msk = orig_build(name, b)
+            if name == "type_encoder_input" and x.ndim == 4:
+                # the batched top-level type build only
+                x = x.at[2].set(jnp.inf)
+            return x, msk
+
+        fb.build_feature = poisoned_build
+        try:
+            process_poisoned = step_mod.make_process_batch(
+                model, fb, cb.build_sampler(bindings, {}),
+                cb.build_step_config(bindings, {}), hw)
+            step_p = jax.jit(ts.make_train_step(process_poisoned, opt))
+            state = ts.init_train_state(params, opt)
+            new_state, m = step_p(state, batch, jax.random.key(5), weights,
+                                  cur)
+        finally:
+            fb.build_feature = orig_build
+        assert int(m["samples_skipped"]) == 1
+        assert int(m["skipped"]) == 0, "batch-level skip must NOT fire"
+        assert np.isfinite(float(m["loss_total"]))
+        # params actually updated
+        moved = jax.tree_util.tree_reduce(
+            lambda acc, pq: acc + float(jnp.sum(jnp.abs(pq))), jax.tree.map(
+                lambda a, b: a - b, new_state.params, state.params), 0.0)
+        assert moved > 0.0
+
+        # clean batch reports zero skips
+        step = jax.jit(ts.make_train_step(process, opt))
+        _, m_clean = step(ts.init_train_state(params, opt), batch,
+                          jax.random.key(5), weights, cur)
+        assert int(m_clean["samples_skipped"]) == 0
+
     def test_frl_shard_map_dp_runs_and_matches_on_one_device(self):
         """On a 1-device mesh the shard_map FRL step must equal the plain
         jitted step bit-for-bit; on 8 devices it must stay finite."""
