@@ -32,11 +32,15 @@ def log(*a):
 
 
 def bench_tpu_quantize():
-    """Assignment-only quantize (distances + argmin), the same computation the
-    torch-CPU baseline runs. Timing chains the carry: each iteration folds the
-    previous iteration's indices back into the (tiny) codebook, so dispatches
-    serialize and nothing can be deduplicated/overlapped (CLAUDE.md rule --
-    independent dispatches under-report >100x through the axon relay).
+    """Full fused quantize -- the BASELINE.json hot-core contract: codebook
+    L2 distances, argmin assignment, one-hot gather (quantized vectors), and
+    the EMA sufficient statistics (per-code counts + vector sums). The
+    torch-CPU baseline below runs the identical computation.
+
+    Timing chains the carry: each iteration folds every kernel output back
+    into the (tiny) codebook, so dispatches serialize, nothing is DCE'd, and
+    nothing can be deduplicated/overlapped (CLAUDE.md rule -- independent
+    dispatches under-report >100x through the axon relay).
     """
     import jax
     import jax.numpy as jnp
@@ -48,12 +52,14 @@ def bench_tpu_quantize():
     x = jnp.asarray(r.normal(size=(n, D)).astype(np.float32))
     cb0 = jnp.asarray(r.normal(size=(K, D)).astype(np.float32))
 
-    best = None
+    results = {}
     for name, up in [("xla", False), ("pallas", True)]:
         try:
             def body(i, cb, _up=up):
-                idx = vq.vq_assign(x, cb, use_pallas=_up)
-                return cb + 1e-12 * jnp.sum(idx).astype(jnp.float32)
+                idx, q, counts, sums = vq.vq_core(x, cb, use_pallas=_up)
+                return cb + 1e-12 * (jnp.sum(idx).astype(jnp.float32)
+                                     + jnp.sum(counts) + q[0, 0]
+                                     + sums[0, 0])
 
             run = jax.jit(lambda cb: jax.lax.fori_loop(0, ITERS, body, cb))
             t0 = time.perf_counter()
@@ -71,11 +77,14 @@ def bench_tpu_quantize():
                             / N_PATCHES * 1e6)
             log(f"[bench] {name}: {us_per_patch:.3f} us/patch "
                 f"(chained x{ITERS}, {reps} reps)")
-            if best is None or us_per_patch < best[1]:
-                best = (name, us_per_patch)
+            results[name] = us_per_patch
         except Exception as e:  # pragma: no cover
             log(f"[bench] {name} failed: {type(e).__name__}: {e}")
-    return best
+    if not results:
+        return None, {}
+    best = min(results.items(), key=lambda kv: kv[1])
+    return best, {f"quantize_{k}_us": round(v, 3)
+                  for k, v in results.items()}
 
 
 def bench_torch_cpu_quantize():
@@ -95,17 +104,24 @@ def bench_torch_cpu_quantize():
     cb = torch.randn(K, D)
 
     def f(cb):
+        # The identical full fused-quantize contract the TPU bench runs:
+        # distances, argmin, one-hot gather, EMA counts + sums.
         d = (x * x).sum(1, keepdim=True) - 2.0 * x @ cb.T \
             + (cb * cb).sum(1)[None, :]
         idx = d.argmin(1)
+        oh = torch.nn.functional.one_hot(idx, K).float()
+        q = oh @ cb
+        counts = oh.sum(0)
+        sums = oh.T @ x
         # Same chained-carry shape as the TPU bench (torch is synchronous so
         # this is symmetry, not necessity).
-        return cb + 1e-12 * idx.sum().float()
+        return cb + 1e-12 * (idx.sum().float() + counts.sum()
+                             + q[0, 0] + sums[0, 0])
 
     for _ in range(2):
         cb = f(cb)
     t0 = time.perf_counter()
-    iters = 5
+    iters = 3
     for _ in range(iters):
         cb = f(cb)
     us = (time.perf_counter() - t0) / iters / N_PATCHES * 1e6
@@ -212,7 +228,7 @@ def main():
     import jax
 
     log(f"[bench] backend: {jax.default_backend()} devices: {jax.devices()}")
-    best = bench_tpu_quantize()
+    best, per_kernel = bench_tpu_quantize()
     if best is None:
         # The driver contract is ONE JSON line no matter what.
         print(json.dumps({
@@ -222,7 +238,7 @@ def main():
         return
     name, tpu_us = best
     torch_us = bench_torch_cpu_quantize()
-    extra = {"kernel": name}
+    extra = {"kernel": name, **per_kernel}
     try:
         with tempfile.TemporaryDirectory() as td:
             sps, chunk_rate = bench_pipeline(td)

@@ -204,5 +204,126 @@ def compute_stats_from_config(bindings: BindingsConfig, dataset=None,
     return StatsCalculator(bindings, dataset).compute_and_save()
 
 
+# ---------------------------------------------------------------------------
+# Derived-feature statistics pipeline
+# ---------------------------------------------------------------------------
+
+
+class DerivedStatsComputer:
+    """Single-pass statistics for DERIVED feature channels, stored in the
+    cube's zarr attrs for use during training.
+
+    The standalone pipeline role of /root/reference/frl/data/stats/
+    derived_statistics_computer.py:47-760 (sample patches once; compute
+    per-channel stats and optional covariance for derived features --
+    temporal deltas / Sobel gradients / rolling means of source channels --
+    and persist into the zarr dataset) with
+    derived_statistics_loader.py:1-414's read-back as
+    :func:`load_derived_stats`.
+
+    ``specs``: list of dicts {"name", "source" ("group.channel"),
+    "kind" ("delta"|"sobel"|"rolling"), **op kwargs}.
+    """
+
+    def __init__(self, bindings: BindingsConfig, dataset, specs,
+                 seed: int = 0, reservoir_size: int = 100_000,
+                 covariance: bool = True):
+        self.bindings = bindings
+        self.dataset = dataset
+        self.specs = list(specs)
+        self.rng = np.random.default_rng(seed)
+        self.reservoir_size = reservoir_size
+        self.covariance = covariance
+
+    def _derive(self, spec, patch: Dict[str, np.ndarray]) -> np.ndarray:
+        from forest_tpu.data import derived_features as df
+        gname, cname = spec["source"].split(".")
+        gcfg = self.bindings.dataset[gname]
+        x = np.asarray(patch[gname][..., gcfg.channel_index(cname)],
+                       np.float32)
+        kind = spec["kind"]
+        if kind == "delta":
+            return np.asarray(df.temporal_deltas(
+                x[..., None], order=int(spec.get("order", 1))))[..., 0]
+        if kind == "sobel":
+            g2d = x if x.ndim == 2 else x.reshape(-1, *x.shape[-2:])
+            out = np.asarray(df.sobel_channels(
+                np.nan_to_num(g2d)[..., None]))[..., 0]
+            return out.reshape(x.shape)
+        if kind == "rolling":
+            # rolling_mean expects [.., T, H, W, C]; x is [T, H, W]
+            return np.asarray(df.rolling_mean(
+                x[..., None], window=int(spec.get("window", 3))))[..., 0]
+        raise ValueError(f"unknown derived kind {kind!r}")
+
+    def compute(self, n_patches: int = 16) -> Dict:
+        n_avail = len(self.dataset)
+        picks = self.rng.choice(n_avail, min(n_patches, n_avail),
+                                replace=False)
+        patches = [self.dataset.get_patch(int(i)) for i in picks]
+        out: Dict[str, Dict] = {}
+        reservoirs = {}
+        for spec in self.specs:
+            res = ReservoirSampler(self.reservoir_size,
+                                   seed=int(self.rng.integers(2 ** 31)))
+            for patch in patches:
+                v = self._derive(spec, patch).ravel()
+                v = v[np.isfinite(v)]
+                if v.size:
+                    res.add(v[:, None])
+            buf = res.sample().ravel() if res.n_seen else \
+                np.zeros(1, np.float32)
+            out[spec["name"]] = {
+                "mean": float(buf.mean()), "sd": float(buf.std()),
+                "min": float(buf.min()), "max": float(buf.max()),
+                **{q: float(np.percentile(buf, p))
+                   for q, p in _QS.items()},
+                "n_seen": int(res.n_seen), "kind": spec["kind"],
+                "source": spec["source"],
+            }
+            reservoirs[spec["name"]] = res
+        if self.covariance and len(self.specs) > 1:
+            occ = OnlineCovarianceComputer(len(self.specs))
+            for patch in patches:
+                cols = [self._derive(s, patch) for s in self.specs]
+                hw = min(c.size for c in cols)
+                rows = np.stack([c.ravel()[:hw] for c in cols], axis=1)
+                rows = rows[np.isfinite(rows).all(axis=1)]
+                if len(rows) >= 2:
+                    occ.update(rows)
+            out["__covariance__"] = {
+                "matrix": occ.covariance(1e-8).tolist(),
+                "mean": occ.mean.tolist(), "n": occ.n,
+                "channels": [s["name"] for s in self.specs],
+            }
+        return out
+
+    def compute_and_save(self, zarr_path=None, n_patches: int = 16) -> Dict:
+        """Persist into the cube root attrs under ``derived_statistics``
+        (the reference writes into the zarr dataset, :709-760)."""
+        from forest_tpu.data import zarrlite as zl
+        stats = self.compute(n_patches)
+        path = zarr_path or self.bindings.zarr_path
+        root = zl.open_zarr(path)
+        root.attrs["derived_statistics"] = stats
+        root.write_attrs()
+        return stats
+
+
+def load_derived_stats(zarr_path) -> Dict:
+    """Loader counterpart (derived_statistics_loader.py role): read the
+    persisted derived statistics back; returns {} when absent."""
+    from forest_tpu.data import zarrlite as zl
+    root = zl.open_zarr(zarr_path)
+    return dict(root.attrs.get("derived_statistics", {}))
+
+
+def derived_normalizer(stats_entry: Dict, kind: str = "zscore"):
+    """Build a Normalizer from one derived-stats entry (loader role)."""
+    from forest_tpu.data.normalization import make_normalizer
+    return make_normalizer(kind, stats_entry)
+
+
 __all__ = ["StatsCalculator", "OnlineCovarianceComputer",
-           "compute_stats_from_config"]
+           "compute_stats_from_config", "DerivedStatsComputer",
+           "load_derived_stats", "derived_normalizer"]

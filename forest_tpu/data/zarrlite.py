@@ -164,6 +164,7 @@ class ZarrArray:
         self.fill_value = meta.get("fill_value")
         self.compressor = meta.get("compressor")
         self._meta = meta
+        self._path_str = str(self.path)
         attrs_p = self.path / ".zattrs"
         self.attrs: Dict[str, Any] = (
             json.loads(attrs_p.read_text()) if attrs_p.exists() else {})
@@ -178,6 +179,11 @@ class ZarrArray:
 
     def _chunk_path(self, cidx: Sequence[int]) -> Path:
         return self.path / ".".join(str(i) for i in cidx)
+
+    def _chunk_path_str(self, cidx: Sequence[int]) -> str:
+        # Hot path: plain string join -- pathlib construction measured ~30%
+        # of load_batch time at 4k+ chunk paths per batch.
+        return "%s/%s" % (self._path_str, ".".join(map(str, cidx)))
 
     def _fill_chunk(self) -> np.ndarray:
         return np.full(self.chunks, normalize_fill_value(self.fill_value),
@@ -208,7 +214,7 @@ class ZarrArray:
             use_native = is_blosc and native.available()
         if use_native and is_blosc:
             from forest_tpu.data import native
-            paths = [str(self._chunk_path(c)) for c in cidxs]
+            paths = [self._chunk_path_str(c) for c in cidxs]
             return native.decode_chunks(paths, self.chunks, self.dtype,
                                         self.fill_value, True, nthreads)
         return np.stack([self.read_chunk(c) for c in cidxs])
@@ -365,20 +371,30 @@ class ZarrGroup:
         attrs_p = self.path / ".zattrs"
         self.attrs: Dict[str, Any] = (
             json.loads(attrs_p.read_text()) if attrs_p.exists() else {})
+        # Opened-node cache: loaders resolve the same array per channel per
+        # patch; re-parsing .zarray every access measured ~5% of load_batch.
+        # create_array/create_group below invalidate affected entries.
+        self._node_cache: Dict[str, "ZarrGroup | ZarrArray"] = {}
 
     def __contains__(self, name: str) -> bool:
         p = self.path / name
         return (p / ".zarray").exists() or (p / ".zgroup").exists()
 
     def __getitem__(self, name: str) -> "ZarrGroup | ZarrArray":
+        hit = self._node_cache.get(name)
+        if hit is not None:
+            return hit
         p = self.path
         for part in name.split("/"):
             p = p / part
         if (p / ".zarray").exists():
-            return ZarrArray(p)
-        if (p / ".zgroup").exists():
-            return ZarrGroup(p)
-        raise KeyError(name)
+            node = ZarrArray(p)
+        elif (p / ".zgroup").exists():
+            node = ZarrGroup(p)
+        else:
+            raise KeyError(name)
+        self._node_cache[name] = node
+        return node
 
     def keys(self) -> List[str]:
         out = []
@@ -401,12 +417,14 @@ class ZarrGroup:
                 yield k, v
 
     def create_group(self, name: str) -> "ZarrGroup":
+        self._node_cache.pop(name, None)
         p = self.path / name
         return create_group(p)
 
     def create_array(self, name: str, shape, chunks, dtype,
                      fill_value=0, compressor="default",
                      attrs: Optional[Dict[str, Any]] = None) -> ZarrArray:
+        self._node_cache.pop(name, None)
         return create_array(self.path / name, shape, chunks, dtype,
                             fill_value, compressor, attrs)
 

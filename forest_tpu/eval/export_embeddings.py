@@ -43,15 +43,22 @@ def export_embeddings(encode_type_fn, dataset, out_path: str | Path,
             "z_phase", (num_timesteps, h, w, z_phase_dim),
             (1, p, p, z_phase_dim), np.float16, fill_value=float("nan"))
 
+    from forest_tpu.data.loader import PrefetchLoader
+
     saved = dataset._current_indices
     dataset._current_indices = list(range(len(dataset.patches)))
     try:
         n = len(dataset.patches)
+        batches = [list(range(i, min(i + batch_size, n)))
+                   for i in range(0, n, batch_size)]
+        # Thread-pool prefetch overlaps host decode of batch i+1 with device
+        # compute of batch i and zarr writeback of batch i-1 (the host-bound
+        # export fix: decode, compute, and IO run concurrently).
+        loader = PrefetchLoader(dataset, iter(batches), num_workers=2,
+                                prefetch=2)
         pending = []  # (windows, device arrays) for async overlap
-        for i in range(0, n, batch_size):
-            idx = list(range(i, min(i + batch_size, n)))
-            batch = {k: jnp.asarray(v)
-                     for k, v in dataset.load_batch(idx).items()}
+        for idx, host_batch in zip(batches, loader):
+            batch = {k: jnp.asarray(v) for k, v in host_batch.items()}
             z = encode_type_fn(batch)           # async dispatch
             zp = (encode_phase_dense_fn(batch)
                   if encode_phase_dense_fn is not None else None)

@@ -130,7 +130,7 @@ def _vq_kernel(x_ref, c_ref, c2_ref, idx_ref, q_ref, counts_ref, sums_ref,
         sums_ref[...] = sums_ref[...] + tile_sums
 
 
-def _vq_core_pallas(x: Array, codebook: Array, *, tile_n: int = 512,
+def _vq_core_pallas(x: Array, codebook: Array, *, tile_n: int = 1024,
                     interpret: bool = False) -> Tuple[Array, Array, Array, Array]:
     n, d = x.shape
     k = codebook.shape[0]
@@ -184,28 +184,32 @@ def _vq_core_pallas(x: Array, codebook: Array, *, tile_n: int = 512,
 def _vq_assign_kernel(x_ref, c_ref, c2_ref, idx_ref, *, mxu_bf16: bool):
     """Assignment-only grid step: distances + deterministic argmin, no q/stats.
 
-    One MXU matmul per tile; the [T, K] distance matrix lives only in VMEM
-    (never materialized to HBM, unlike the XLA path). Used by the serving /
-    export path and the driver benchmark, where only indices are needed.
+    Hybrid layout (measured on v5e, scripts/bench_vq_variants.py): x streams
+    ROW-major -- (tile, D) blocks are fully contiguous in HBM (a transposed
+    [D, tile] block DMAs 8 KB strided segments at ~1/6 the bandwidth) --
+    while the distance matrix is computed in the TRANSPOSED [K, tile]
+    orientation via dot_general (no in-kernel transpose): anchors live in
+    VPU lanes, so the argmin reduces over sublanes and the [1, tile] index
+    store is lane-contiguous. The [K, tile] distances never touch HBM.
 
     ``mxu_bf16`` casts the matmul operands to bf16 (fp32 accumulate) -- the
     same numerics XLA's DEFAULT matmul precision uses for f32 inputs on TPU
-    (in Mosaic an f32 dot is a native multi-pass fp32 matmul, ~6x slower).
+    (in Mosaic an f32 dot is a native multi-pass fp32 matmul).
     """
-    x = x_ref[...]
-    c = c_ref[...]
+    x = x_ref[...]                                     # [T, D]
+    c = c_ref[...]                                     # [K, D]
     if mxu_bf16:
         x = x.astype(jnp.bfloat16)
         c = c.astype(jnp.bfloat16)
-    xc = jax.lax.dot_general(
-        x, c, dimension_numbers=(((1,), (1,)), ((), ())),
+    xc = jax.lax.dot_general(                          # [K, T]
+        c, x, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    dist = c2_ref[...] - 2.0 * xc
-    min_d = jnp.min(dist, axis=1, keepdims=True)
-    col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, dimension=1)
-    idx = jnp.min(jnp.where(dist <= min_d, col, jnp.int32(dist.shape[1])),
-                  axis=1)
-    idx_ref[...] = idx[:, None]
+    dist = c2_ref[...] - 2.0 * xc                      # c2 [K, 1] broadcasts
+    min_d = jnp.min(dist, axis=0, keepdims=True)       # [1, T]
+    row = jax.lax.broadcasted_iota(jnp.int32, dist.shape, dimension=0)
+    idx = jnp.min(jnp.where(dist <= min_d, row, jnp.int32(dist.shape[0])),
+                  axis=0, keepdims=True)               # [1, T]
+    idx_ref[...] = idx
 
 
 def _vq_assign_pallas(x: Array, codebook: Array, *, tile_n: int = 2048,
@@ -222,7 +226,8 @@ def _vq_assign_pallas(x: Array, codebook: Array, *, tile_n: int = 2048,
     cf = jnp.zeros((kp, dp), jnp.float32).at[:k, :d].set(
         codebook.astype(jnp.float32))
     c2 = jnp.sum(cf * cf, axis=-1)
-    c2 = jnp.where(jnp.arange(kp) < k, c2, jnp.float32(jnp.inf))[None, :]
+    # Padding codes must never win the argmin.
+    c2 = jnp.where(jnp.arange(kp) < k, c2, jnp.float32(jnp.inf))[:, None]
 
     idx = pl.pallas_call(
         functools.partial(_vq_assign_kernel, mxu_bf16=mxu_bf16),
@@ -231,11 +236,11 @@ def _vq_assign_pallas(x: Array, codebook: Array, *, tile_n: int = 2048,
             pl.BlockSpec((tile_n, dp), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((kp, dp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kp, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile_n, 1), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((1, tile_n), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((npad, 1), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((1, npad), jnp.int32),
         cost_estimate=pl.CostEstimate(
             flops=2 * npad * kp * dp,
             bytes_accessed=4 * (npad * dp + kp * dp + npad),
@@ -243,7 +248,7 @@ def _vq_assign_pallas(x: Array, codebook: Array, *, tile_n: int = 2048,
         ),
         interpret=interpret,
     )(xf, cf, c2)
-    return idx[:n, 0]
+    return idx[0, :n]
 
 
 def _on_tpu() -> bool:

@@ -238,3 +238,49 @@ class TestVQVAEDataset:
             assert batch["cont"].shape[0] == 32
             n += 1
         assert n == len(s)
+
+
+class TestDerivedStatsPipeline:
+    """DerivedStatsComputer/loader (reference derived_statistics_computer
+    + loader roles): single-pass derived-feature stats persisted to zarr
+    attrs and read back into normalizers."""
+
+    def test_compute_save_load(self, tmp_path):
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        from forest_tpu.data.bindings import parse_bindings
+        from forest_tpu.data.cube_v2 import (build_synthetic_v2_cube,
+                                             synthetic_bindings)
+        from forest_tpu.data.frl_dataset import ForestDatasetV2
+        from forest_tpu.data.stats import (DerivedStatsComputer,
+                                           derived_normalizer,
+                                           load_derived_stats)
+
+        cube = f"{tmp_path}/cube.zarr"
+        build_synthetic_v2_cube(cube, height=96, width=96)
+        b = parse_bindings(synthetic_bindings(cube, "/dev/null"))
+        ds = ForestDatasetV2(b, split=None, patch_size=32)
+        src = next(iter(b.dataset))
+        ch = b.dataset[src].channels[0].name
+        specs = [
+            {"name": "d1", "source": f"{src}.{ch}", "kind": "delta"},
+            {"name": "sob", "source": f"{src}.{ch}", "kind": "sobel"},
+            {"name": "roll", "source": f"{src}.{ch}", "kind": "rolling",
+             "window": 3},
+        ]
+        comp = DerivedStatsComputer(b, ds, specs, seed=0)
+        stats = comp.compute_and_save(n_patches=4)
+        for name in ("d1", "sob", "roll"):
+            e = stats[name]
+            assert e["n_seen"] > 0
+            assert np.isfinite([e["mean"], e["sd"], e["q50"]]).all()
+            assert e["min"] <= e["q50"] <= e["max"]
+        cov = np.asarray(stats["__covariance__"]["matrix"])
+        assert cov.shape == (3, 3)
+        assert np.allclose(cov, cov.T, atol=1e-9)
+
+        back = load_derived_stats(cube)
+        assert back["d1"]["mean"] == stats["d1"]["mean"]
+        n = derived_normalizer(back["sob"])
+        z = n.forward(np.asarray([back["sob"]["mean"]]))
+        assert abs(float(z[0])) < 1e-6  # mean maps to ~0 under zscore

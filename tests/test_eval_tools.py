@@ -305,3 +305,99 @@ class TestPhaseProbe:
         assert out["weights"].shape[1] == 3  # phase_ccdc channels
         assert np.all(np.isfinite(out["r2_train"]))
         assert out["n_train_pixels"] > 0
+
+
+class TestDeepPhaseProbe:
+    """Reference-depth phase probe (fit_phase_linear_probe.py parity):
+    designs, preprocessor, two-pass fit, per-metric dual-scale report."""
+
+    def _encoders(self, result):
+        from forest_tpu.eval import frozen
+        model, params, fb = result["model"], result["state"].params, \
+            result["fb"]
+        enc_t, enc_p, _ = frozen.make_encode_fns(model, params, fb)
+        targets = frozen.make_phase_target_fn(fb, "phase_ccdc")
+
+        def enc_phase_fn(batch, coords):
+            zp = enc_p(batch, coords)
+            ta, tm = targets(batch, coords)
+            return zp, ta, tm
+
+        return enc_t, enc_phase_fn, fb
+
+    def test_design_dims(self):
+        from forest_tpu.eval import phase_probe as pp
+        zt = np.random.default_rng(0).normal(size=(10, 8))
+        zp = np.random.default_rng(1).normal(size=(10, 3))
+        assert pp.build_design_matrix(zt, zp, "full").shape == (10, 8+3+24)
+        assert pp.build_design_matrix(zt, zp, "additive").shape == (10, 11)
+        assert pp.build_design_matrix(zt, zp, "type-only").shape == (10, 8)
+        assert pp.build_design_matrix(zt, zp, "phase-only").shape == (10, 3)
+        for d in pp.DESIGN_CHOICES:
+            assert pp.design_dim(d, 8, 3) == \
+                pp.build_design_matrix(zt, zp, d).shape[1]
+
+    def test_fit_evaluate_report(self, frl_run):
+        from forest_tpu.eval import phase_probe as pp
+        root, cfg, result = frl_run
+        enc_t, enc_phase_fn, fb = self._encoders(result)
+        w, pre = pp.fit_phase_probe(
+            enc_t, enc_phase_fn, result["ds_train"], design="full",
+            interaction_pca_k=6, anchor_stride=8, halo=4,
+            batch_size=2, max_batches=2)
+        assert pre.output_dim == 8 + 3 + 6  # PCA compressed interaction
+        assert w.shape == (pre.output_dim + 1, 3)
+
+        m = pp.evaluate_phase_probe(
+            enc_t, enc_phase_fn, result["ds_val"], w, pre, fb,
+            "phase_ccdc", anchor_stride=8, halo=4, batch_size=2,
+            max_batches=2)
+        assert m["n_observations"] > 0 and m["n_pixels"] > 0
+        for key in ("r2_per_channel", "r2_per_channel_original",
+                    "mse_per_channel", "spearman_rho2_per_channel",
+                    "r2_temporal_per_channel",
+                    "variance_fraction_temporal"):
+            assert set(m[key]) == set(m["channels"]), key
+        assert np.isfinite(m["r2_total"])
+        assert np.isfinite(m["mse_total_original"])
+        assert 0.0 <= m["variance_fraction_temporal_total"] <= 1.0 + 1e-6
+        rep = pp.format_phase_probe_report(m, "val")
+        assert "TOTAL" in rep and "R2 orig" in rep
+
+        # preprocessor JSON roundtrip
+        pre2 = pp.PhaseProbePreprocessor.from_dict(pre.to_dict())
+        x = pp.build_design_matrix(
+            np.random.default_rng(2).normal(size=(5, 8)),
+            np.random.default_rng(3).normal(size=(5, 3)), "full")
+        np.testing.assert_allclose(pre.transform(x), pre2.transform(x),
+                                   rtol=1e-6)
+
+    def test_inverse_normalization_roundtrip(self, frl_run):
+        """inverse(built normalized targets) must recover the raw channel
+        values at valid pixels (un-whiten -> affine -> inverse transform)."""
+        import jax.numpy as jnp
+
+        from forest_tpu.eval import phase_probe as pp
+        root, cfg, result = frl_run
+        fb = result["fb"]
+        ds = result["ds_train"]
+        batch = {k: jnp.asarray(v) for k, v in ds.load_batch([0]).items()}
+        y, ym = fb.build_feature("phase_ccdc", batch)
+        inverse = pp.inverse_normalization_fn(fb, "phase_ccdc")
+        yn = np.asarray(y).reshape(-1, y.shape[-1])
+        vm = np.asarray(ym).reshape(-1, y.shape[-1]).all(1)
+        back = inverse(yn[vm][:500])
+        # raw channel values straight from the batch
+        fc = fb.bindings.get_feature("phase_ccdc")
+        raws = []
+        for ref in fc.channels:
+            g, c = ref.split(".")
+            gc = fb.bindings.dataset[g]
+            raws.append(np.asarray(
+                batch[g][..., gc.channel_index(c)], np.float64))
+        # y is [B, T, H, W, C]; raws are [B, T, H, W] -- same order
+        raw = np.stack(raws, -1).reshape(-1, len(raws))
+        got_clip = np.abs(yn[vm][:500]).max() >= fb.whiten_clip - 1e-6
+        if not got_clip:  # clipping is not invertible; skip if it fired
+            np.testing.assert_allclose(back, raw[vm][:500], rtol=1e-4,
+                                       atol=1e-4)
