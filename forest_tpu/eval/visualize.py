@@ -117,6 +117,224 @@ def visualize_forest_diagnostics(encode_gate_fn: Callable, dataset,
     return paths
 
 
+def _masked(arr: np.ndarray, mask: np.ndarray) -> np.ma.MaskedArray:
+    """Reference _make_masked (visualize_test_patches.py:213-216)."""
+    return np.ma.MaskedArray(arr, mask=~mask)
+
+
+def collect_patch_records(encode_fn: Callable, fb, dataset,
+                          target_feature: str,
+                          probe_weights: Optional[np.ndarray],
+                          n_patches: int = 4,
+                          original_scale: bool = True) -> List[dict]:
+    """Per-patch observed/predicted maps per target channel, optionally
+    mapped back to the ORIGINAL data scale (reference
+    visualize_test_patches.py:110-211 collect_patch_data +
+    back_transform_channel)."""
+    import jax.numpy as jnp
+
+    from forest_tpu.eval.phase_probe import inverse_normalization_fn
+
+    fc = fb.bindings.get_feature(target_feature)
+    names = list(fc.channels.keys())
+    inverse = (inverse_normalization_fn(fb, target_feature)
+               if original_scale else None)
+    records = []
+    for i in range(min(n_patches, len(dataset))):
+        batch = {k: jnp.asarray(v)
+                 for k, v in dataset.load_batch([i]).items()}
+        z = np.asarray(encode_fn(batch))[0]
+        y, ym = fb.build_feature(target_feature, batch)
+        y = np.asarray(y)[0]
+        ym = np.asarray(ym)[0]
+        if y.ndim == 4:   # temporal target: show the last timestep sheet
+            y, ym = y[-1], ym[-1]
+        pred = None
+        if probe_weights is not None:
+            pred = (z.reshape(-1, z.shape[-1]) @ probe_weights[:-1]
+                    + probe_weights[-1]).reshape(y.shape)
+        if inverse is not None:
+            h, w, c = y.shape
+            y = inverse(y.reshape(-1, c)).reshape(h, w, c)
+            if pred is not None:
+                pred = inverse(pred.reshape(-1, c)).reshape(h, w, c)
+        rec = {"combined_mask": ym.all(-1), "z_type": z}
+        for ci, name in enumerate(names):
+            rec[f"target_{name}"] = y[..., ci]
+            if pred is not None:
+                rec[f"pred_{name}"] = pred[..., ci]
+        records.append(rec)
+    return records
+
+
+def plot_variable_sheets(records: List[dict], channel_names: List[str],
+                         out_dir: str | Path,
+                         max_cols: int = 4) -> List[Path]:
+    """One figure per variable: observed/predicted tile grid with global
+    2-98 percentile color limits, masked pixels, shared colorbar
+    (reference plot_variable_sheet :218-296)."""
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    paths = []
+    for name in channel_names:
+        has_pred = f"pred_{name}" in records[0]
+        n = len(records)
+        n_cols = min(max_cols, n)
+        n_rows = -(-n // n_cols) * (2 if has_pred else 1)
+        fig, axes = plt.subplots(n_rows, n_cols,
+                                 figsize=(3.2 * n_cols, 3.0 * n_rows),
+                                 squeeze=False)
+        vals = np.concatenate(
+            [r[f"target_{name}"][r["combined_mask"]].ravel()
+             for r in records if r["combined_mask"].any()] or
+            [np.zeros(1)])
+        vmin, vmax = (float(np.nanpercentile(vals, 2)),
+                      float(np.nanpercentile(vals, 98)))
+        im = None
+        for i, rec in enumerate(records):
+            rb, col = divmod(i, n_cols)
+            rows = ([rb * 2, rb * 2 + 1] if has_pred else [rb])
+            panels = [("Obs", rec[f"target_{name}"])]
+            if has_pred:
+                panels.append(("Pred", rec[f"pred_{name}"]))
+            for (label, arr), rr in zip(panels, rows):
+                ax = axes[rr, col]
+                im = ax.imshow(_masked(arr, rec["combined_mask"]),
+                               vmin=vmin, vmax=vmax, cmap="viridis",
+                               interpolation="nearest")
+                ax.set_title(f"{label} #{i}", fontsize=8)
+                ax.set_xticks([])
+                ax.set_yticks([])
+        for r in range(n_rows):
+            for c in range(n_cols):
+                if (r // (2 if has_pred else 1)) * n_cols + c >= n:
+                    axes[r, c].axis("off")
+        fig.suptitle(f"{name}  (observed vs predicted, original scale)",
+                     fontsize=11)
+        fig.tight_layout(rect=(0, 0, 0.92, 0.96))
+        fig.colorbar(im, cax=fig.add_axes((0.93, 0.08, 0.015, 0.84)))
+        p = out_dir / f"sheet_{name.replace('.', '_')}.png"
+        fig.savefig(p, dpi=130, bbox_inches="tight")
+        plt.close(fig)
+        paths.append(p)
+    return paths
+
+
+def plot_gate_channel_sheets(encode_gate_fn: Callable, dataset,
+                             out_dir: str | Path, n_patches: int = 4,
+                             top_k: int = 6) -> List[Path]:
+    """Per-channel gate maps for the top-variance gate channels, one row
+    per patch (reference plot_gate_channels :346-420 with the
+    _select_gate_channels variance ranking :298-344)."""
+    import jax.numpy as jnp
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    gates, n = [], min(n_patches, len(dataset))
+    for i in range(n):
+        batch = {k: jnp.asarray(v)
+                 for k, v in dataset.load_batch([i]).items()}
+        _, gate = encode_gate_fn(batch)
+        gates.append(np.asarray(gate)[0])               # [H, W, G]
+    g_all = np.stack(gates)                              # [N, H, W, G]
+    var = g_all.reshape(-1, g_all.shape[-1]).var(0)
+    chans = np.argsort(var)[::-1][:min(top_k, g_all.shape[-1])]
+    fig, axes = plt.subplots(n, len(chans),
+                             figsize=(2.6 * len(chans), 2.6 * n),
+                             squeeze=False)
+    im = None
+    for r in range(n):
+        for c, ch in enumerate(chans):
+            ax = axes[r, c]
+            im = ax.imshow(g_all[r, :, :, ch], vmin=0, vmax=1,
+                           cmap="magma", interpolation="nearest")
+            if r == 0:
+                ax.set_title(f"gate[{ch}] var={var[ch]:.3f}", fontsize=8)
+            ax.set_xticks([])
+            ax.set_yticks([])
+    fig.suptitle("smoothing gate channels (top variance)", fontsize=11)
+    fig.tight_layout(rect=(0, 0, 0.92, 0.96))
+    fig.colorbar(im, cax=fig.add_axes((0.93, 0.08, 0.015, 0.84)))
+    p = out_dir / "gate_channels.png"
+    fig.savefig(p, dpi=130, bbox_inches="tight")
+    plt.close(fig)
+    return [p]
+
+
+def plot_variable_timeseries(fb, dataset, feature: str, channel: str,
+                             out_dir: str | Path, patch_idx: int = 0,
+                             max_years: int = 8) -> List[Path]:
+    """Per-year tiles of one temporal channel for one patch (reference
+    visualize_forest_diagnostics.py:298-398 plot_variable_timeseries)."""
+    import jax.numpy as jnp
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    batch = {k: jnp.asarray(v)
+             for k, v in dataset.load_batch([patch_idx]).items()}
+    y, ym = fb.build_feature(feature, batch)
+    fc = fb.bindings.get_feature(feature)
+    names = list(fc.channels.keys())
+    ci = names.index(channel)
+    y = np.asarray(y)[0][..., ci]                        # [T, H, W]
+    m = np.asarray(ym)[0][..., ci]
+    t = min(y.shape[0], max_years)
+    fig, axes = plt.subplots(1, t, figsize=(2.4 * t, 2.8), squeeze=False)
+    vals = y[m] if m.any() else np.zeros(1)
+    vmin, vmax = (float(np.nanpercentile(vals, 2)),
+                  float(np.nanpercentile(vals, 98)))
+    im = None
+    for ti in range(t):
+        ax = axes[0, ti]
+        im = ax.imshow(_masked(y[ti], m[ti]), vmin=vmin, vmax=vmax,
+                       cmap="viridis", interpolation="nearest")
+        ax.set_title(f"t={ti}", fontsize=7)
+        ax.set_xticks([])
+        ax.set_yticks([])
+    fig.suptitle(f"{channel} over time (patch {patch_idx})", fontsize=11)
+    fig.tight_layout(rect=(0, 0, 0.92, 0.94))
+    fig.colorbar(im, cax=fig.add_axes((0.93, 0.1, 0.015, 0.8)))
+    p = out_dir / f"timeseries_{channel.replace('.', '_')}.png"
+    fig.savefig(p, dpi=130, bbox_inches="tight")
+    plt.close(fig)
+    return [p]
+
+
+def plot_ysfc_map(dataset, ysfc_source: str, out_dir: str | Path,
+                  n_patches: int = 4) -> List[Path]:
+    """Min-over-time years-since-fast-change maps (reference
+    visualize_forest_diagnostics.py:517-563 plot_ysfc_map)."""
+    import jax.numpy as jnp
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    gname, cname = ysfc_source.split(".")
+    n = min(n_patches, len(dataset))
+    fig, axes = plt.subplots(1, n, figsize=(2.8 * n, 3.0), squeeze=False)
+    im = None
+    for i in range(n):
+        batch = dataset.load_batch([i])
+        gcfg = dataset.bindings.dataset[gname]
+        ys = np.asarray(batch[gname][0][..., gcfg.channel_index(cname)],
+                        np.float32)                      # [T, H, W]
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            ys_min = np.nanmin(ys, axis=0)
+        ax = axes[0, i]
+        im = ax.imshow(ys_min, cmap="cividis", interpolation="nearest")
+        ax.set_title(f"#{i} median={np.nanmedian(ys_min):.1f}", fontsize=8)
+        ax.set_xticks([])
+        ax.set_yticks([])
+    fig.suptitle("ysfc_min (years since fast change)", fontsize=11)
+    fig.tight_layout(rect=(0, 0, 0.92, 0.94))
+    fig.colorbar(im, cax=fig.add_axes((0.93, 0.1, 0.015, 0.8)))
+    p = out_dir / "ysfc_map.png"
+    fig.savefig(p, dpi=130, bbox_inches="tight")
+    plt.close(fig)
+    return [p]
+
+
 def main(argv=None):
     """CLI: figure sheets from a trained checkpoint.
 
@@ -177,6 +395,17 @@ def main(argv=None):
         return model.apply(variables, x, return_gate=True)
 
     paths += visualize_forest_diagnostics(encode_gate, ds, a.out, a.n)
+    # reference-depth sheets: per-variable obs/pred grids (original scale),
+    # top-variance gate channels, ysfc maps
+    fc = fb.bindings.get_feature(a.target_feature)
+    records = collect_patch_records(enc_t, fb, ds, a.target_feature,
+                                    weights, a.n)
+    paths += plot_variable_sheets(records, list(fc.channels.keys()), a.out)
+    paths += plot_gate_channel_sheets(encode_gate, ds, a.out, a.n)
+    try:
+        paths += plot_ysfc_map(ds, "annual.ysfc", a.out, a.n)
+    except (KeyError, ValueError):
+        pass  # cube without a ysfc channel
     print(f"wrote {len(paths)} figures to {a.out}")
 
 
@@ -185,4 +414,6 @@ if __name__ == "__main__":
 
 
 __all__ = ["visualize_test_patches", "visualize_forest_diagnostics",
-           "_pca_rgb"]
+           "collect_patch_records", "plot_variable_sheets",
+           "plot_gate_channel_sheets", "plot_variable_timeseries",
+           "plot_ysfc_map", "_pca_rgb"]

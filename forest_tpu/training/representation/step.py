@@ -42,7 +42,7 @@ from forest_tpu.losses import pairs as pairs_mod
 from forest_tpu.losses.contrastive import contrastive_loss_grouped
 from forest_tpu.losses.evt_soft_neighborhood import evt_soft_neighborhood_loss
 from forest_tpu.losses.phase_neighborhood import (
-    build_phase_neighborhood_batch, compute_phase_spread_ranking,
+    build_phase_neighborhood_batch_grouped, compute_phase_spread_ranking,
     phase_neighborhood_loss, type_local_spectral_demean)
 from forest_tpu.losses.phase_pairs import build_phase_pairs
 from forest_tpu.losses.triplet_phase import phase_recovery_discrimination_loss
@@ -365,8 +365,10 @@ def make_process_batch(model, feature_builder: FeatureBuilder,
         offsets = (jnp.arange(bsz) * a)[:, None, None]
         pp_flat = (pp + offsets).reshape(-1, 2)
         pw_flat = pwts.reshape(-1)
-        pvalid_flat = pvalid.reshape(-1) \
-            & flat_valid[pp_flat[:, 0]] & flat_valid[pp_flat[:, 1]]
+        pvalid_g = (pvalid
+                    & jnp.take_along_axis(a_valid, pp[..., 0], axis=1)
+                    & jnp.take_along_axis(a_valid, pp[..., 1], axis=1))
+        pvalid_flat = pvalid_g.reshape(-1)
 
         # Cross-batch type-local spectral baseline (step.py:907-932): the
         # phase losses see spectral features demeaned by the mean over the
@@ -376,8 +378,12 @@ def make_process_batch(model, feature_builder: FeatureBuilder,
             z_type_sg, phase_flat, flat_valid,
             cfg.xb_phase_pca_dim, cfg.xb_phase_knn_k)
 
-        phase_batch = build_phase_neighborhood_batch(
-            spec_dm, z_phase, ysfc_flat, pp_flat, pvalid_flat,
+        # Sample-grouped builder: the pair->anchor hop runs as one-hot
+        # einsums instead of gathers whose backward scatter-adds into the
+        # shared phase table (~40 ms/step of serialized scatters on v5e).
+        phase_batch = build_phase_neighborhood_batch_grouped(
+            spec_dm.reshape(bsz, a, t_dim, -1),
+            z_phase.reshape(bsz, a, t_dim, -1), ysfc, pp, pvalid_g,
             cfg.phase_min_overlap, cfg.num_ysfc_classes)
         ph_loss, ph_stats = phase_neighborhood_loss(
             spec_dm, z_phase, ysfc_flat, pp_flat, pw_flat,

@@ -401,3 +401,53 @@ class TestDeepPhaseProbe:
         if not got_clip:  # clipping is not invertible; skip if it fired
             np.testing.assert_allclose(back, raw[vm][:500], rtol=1e-4,
                                        atol=1e-4)
+
+
+class TestVariableSheets:
+    """Reference-depth figure sheets (visualize_test_patches.py:218-420,
+    visualize_forest_diagnostics.py:298-563)."""
+
+    def test_sheets_and_maps(self, frl_run):
+        import jax
+
+        from forest_tpu.eval import frozen, visualize as vz
+        root, cfg, result = frl_run
+        model, params, fb = result["model"], result["state"].params, \
+            result["fb"]
+        enc_t, _, _ = frozen.make_encode_fns(model, params, fb)
+        out = lp.fit_linear_probe(
+            enc_t, fb, result["ds_train"], result["ds_val"],
+            target_feature="infonce_type_spectral", max_batches_train=2,
+            max_batches_eval=1, batch_size=2)
+
+        fc = fb.bindings.get_feature("infonce_type_spectral")
+        records = vz.collect_patch_records(
+            enc_t, fb, result["ds_val"], "infonce_type_spectral",
+            out["weights"], n_patches=2)
+        assert len(records) == min(2, len(result["ds_val"]))
+        names = list(fc.channels.keys())
+        paths = vz.plot_variable_sheets(records, names, root / "sheets")
+        assert len(paths) == len(names)
+        assert all(p.exists() and p.stat().st_size > 5000 for p in paths)
+
+        variables = {"params": params}
+
+        @jax.jit
+        def encode_gate(batch):
+            x, _ = fb.build_feature("type_encoder_input", batch)
+            return model.apply(variables, x, return_gate=True)
+
+        p = vz.plot_gate_channel_sheets(encode_gate, result["ds_val"],
+                                        root / "sheets", n_patches=2)
+        assert p[0].exists()
+
+        p = vz.plot_variable_timeseries(
+            fb, result["ds_val"], "phase_ccdc", names[0].split(".")[0]
+            if False else list(fb.bindings.get_feature(
+                "phase_ccdc").channels.keys())[0],
+            root / "sheets", max_years=4)
+        assert p[0].exists()
+
+        p = vz.plot_ysfc_map(result["ds_val"], "annual.ysfc",
+                             root / "sheets", n_patches=2)
+        assert p[0].exists()

@@ -538,3 +538,71 @@ class TestGroupedContrastiveEquivalence:
                                       np.asarray(pairs[:, 1]))
         np.testing.assert_array_equal(np.asarray(valid).reshape(-1),
                                       np.asarray(vflat))
+
+
+class TestGroupedPhaseBatch:
+    """The grouped (one-hot-einsum) builder must reproduce the flat
+    builder's batch exactly: same distances, masks, and gradients."""
+
+    def _data(self, s=3, a=10, t=8, c=4, d=3, p=14, seed=0):
+        r = np.random.default_rng(seed)
+        spec = jnp.asarray(r.normal(size=(s, a, t, c)), jnp.float32)
+        phase = jnp.asarray(r.normal(size=(s, a, t, d)), jnp.float32)
+        ysfc = jnp.asarray(r.integers(0, 6, size=(s, a, t)), jnp.float32)
+        pairs = jnp.asarray(r.integers(0, a, size=(s, p, 2)), jnp.int32)
+        pvalid = jnp.asarray(r.random(size=(s, p)) < 0.9)
+        return spec, phase, ysfc, pairs, pvalid
+
+    def test_matches_flat(self):
+        from forest_tpu.losses import phase_neighborhood as pn
+        s, a, t, c, d, p = 3, 10, 8, 4, 3, 14
+        spec, phase, ysfc, pairs, pvalid = self._data(s, a, t, c, d, p)
+        offsets = (jnp.arange(s) * a)[:, None, None]
+        flat = pn.build_phase_neighborhood_batch(
+            spec.reshape(-1, t, c), phase.reshape(-1, t, d),
+            ysfc.reshape(-1, t), (pairs + offsets).reshape(-1, 2),
+            pvalid.reshape(-1), min_overlap=2, num_classes=8)
+        grouped = pn.build_phase_neighborhood_batch_grouped(
+            spec, phase, ysfc, pairs, pvalid, min_overlap=2, num_classes=8)
+        for k in flat:
+            if k == "M":
+                assert flat[k] == grouped[k]
+                continue
+            np.testing.assert_allclose(
+                np.asarray(flat[k], np.float32),
+                np.asarray(grouped[k], np.float32), atol=2e-5,
+                err_msg=k)
+
+    def test_gradients_match_flat(self):
+        import jax
+
+        from forest_tpu.losses import phase_neighborhood as pn
+        s, a, t, c, d, p = 2, 8, 6, 3, 3, 10
+        spec, phase, ysfc, pairs, pvalid = self._data(s, a, t, c, d, p,
+                                                      seed=3)
+        offsets = (jnp.arange(s) * a)[:, None, None]
+        w = jnp.ones((s * p,), jnp.float32)
+
+        def loss_flat(ph):
+            l, _ = pn.phase_neighborhood_loss(
+                spec.reshape(-1, t, c), ph.reshape(-1, t, d),
+                ysfc.reshape(-1, t), (pairs + offsets).reshape(-1, 2),
+                w, pvalid.reshape(-1), min_overlap=2, num_classes=8)
+            return l
+
+        def loss_grouped(ph):
+            batch = pn.build_phase_neighborhood_batch_grouped(
+                spec, ph, ysfc, pairs, pvalid, min_overlap=2,
+                num_classes=8)
+            l, _ = pn.phase_neighborhood_loss(
+                spec.reshape(-1, t, c), ph.reshape(-1, t, d),
+                ysfc.reshape(-1, t), (pairs + offsets).reshape(-1, 2),
+                w, pvalid.reshape(-1), min_overlap=2, num_classes=8,
+                _batch=batch)
+            return l
+
+        lf, gf = jax.value_and_grad(loss_flat)(phase)
+        lg, gg = jax.value_and_grad(loss_grouped)(phase)
+        np.testing.assert_allclose(float(lf), float(lg), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gg),
+                                   atol=2e-5)
