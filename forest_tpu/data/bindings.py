@@ -149,6 +149,22 @@ class BindingsConfig:
     def get_feature(self, name: str) -> FeatureConfig:
         return self.features[name]
 
+    def groups_for_features(self, feature_names) -> set:
+        """Dataset groups a set of features reads (channels + their masks).
+
+        Inference paths that only run some features can drop the other
+        groups before device transfer -- the full group dict is ~10x the
+        bytes the type encoder needs (export_embeddings measured 87 ->
+        ~7 MB/batch over the slow relay H2D link)."""
+        need = set()
+        for fn in feature_names:
+            fc = self.get_feature(fn)
+            for ref, spec in fc.channels.items():
+                need.add(ref.split(".")[0])
+                if spec.mask:
+                    need.add(spec.mask.split(".")[0])
+        return need
+
     def get_loss(self, name: str) -> Dict:
         return self.losses[name]
 

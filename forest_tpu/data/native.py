@@ -79,9 +79,12 @@ def available() -> bool:
 
 def decode_chunks(paths: Sequence[Optional[str]], chunk_shape, dtype,
                   fill_value=0, compressed: bool = True,
-                  nthreads: int = 8) -> np.ndarray:
+                  nthreads: Optional[int] = None) -> np.ndarray:
     """Decode chunk files in parallel. ``paths[i]`` may be None / missing
-    (-> fill-valued chunk). Returns [n, *chunk_shape] of ``dtype``."""
+    (-> fill-valued chunk). Returns [n, *chunk_shape] of ``dtype``.
+    ``nthreads=None`` adapts to min(8, cpu_count)."""
+    if nthreads is None:
+        nthreads = min(8, os.cpu_count() or 1)
     lib = _load()
     if lib is None:
         raise RuntimeError("native loader unavailable")

@@ -26,8 +26,16 @@ def export_embeddings(encode_type_fn, dataset, out_path: str | Path,
                       z_dim: int, batch_size: int = 4,
                       encode_phase_dense_fn=None,
                       z_phase_dim: Optional[int] = None,
-                      num_timesteps: Optional[int] = None) -> zl.ZarrGroup:
+                      num_timesteps: Optional[int] = None,
+                      needed_features: Optional[list] = None
+                      ) -> zl.ZarrGroup:
+    """``needed_features``: feature names the encode fns build; when given,
+    only the dataset groups those features read are shipped to the device
+    (the relay H2D link is the export bottleneck at full batches)."""
     import jax.numpy as jnp
+
+    keep = (dataset.bindings.groups_for_features(needed_features)
+            if needed_features else None)
 
     h, w = dataset.height, dataset.width
     p = dataset.patch_size
@@ -56,17 +64,25 @@ def export_embeddings(encode_type_fn, dataset, out_path: str | Path,
         # export fix: decode, compute, and IO run concurrently).
         loader = PrefetchLoader(dataset, iter(batches), num_workers=2,
                                 prefetch=2)
-        pending = []  # (windows, device arrays) for async overlap
+        # Writer thread: the device->host transfer rides a slow relay link
+        # (~23 MB/s measured), so np.asarray + zarr writeback must overlap
+        # the next batch's decode + device compute, not serialize with them.
+        from concurrent.futures import ThreadPoolExecutor
+        writer = ThreadPoolExecutor(max_workers=1)
+        futures = []
         for idx, host_batch in zip(batches, loader):
-            batch = {k: jnp.asarray(v) for k, v in host_batch.items()}
-            z = encode_type_fn(batch)           # async dispatch
-            zp = (encode_phase_dense_fn(batch)
+            batch = {k: jnp.asarray(v) for k, v in host_batch.items()
+                     if not k.startswith("__")
+                     and (keep is None or k in keep)}
+            # cast on device: halves the D2H bytes, f16 is the storage dtype
+            z = encode_type_fn(batch).astype(jnp.float16)   # async dispatch
+            zp = (encode_phase_dense_fn(batch).astype(jnp.float16)
                   if encode_phase_dense_fn is not None else None)
-            pending.append((idx, z, zp))
-            if len(pending) >= 2:
-                _drain(pending.pop(0), dataset, zt_arr, zp_arr)
-        while pending:
-            _drain(pending.pop(0), dataset, zt_arr, zp_arr)
+            futures.append(writer.submit(
+                _drain, (idx, z, zp), dataset, zt_arr, zp_arr))
+        for f in futures:
+            f.result()
+        writer.shutdown()
     finally:
         dataset._current_indices = saved
     return root
@@ -123,9 +139,13 @@ def main(argv=None):
             return model.apply(variables, px, zt,
                                method=model.forward_phase)
 
+    feats = ["type_encoder_input"]
+    if a.phase:
+        feats.append(getattr(model, "phase_feature", "phase_ccdc"))
     root = export_embeddings(
         enc_t, ds, a.out, model.z_type_dim, a.batch_size, enc_p_dense,
-        model.z_phase_dim, bindings.time_window.num_years)
+        model.z_phase_dim, bindings.time_window.num_years,
+        needed_features=feats)
     print(f"wrote {root.path}")
 
 

@@ -438,7 +438,79 @@ def format_phase_probe_report(m: Dict, prefix: str = "") -> str:
     return "\n".join(lines)
 
 
+def main(argv=None):
+    """CLI (reference fit_phase_linear_probe.py:1438-1556): fit the phase
+    probe from a trained checkpoint, report train/val metrics, optionally
+    save the fitted probe (weights + preprocessor) as JSON.
+
+    python -m forest_tpu.eval.phase_probe --checkpoint CKPT --bindings
+        B.yaml [--design full] [--interaction-pca-k 20] [--halo 16] ...
+    """
+    import argparse
+    import json
+    from pathlib import Path
+
+    from forest_tpu.data.bindings import parse_bindings
+    from forest_tpu.data.feature_builder import FeatureBuilder
+    from forest_tpu.data.frl_dataset import ForestDatasetV2
+    from forest_tpu.eval import frozen
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--bindings", required=True)
+    ap.add_argument("--target-feature", default="phase_ccdc")
+    ap.add_argument("--patch-size", type=int, default=256)
+    ap.add_argument("--split-block-size", type=int, nargs=2, default=(4, 4))
+    ap.add_argument("--batch-size", type=int, default=2)
+    ap.add_argument("--ridge-lambda", type=float, default=1e-3)
+    ap.add_argument("--halo", type=int, default=16)
+    ap.add_argument("--anchor-stride", type=int, default=4)
+    ap.add_argument("--max-batches", type=int, default=0)
+    ap.add_argument("--design", default="full", choices=DESIGN_CHOICES)
+    ap.add_argument("--interaction-pca-k", type=int, default=20)
+    ap.add_argument("--output", default=None,
+                    help="save fitted probe (weights+preprocessor) JSON")
+    a = ap.parse_args(argv)
+
+    bindings = parse_bindings(a.bindings)
+    fb = FeatureBuilder(bindings)
+    model, params = frozen.load_frozen_model(a.checkpoint)
+    enc_t, enc_p, _ = frozen.make_encode_fns(model, params, fb)
+    targets = frozen.make_phase_target_fn(fb, a.target_feature)
+
+    def enc_phase_fn(batch, coords):
+        zp = enc_p(batch, coords)
+        ta, tm = targets(batch, coords)
+        return zp, ta, tm
+
+    mb = a.max_batches or None
+    ds = {split: ForestDatasetV2(
+        bindings, split=split, patch_size=a.patch_size,
+        split_block_size=tuple(a.split_block_size))
+        for split in ("train", "val")}
+    w, pre = fit_phase_probe(
+        enc_t, enc_phase_fn, ds["train"], design=a.design,
+        interaction_pca_k=a.interaction_pca_k,
+        ridge_lambda=a.ridge_lambda, anchor_stride=a.anchor_stride,
+        halo=a.halo, batch_size=a.batch_size, max_batches=mb)
+    for split in ("train", "val"):
+        metrics = evaluate_phase_probe(
+            enc_t, enc_phase_fn, ds[split], w, pre, fb, a.target_feature,
+            anchor_stride=a.anchor_stride, halo=a.halo,
+            batch_size=a.batch_size, max_batches=mb)
+        print(format_phase_probe_report(metrics, split))
+    if a.output:
+        Path(a.output).write_text(json.dumps(
+            {"weights": w.tolist(), "preprocessor": pre.to_dict(),
+             "target_feature": a.target_feature}))
+        print(f"saved probe to {a.output}")
+
+
+if __name__ == "__main__":
+    main()
+
+
 __all__ = ["DESIGN_CHOICES", "PhaseProbePreprocessor",
            "build_design_matrix", "design_dim", "fit_phase_probe",
            "evaluate_phase_probe", "inverse_normalization_fn",
-           "iter_phase_blocks", "format_phase_probe_report"]
+           "iter_phase_blocks", "format_phase_probe_report", "main"]

@@ -15,6 +15,23 @@ import optax
 
 Array = jax.Array
 
+# Per-replica COUNT metrics: psum'd across the data mesh so multi-chip
+# reports match single-chip semantics (a global count over the global
+# batch). Everything else is a mean -> pmean.
+_COUNT_METRICS = frozenset({
+    "samples_skipped", "n_anchors_valid", "spectral_n_anchors",
+    "phase_pairs_valid",
+})
+
+
+def _sync_metrics(metrics: Dict[str, Array], axis_name: str
+                  ) -> Dict[str, Array]:
+    return {
+        k: (jax.lax.psum(v, axis_name) if k in _COUNT_METRICS
+            else jax.lax.pmean(v, axis_name))
+        for k, v in metrics.items()
+    }
+
 
 class FRLTrainState(NamedTuple):
     params: Any
@@ -53,8 +70,7 @@ def make_train_step(process_batch: Callable, optimizer,
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             loss = jax.lax.pmean(loss, axis_name)
-            metrics = jax.tree.map(
-                lambda m: jax.lax.pmean(m, axis_name), metrics)
+            metrics = _sync_metrics(metrics, axis_name)
         gnorm = optax.global_norm(grads)
         finite = jnp.isfinite(loss) & jnp.isfinite(gnorm)
         safe_grads = jax.tree.map(
@@ -82,8 +98,7 @@ def make_eval_step(process_batch: Callable,
         _, metrics = process_batch(params, batch, rng, weights, curriculum,
                                    False)
         if axis_name is not None:
-            metrics = jax.tree.map(
-                lambda m: jax.lax.pmean(m, axis_name), metrics)
+            metrics = _sync_metrics(metrics, axis_name)
         return metrics
 
     return eval_step

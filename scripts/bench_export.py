@@ -64,10 +64,12 @@ def main(argv=None):
 
         # compile + warm
         export_embeddings(enc_t, ds, f"{td}/warm.zarr", z_dim=16,
-                          batch_size=a.batch_size)
+                          batch_size=a.batch_size,
+                          needed_features=["type_encoder_input"])
         t0 = time.perf_counter()
         export_embeddings(enc_t, ds, f"{td}/emb.zarr", z_dim=16,
-                          batch_size=a.batch_size)
+                          batch_size=a.batch_size,
+                          needed_features=["type_encoder_input"])
         dt = time.perf_counter() - t0
         pps = n / dt
         log(f"export: {dt:.2f}s total")

@@ -451,3 +451,27 @@ class TestVariableSheets:
         p = vz.plot_ysfc_map(result["ds_val"], "annual.ysfc",
                              root / "sheets", n_patches=2)
         assert p[0].exists()
+
+
+class TestPhaseProbeCLI:
+    def test_main_e2e(self, frl_run, capsys, tmp_path):
+        from forest_tpu.eval import phase_probe as pp
+        root, cfg, result = frl_run
+        ck = cfg.run.experiment_dir / cfg.run.ckpt_dir / \
+            "encoder_last.msgpack"
+        out = tmp_path / "probe.json"
+        pp.main(["--checkpoint", str(ck),
+                 "--bindings", str(root / "bindings.yaml"),
+                 "--patch-size", "32", "--split-block-size", "1", "1",
+                 "--halo", "4", "--anchor-stride", "8",
+                 "--max-batches", "2", "--interaction-pca-k", "6",
+                 "--output", str(out)])
+        printed = capsys.readouterr().out
+        assert "phase probe train" in printed
+        assert "phase probe val" in printed
+        assert "TOTAL" in printed
+        import json
+        saved = json.loads(out.read_text())
+        assert saved["target_feature"] == "phase_ccdc"
+        pre = pp.PhaseProbePreprocessor.from_dict(saved["preprocessor"])
+        assert pre.output_dim + 1 == len(saved["weights"])

@@ -347,7 +347,8 @@ class TestShardMapDP:
         np.testing.assert_allclose(float(m_1["loss_total"]),
                                    float(m_plain["loss_total"]), rtol=1e-6)
 
-        # 8-device mesh: finite, no skip
+        # 8-device mesh: finite, no skip; COUNT metrics are global sums
+        # (psum), matching single-device semantics on the same batch.
         mesh8 = make_mesh(8)
         step8 = make_dp_frl_step(process, opt, mesh8, donate_state=False)
         state = ts.init_train_state(params, opt)
@@ -355,3 +356,6 @@ class TestShardMapDP:
                        jax.random.key(3), weights, cur)
         assert np.isfinite(float(m_8["loss_total"]))
         assert int(m_8["skipped"]) == 0
+        assert int(m_8["samples_skipped"]) == 0
+        assert float(m_8["n_anchors_valid"]) == round(
+            float(m_8["n_anchors_valid"]))  # integral after psum
