@@ -67,22 +67,30 @@ def export_embeddings(encode_type_fn, dataset, out_path: str | Path,
         # Writer thread: the device->host transfer rides a slow relay link
         # (~23 MB/s measured), so np.asarray + zarr writeback must overlap
         # the next batch's decode + device compute, not serialize with them.
+        # In-flight futures are bounded so device buffers don't accumulate
+        # when writeback is the bottleneck.
+        from collections import deque
         from concurrent.futures import ThreadPoolExecutor
         writer = ThreadPoolExecutor(max_workers=1)
-        futures = []
-        for idx, host_batch in zip(batches, loader):
-            batch = {k: jnp.asarray(v) for k, v in host_batch.items()
-                     if not k.startswith("__")
-                     and (keep is None or k in keep)}
-            # cast on device: halves the D2H bytes, f16 is the storage dtype
-            z = encode_type_fn(batch).astype(jnp.float16)   # async dispatch
-            zp = (encode_phase_dense_fn(batch).astype(jnp.float16)
-                  if encode_phase_dense_fn is not None else None)
-            futures.append(writer.submit(
-                _drain, (idx, z, zp), dataset, zt_arr, zp_arr))
-        for f in futures:
-            f.result()
-        writer.shutdown()
+        try:
+            futures: deque = deque()
+            for idx, host_batch in zip(batches, loader):
+                batch = {k: jnp.asarray(v) for k, v in host_batch.items()
+                         if not k.startswith("__")
+                         and (keep is None or k in keep)}
+                # device-side cast: halves D2H bytes; f16 is the storage
+                # dtype anyway
+                z = encode_type_fn(batch).astype(jnp.float16)
+                zp = (encode_phase_dense_fn(batch).astype(jnp.float16)
+                      if encode_phase_dense_fn is not None else None)
+                futures.append(writer.submit(
+                    _drain, (idx, z, zp), dataset, zt_arr, zp_arr))
+                while len(futures) > 2:
+                    futures.popleft().result()
+            while futures:
+                futures.popleft().result()
+        finally:
+            writer.shutdown(wait=False, cancel_futures=True)
     finally:
         dataset._current_indices = saved
     return root

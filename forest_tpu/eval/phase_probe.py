@@ -159,17 +159,21 @@ def fit_phase_probe(encode_type_fn: Callable, encode_phase_fn: Callable,
                                  max_batches)
 
     # ---- pass 1: column stats + interaction PCA (:403-571) --------------
-    first = next(iter(blocks()))
-    d_type = first[0].shape[-1]
-    d_phase = first[1].shape[-1]
-    d_raw = design_dim(design, d_type, d_phase)
-    d_int = d_type * d_phase
-    need_pca = design == "full" and 0 < interaction_pca_k < d_int
-    sum_x = np.zeros(d_raw, np.float64)
-    sum_x2 = np.zeros(d_raw, np.float64)
-    sum_ii = np.zeros((d_int, d_int), np.float64) if need_pca else None
+    sum_x = sum_x2 = sum_ii = None
+    d_type = d_phase = d_raw = d_int = 0
+    need_pca = False
     n_obs = 0
     for zt, zp, y, valid in blocks():
+        if sum_x is None:  # dims from the first block -- no extra pass
+            d_type = zt.shape[-1]
+            d_phase = zp.shape[-1]
+            d_raw = design_dim(design, d_type, d_phase)
+            d_int = d_type * d_phase
+            need_pca = design == "full" and 0 < interaction_pca_k < d_int
+            sum_x = np.zeros(d_raw, np.float64)
+            sum_x2 = np.zeros(d_raw, np.float64)
+            sum_ii = (np.zeros((d_int, d_int), np.float64)
+                      if need_pca else None)
         zt_f, zp_f, _ = _flatten_rows(zt, zp, valid)
         if zt_f.shape[0] == 0:
             continue
@@ -320,14 +324,19 @@ def evaluate_phase_probe(encode_type_fn: Callable,
     inverse = inverse_normalization_fn(fb, target_feature)
     rng = np.random.default_rng(rng_seed)
 
+    from forest_tpu.data.samplers import ReservoirSampler
+
     z = np.zeros(c_dim, np.float64)
     acc = {k: z.copy() for k in
            ("sse", "sum_y", "sum_y2", "sse_o", "sum_yo", "sum_yo2",
-            "sse_t", "ss_t", "sse_to", "ss_to", "ss_within", "ss_within_o")}
+            "sse_t", "ss_t", "sse_to", "ss_to")}
     n_obs = np.zeros(c_dim, np.float64)
     n_pixels = 0
-    res_pred = [np.zeros((0,)) for _ in range(2 * c_dim)]
-    res_y = [np.zeros((0,)) for _ in range(2 * c_dim)]
+    # Uniform (pred, y) pair reservoirs per channel x scale -- the
+    # reference's ReservoirSampler contract (:781-786); a sliding tail
+    # would bias rho^2 toward the spatially-last batches.
+    reservoirs = [ReservoirSampler(_SPEARMAN_CAP, seed=rng_seed + j)
+                  for j in range(2 * c_dim)]
 
     for zt, zp, y, valid in iter_phase_blocks(
             encode_type_fn, encode_phase_fn, ds, anchor_stride, halo,
@@ -361,31 +370,28 @@ def evaluate_phase_probe(encode_type_fn: Callable,
         cnt_px = np.maximum(v.sum(2), 1.0)                # [B,A,1]
         px_valid = v.sum(2)[..., 0] >= 2                  # [B,A]
         n_pixels += int(px_valid.sum())
-        for sse_k, ss_k, within_k, p_, y_ in (
-                ("sse_t", "ss_t", "ss_within", pred, y),
-                ("sse_to", "ss_to", "ss_within_o", po, yo)):
+        for sse_k, ss_k, p_, y_ in (("sse_t", "ss_t", pred, y),
+                                    ("sse_to", "ss_to", po, yo)):
             y_mu = (y_ * v).sum(2, keepdims=True) / cnt_px[:, :, None]
             p_mu = (p_ * v).sum(2, keepdims=True) / cnt_px[:, :, None]
             vv = v * px_valid[..., None, None]
             acc[sse_k] += (((p_ - p_mu) - (y_ - y_mu)) ** 2
                            * vv).sum((0, 1, 2))
+            # ss_t doubles as the within-pixel variance accumulator for
+            # variance_fraction_temporal below.
             acc[ss_k] += ((y_ - y_mu) ** 2 * vv).sum((0, 1, 2))
-            if within_k:
-                acc[within_k] += ((y_ - y_mu) ** 2 * vv).sum((0, 1, 2))
 
-        # bounded subsample for Spearman (:781-786 reservoir contract)
+        # bounded uniform subsample for Spearman (:781-786)
         mm = np.flatnonzero(m)
         take = min(len(mm), 4096)
         sel = rng.choice(mm, size=take, replace=False) if take else mm
-        for c in range(c_dim):
-            for off, (p_, y_) in enumerate(
-                    ((pred.reshape(-1, c_dim), y.reshape(-1, c_dim)),
-                     (po.reshape(-1, c_dim), yo.reshape(-1, c_dim)))):
-                j = off * c_dim + c
-                res_pred[j] = np.concatenate(
-                    [res_pred[j], p_[sel, c]])[-_SPEARMAN_CAP:]
-                res_y[j] = np.concatenate(
-                    [res_y[j], y_[sel, c]])[-_SPEARMAN_CAP:]
+        if len(sel):
+            for c in range(c_dim):
+                for off, (p_, y_) in enumerate(
+                        ((pred.reshape(-1, c_dim), y.reshape(-1, c_dim)),
+                         (po.reshape(-1, c_dim), yo.reshape(-1, c_dim)))):
+                    reservoirs[off * c_dim + c].add(
+                        np.stack([p_[sel, c], y_[sel, c]], axis=1))
 
     out: Dict = {"n_observations": int(n_obs.max(initial=0)),
                  "n_pixels": n_pixels, "channels": names}
@@ -403,14 +409,17 @@ def evaluate_phase_probe(encode_type_fn: Callable,
     ss_tot = np.maximum(acc["sum_y2"] - acc["sum_y"] ** 2
                         / np.maximum(n_obs, 1.0), 1e-12)
     out["variance_fraction_temporal"] = {
-        nm: float(acc["ss_within"][c] / ss_tot[c])
+        nm: float(acc["ss_t"][c] / ss_tot[c])
         for c, nm in enumerate(names)}
     out["variance_fraction_temporal_total"] = \
-        float(acc["ss_within"].sum() / ss_tot.sum())
-    for suffix, off in (("", 0), ("_original", c_dim)):
-        out[f"spearman_rho2_per_channel{suffix}"] = {
-            nm: _spearman_rho2(res_pred[off + c], res_y[off + c])
-            for c, nm in enumerate(names)}
+        float(acc["ss_t"].sum() / ss_tot.sum())
+    for suffix, off in (("", 0), ("_original", 1)):
+        per = {}
+        for c, nm in enumerate(names):
+            r = reservoirs[off * c_dim + c]
+            buf = r.sample() if r.n_seen else np.zeros((0, 2))
+            per[nm] = _spearman_rho2(buf[:, 0], buf[:, 1])
+        out[f"spearman_rho2_per_channel{suffix}"] = per
     return out
 
 

@@ -300,6 +300,49 @@ def plot_variable_timeseries(fb, dataset, feature: str, channel: str,
     return [p]
 
 
+def plot_variable_anomaly(fb, dataset, feature: str, channel: str,
+                          out_dir: str | Path, patch_idx: int = 0,
+                          max_years: int = 8) -> List[Path]:
+    """Temporal-anomaly tiles: per-year deviation from each pixel's
+    temporal mean, so the color scale shows CHANGE rather than spatial
+    structure (reference visualize_forest_diagnostics.py:400-515)."""
+    import jax.numpy as jnp
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    batch = {k: jnp.asarray(v)
+             for k, v in dataset.load_batch([patch_idx]).items()}
+    y, ym = fb.build_feature(feature, batch)
+    fc = fb.bindings.get_feature(feature)
+    ci = list(fc.channels.keys()).index(channel)
+    y = np.asarray(y)[0][..., ci]                        # [T, H, W]
+    m = np.asarray(ym)[0][..., ci]
+    cnt = np.maximum(m.sum(0), 1)
+    mu = (np.where(m, y, 0.0)).sum(0) / cnt              # [H, W]
+    anom = np.where(m, y - mu[None], np.nan)
+    t = min(y.shape[0], max_years)
+    lim = float(np.nanpercentile(np.abs(anom), 98)) if m.any() else 1.0
+    if not np.isfinite(lim) or lim == 0.0:
+        lim = 1.0
+    fig, axes = plt.subplots(1, t, figsize=(2.4 * t, 2.8), squeeze=False)
+    im = None
+    for ti in range(t):
+        ax = axes[0, ti]
+        im = ax.imshow(_masked(anom[ti], m[ti]), vmin=-lim, vmax=lim,
+                       cmap="RdBu_r", interpolation="nearest")
+        ax.set_title(f"t={ti}", fontsize=7)
+        ax.set_xticks([])
+        ax.set_yticks([])
+    fig.suptitle(f"{channel} temporal anomaly (patch {patch_idx})",
+                 fontsize=11)
+    fig.tight_layout(rect=(0, 0, 0.92, 0.94))
+    fig.colorbar(im, cax=fig.add_axes((0.93, 0.1, 0.015, 0.8)))
+    p = out_dir / f"anomaly_{channel.replace('.', '_')}.png"
+    fig.savefig(p, dpi=130, bbox_inches="tight")
+    plt.close(fig)
+    return [p]
+
+
 def plot_ysfc_map(dataset, ysfc_source: str, out_dir: str | Path,
                   n_patches: int = 4) -> List[Path]:
     """Min-over-time years-since-fast-change maps (reference
@@ -416,4 +459,4 @@ if __name__ == "__main__":
 __all__ = ["visualize_test_patches", "visualize_forest_diagnostics",
            "collect_patch_records", "plot_variable_sheets",
            "plot_gate_channel_sheets", "plot_variable_timeseries",
-           "plot_ysfc_map", "_pca_rgb"]
+           "plot_variable_anomaly", "plot_ysfc_map", "_pca_rgb"]

@@ -213,7 +213,7 @@ def _vq_assign_kernel(x_ref, c_ref, c2_ref, idx_ref, *, mxu_bf16: bool):
 
 
 def _vq_assign_pallas(x: Array, codebook: Array, *, tile_n: int = 2048,
-                      mxu_bf16: bool = True,
+                      mxu_bf16: bool = False,
                       interpret: bool = False) -> Array:
     n, d = x.shape
     k = codebook.shape[0]
@@ -278,7 +278,10 @@ def vq_assign(x: Array, codebook: Array, *, use_pallas: Optional[bool] = None,
 
     Assignment-only fast path: on TPU this runs a distances+argmin Pallas
     kernel (no quantized output, no EMA statistics -- 1/3 the matmul FLOPs of
-    :func:`vq_core` and no [N, K] distance matrix in HBM).
+    :func:`vq_core` and no [N, K] distance matrix in HBM). Default numerics
+    are f32, bit-consistent with vq_core's training-side assignments (the
+    CLAUDE.md parity gate); pass ``mxu_bf16=True`` to opt into XLA-DEFAULT
+    -precision bf16 distances (near-ties may flip) for extra speed.
     """
     if use_pallas is None:
         use_pallas = _on_tpu()

@@ -495,9 +495,13 @@ def make_process_batch(model, feature_builder: FeatureBuilder,
         if diag:
             pos_m = pv & is_pos
             neg_m = pv & ~is_pos
-            metrics.update(dg.masked_stats(
-                gate, jnp.broadcast_to(pixel_mask[..., None], gate.shape),
-                "diag_gate"))
+            # Strided gate subsample: full-tensor gate stats once cost the
+            # reference 3.5 s/batch, hence its _GATE_STATS_SAMPLES=4096
+            # (reference step.py:53-56, CLAUDE.md:374). A stride-8 grid is
+            # the static-shape analogue (~590k samples at B=12 256^2).
+            gs = gate[:, ::8, ::8, :]
+            gm = jnp.broadcast_to(pixel_mask[:, ::8, ::8, None], gs.shape)
+            metrics.update(dg.masked_stats(gs, gm, "diag_gate"))
             metrics.update(dg.masked_stats(pw, pos_m, "diag_pos_weight"))
             metrics.update(dg.masked_stats(pw, neg_m, "diag_neg_weight"))
             metrics.update(dg.masked_stats(d_spec, pos_m,

@@ -96,6 +96,9 @@ class TrainingConfiguration:
     loss_weights: Dict[str, float] = field(default_factory=dict)
     step: Dict[str, Any] = field(default_factory=dict)
     sampling_strategy: str = "grid-plus-supplement"
+    # reference-depth in-graph diagnostics (distribution stats, tau sweeps,
+    # leakage ridge); the reference collects the analogous stats every step
+    diagnostics: bool = True
     validation: Dict[str, Any] = field(default_factory=dict)
     early_stopping: Dict[str, Any] = field(default_factory=dict)
     seed: int = 0

@@ -123,7 +123,7 @@ def setup(cfg: TrainingConfiguration,
 
     process = step_mod.make_process_batch(model, fb, sampler, step_cfg,
                                           sd.patch_size, evt_tables,
-                                          diag=True)
+                                          diag=cfg.diagnostics)
 
     # Steps per epoch reflect the EFFECTIVE epoch size under the configured
     # epoch mode -- the LR schedule and the phase re-warmup step are pinned
@@ -135,7 +135,9 @@ def setup(cfg: TrainingConfiguration,
                              * len(ds_train.patches)), 1)
     else:
         epoch_size = len(ds_train.patches)
-    steps_per_epoch = max(epoch_size // cfg.epoch.batch_size, 1)
+    # ceil: run_epoch repeat-fills the ragged tail batch instead of
+    # dropping it, so an epoch executes ceil(n/bs) optimizer steps.
+    steps_per_epoch = max(-(-epoch_size // cfg.epoch.batch_size), 1)
     total_steps = cfg.epoch.num_epochs * steps_per_epoch
     phase_start = curricula["phase_start_epoch"] * steps_per_epoch
     s = cfg.scheduler

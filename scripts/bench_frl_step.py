@@ -24,6 +24,9 @@ def main(argv=None):
     ap.add_argument("--bf16-smoothing", action="store_true")
     ap.add_argument("--no-pallas", action="store_true",
                     help="force the XLA smoothing path (diagnostics)")
+    ap.add_argument("--diag", action="store_true",
+                    help="include the in-graph diagnostics the training "
+                         "loop computes (training.diagnostics: true)")
     a = ap.parse_args(argv)
 
     import jax
@@ -79,7 +82,8 @@ def main(argv=None):
     print(f"model {n_par/1e6:.3f} M params; anchors/patch: "
           f"{sampler.n_anchors(hw, hw)}")
 
-    process = step_mod.make_process_batch(model, fb, sampler, cfg, hw)
+    process = step_mod.make_process_batch(model, fb, sampler, cfg, hw,
+                                          diag=a.diag)
     opt = ts.make_optimizer(1e-4)
     state = ts.init_train_state(params, opt)
     step = jax.jit(ts.make_train_step(process, opt), donate_argnums=0)

@@ -452,6 +452,11 @@ class TestVariableSheets:
                              root / "sheets", n_patches=2)
         assert p[0].exists()
 
+        ch0 = list(fb.bindings.get_feature("phase_ccdc").channels.keys())[0]
+        p = vz.plot_variable_anomaly(fb, result["ds_val"], "phase_ccdc",
+                                     ch0, root / "sheets", max_years=4)
+        assert p[0].exists() and p[0].stat().st_size > 5000
+
 
 class TestPhaseProbeCLI:
     def test_main_e2e(self, frl_run, capsys, tmp_path):
