@@ -148,7 +148,8 @@ def build_phase_neighborhood_batch(
 def build_phase_neighborhood_batch_grouped(
         spectral_features: Array, phase_embeddings: Array, ysfc: Array,
         pairs: Array, pair_valid: Optional[Array] = None,
-        min_overlap: int = 3, num_classes: int = 64) -> Dict[str, Array]:
+        min_overlap: int = 3, num_classes: int = 64,
+        layout: str = "bmn") -> Dict[str, Array]:
     """Sample-grouped variant of :func:`build_phase_neighborhood_batch`.
 
     Identical math, TPU-friendly data movement: the flat builder's
@@ -232,24 +233,52 @@ def build_phase_neighborhood_batch_grouped(
     gi = align(oh_i)
     gj = align(oh_j)
     bsz = s * p
-    ai_spec = gi[..., :c_dim].reshape(bsz, m, c_dim)
-    ai_phase = gi[..., c_dim:].reshape(bsz, m, d_dim)
-    aj_spec = gj[..., :c_dim].reshape(bsz, m, c_dim)
-    aj_phase = gj[..., c_dim:].reshape(bsz, m, d_dim)
     valid_pair = valid_pair.reshape(bsz)
     k_flat = k_per_pair.reshape(bsz)
 
-    def cdist(x, y):
-        d2 = (jnp.sum(x * x, -1)[:, :, None] - 2.0 *
-              jnp.einsum("bmc,bnc->bmn", x, y)
-              + jnp.sum(y * y, -1)[:, None, :])
-        return jnp.sqrt(jnp.maximum(d2, 0.0) + 1e-12)
+    if layout == "mnb":
+        # Pair axis MINOR: [M, C, B] features, [M, M, B] distance tensors.
+        # Keeps the big axis in TPU lanes -- the [B, 15, 15] form pads its
+        # 15-wide minor axis to 128 lanes (8.5x physical blowup, measured
+        # ~12 ms/step of padded elementwise/softmax traffic). Distances via
+        # fused broadcast square-diff (a batched 15x15 matmul would force
+        # the padded layout right back).
+        gi_t = jnp.transpose(gi, (2, 3, 0, 1)).reshape(m, c_dim + d_dim,
+                                                       bsz)
+        gj_t = jnp.transpose(gj, (2, 3, 0, 1)).reshape(m, c_dim + d_dim,
+                                                       bsz)
+        ai_spec = gi_t[:, :c_dim]
+        ai_phase = gi_t[:, c_dim:]
+        aj_spec = gj_t[:, :c_dim]
+        aj_phase = gj_t[:, c_dim:]
 
-    valid_pos = jnp.arange(m)[None, :] < k_flat[:, None]        # [B, M]
-    mask_cross = (valid_pos[:, :, None] & valid_pos[:, None, :]
-                  & valid_pair[:, None, None])
-    diag = jnp.eye(m, dtype=bool)[None]
-    mask_self = mask_cross & ~diag
+        def cdist(x, y):                                 # [M, C, B] x2
+            d2 = jnp.sum((x[:, None] - y[None, :]) ** 2, axis=2)
+            return jnp.sqrt(jnp.maximum(d2, 0.0) + 1e-12)  # [M, M, B]
+
+        valid_pos = (jnp.arange(m)[:, None]
+                     < k_flat[None, :])                  # [M, B]
+        mask_cross = (valid_pos[:, None, :] & valid_pos[None, :, :]
+                      & valid_pair[None, None, :])
+        mask_self = mask_cross & ~jnp.eye(m, dtype=bool)[:, :, None]
+    elif layout == "bmn":
+        ai_spec = gi[..., :c_dim].reshape(bsz, m, c_dim)
+        ai_phase = gi[..., c_dim:].reshape(bsz, m, d_dim)
+        aj_spec = gj[..., :c_dim].reshape(bsz, m, c_dim)
+        aj_phase = gj[..., c_dim:].reshape(bsz, m, d_dim)
+
+        def cdist(x, y):
+            d2 = (jnp.sum(x * x, -1)[:, :, None] - 2.0 *
+                  jnp.einsum("bmc,bnc->bmn", x, y)
+                  + jnp.sum(y * y, -1)[:, None, :])
+            return jnp.sqrt(jnp.maximum(d2, 0.0) + 1e-12)
+
+        valid_pos = jnp.arange(m)[None, :] < k_flat[:, None]    # [B, M]
+        mask_cross = (valid_pos[:, :, None] & valid_pos[:, None, :]
+                      & valid_pair[:, None, None])
+        mask_self = mask_cross & ~jnp.eye(m, dtype=bool)[None]
+    else:
+        raise ValueError(f"unknown layout {layout!r}")
 
     return {
         "d_ref_self": cdist(aj_spec, aj_spec),
@@ -261,6 +290,7 @@ def build_phase_neighborhood_batch_grouped(
         "mask_cross": mask_cross,
         "valid_pair_mask": valid_pair,
         "M": m,
+        "layout": layout,
     }
 
 
@@ -283,13 +313,14 @@ def phase_neighborhood_loss(
     b = pair_indices.shape[0]
     w = pair_weights if pair_weights is not None else jnp.ones((b,))
     w = w * batch["valid_pair_mask"].astype(w.dtype)
+    layout = batch.get("layout", "bmn")
 
     loss_self, stats_self = soft_neighborhood_matching_loss(
         batch["d_ref_self"], batch["d_learned_self"], batch["mask_self"],
-        tau_ref, tau_learned, w, min_valid_per_row)
+        tau_ref, tau_learned, w, min_valid_per_row, layout=layout)
     loss_cross, stats_cross = soft_neighborhood_matching_loss(
         batch["d_ref_cross"], batch["d_learned_cross"], batch["mask_cross"],
-        tau_ref, tau_learned, w, min_valid_per_row)
+        tau_ref, tau_learned, w, min_valid_per_row, layout=layout)
 
     loss = (self_similarity_weight * loss_self
             + cross_pixel_weight * loss_cross)
@@ -316,11 +347,12 @@ def compute_phase_spread_ranking(
     mask = batch["mask_self"]
     vp = batch["valid_pair_mask"]
     idx_i, idx_j = pair_indices[:, 0], pair_indices[:, 1]
+    mm_axes = (0, 1) if batch.get("layout", "bmn") == "mnb" else (1, 2)
 
     mf = mask.astype(d_i.dtype)
-    n_valid = jnp.maximum(jnp.sum(mf, axis=(1, 2)), 1.0)
-    spread_i = jnp.sum(d_i * mf, axis=(1, 2)) / n_valid
-    spread_j = jnp.sum(d_j * mf, axis=(1, 2)) / n_valid
+    n_valid = jnp.maximum(jnp.sum(mf, axis=mm_axes), 1.0)
+    spread_i = jnp.sum(d_i * mf, axis=mm_axes) / n_valid
+    spread_j = jnp.sum(d_j * mf, axis=mm_axes) / n_valid
 
     ref_diff = dynamism_ref[idx_i] - dynamism_ref[idx_j]
     act = vp.astype(d_i.dtype)

@@ -25,33 +25,50 @@ def soft_neighborhood_matching_loss(
         d_reference: Array, d_learned: Array, mask: Array,
         tau_ref: float = 1.0, tau_learned: float = 1.0,
         pair_weights: Optional[Array] = None,
-        min_valid_per_row: int = 2) -> Tuple[Array, Dict[str, Array]]:
-    """d_*: [B, M, M] nonnegative distances; mask: [B, M, M] bool.
+        min_valid_per_row: int = 2,
+        layout: str = "bmn") -> Tuple[Array, Dict[str, Array]]:
+    """d_*: nonnegative distances; mask: same-shape bool.
+
+    ``layout="bmn"``: [B, M, M] (pairs leading -- the reference's shape).
+    ``layout="mnb"``: [M, M, B] (pairs MINOR): identical math, but the big
+    pair axis sits in the TPU lane dimension, so the tensors stay packed
+    instead of padding the 15-wide row axis to 128 lanes (8.5x physical
+    blowup measured in the FRL step profile).
 
     Returns (scalar loss, stats dict of jit-safe scalars).
     """
     if min_valid_per_row < 2:
         raise ValueError(
             f"min_valid_per_row must be >= 2, got {min_valid_per_row}")
-    b, m, _ = d_reference.shape
+    if layout == "bmn":
+        b, m = d_reference.shape[0], d_reference.shape[1]
+        ax_col, ax_row, ax_pair = 2, 1, 0   # col-reduced arrays are [B, M]
+        ax_row2, ax_pair2 = 1, 0            # axes within the [B, M] arrays
+    elif layout == "mnb":
+        b, m = d_reference.shape[2], d_reference.shape[0]
+        ax_col, ax_row, ax_pair = 1, 0, 2   # col-reduced arrays are [M, B]
+        ax_row2, ax_pair2 = 0, 1
+    else:
+        raise ValueError(f"unknown layout {layout!r}")
     mask = mask.astype(bool)
 
     logits_ref = jnp.where(mask, -d_reference / tau_ref, LARGE_NEG)
     logits_lrn = jnp.where(mask, -d_learned / tau_learned, LARGE_NEG)
 
-    valid_per_row = jnp.sum(mask, axis=2)              # [B, M]
-    row_valid = valid_per_row >= min_valid_per_row     # [B, M]
+    valid_per_row = jnp.sum(mask, axis=ax_col)
+    row_valid = valid_per_row >= min_valid_per_row
 
-    log_p = jax.nn.log_softmax(logits_ref, axis=2)
-    log_q = jax.nn.log_softmax(logits_lrn, axis=2)
+    log_p = jax.nn.log_softmax(logits_ref, axis=ax_col)
+    log_q = jax.nn.log_softmax(logits_lrn, axis=ax_col)
     p = jnp.exp(log_p)
     # Masked entries have p ~ 0; zero them exactly so 0 * (-inf-ish) is safe.
     contrib = jnp.where(mask, p * (log_p - log_q), 0.0)
-    kl_per_row = jnp.sum(contrib, axis=2)              # [B, M]
+    kl_per_row = jnp.sum(contrib, axis=ax_col)
     kl_per_row = jnp.where(row_valid, kl_per_row, 0.0)
 
-    rows_per_pair = jnp.sum(row_valid.astype(kl_per_row.dtype), axis=1)
-    kl_per_pair = jnp.sum(kl_per_row, axis=1)
+    rows_per_pair = jnp.sum(row_valid.astype(kl_per_row.dtype),
+                            axis=ax_row2)
+    kl_per_pair = jnp.sum(kl_per_row, axis=ax_row2)
     pair_active = rows_per_pair > 0
     kl_normed = jnp.where(pair_active,
                           kl_per_pair / jnp.maximum(rows_per_pair, 1.0), 0.0)
@@ -65,8 +82,8 @@ def soft_neighborhood_matching_loss(
 
     n_rows_valid = jnp.sum(row_valid)
     q = jnp.exp(log_q)
-    entropy_p = -jnp.sum(jnp.where(mask, p * log_p, 0.0), axis=2)
-    entropy_q = -jnp.sum(jnp.where(mask, q * log_q, 0.0), axis=2)
+    entropy_p = -jnp.sum(jnp.where(mask, p * log_p, 0.0), axis=ax_col)
+    entropy_q = -jnp.sum(jnp.where(mask, q * log_q, 0.0), axis=ax_col)
     rv = row_valid.astype(jnp.float32)
     denom = jnp.maximum(jnp.sum(rv), 1.0)
     stats = {

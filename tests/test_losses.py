@@ -572,6 +572,28 @@ class TestGroupedPhaseBatch:
                 np.asarray(flat[k], np.float32),
                 np.asarray(grouped[k], np.float32), atol=2e-5,
                 err_msg=k)
+        # pair-axis-minor layout: same tensors transposed
+        mnb = pn.build_phase_neighborhood_batch_grouped(
+            spec, phase, ysfc, pairs, pvalid, min_overlap=2, num_classes=8,
+            layout="mnb")
+        assert mnb["layout"] == "mnb"
+        for k in ("d_ref_self", "d_learned_self", "d_learned_self_j",
+                  "d_ref_cross", "d_learned_cross"):
+            # compare SQUARED distances: mnb computes |x-y|^2 directly
+            # while bmn expands x^2-2xy+y^2, which catastrophically
+            # cancels for near-identical vectors (the mnb form is the
+            # more accurate one; sqrt amplifies the difference near 0).
+            np.testing.assert_allclose(
+                np.transpose(np.asarray(mnb[k], np.float32),
+                             (2, 0, 1)) ** 2,
+                np.asarray(flat[k], np.float32) ** 2, atol=1e-5,
+                err_msg=k)
+        for k in ("mask_self", "mask_cross"):
+            np.testing.assert_array_equal(
+                np.transpose(np.asarray(mnb[k]), (2, 0, 1)),
+                np.asarray(flat[k]), err_msg=k)
+        np.testing.assert_array_equal(np.asarray(mnb["valid_pair_mask"]),
+                                      np.asarray(flat["valid_pair_mask"]))
 
     def test_gradients_match_flat(self):
         import jax
@@ -590,10 +612,10 @@ class TestGroupedPhaseBatch:
                 w, pvalid.reshape(-1), min_overlap=2, num_classes=8)
             return l
 
-        def loss_grouped(ph):
+        def loss_grouped(ph, layout="bmn"):
             batch = pn.build_phase_neighborhood_batch_grouped(
                 spec, ph, ysfc, pairs, pvalid, min_overlap=2,
-                num_classes=8)
+                num_classes=8, layout=layout)
             l, _ = pn.phase_neighborhood_loss(
                 spec.reshape(-1, t, c), ph.reshape(-1, t, d),
                 ysfc.reshape(-1, t), (pairs + offsets).reshape(-1, 2),
@@ -605,4 +627,9 @@ class TestGroupedPhaseBatch:
         lg, gg = jax.value_and_grad(loss_grouped)(phase)
         np.testing.assert_allclose(float(lf), float(lg), rtol=1e-5)
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gg),
+                                   atol=2e-5)
+        lm, gm = jax.value_and_grad(
+            lambda ph: loss_grouped(ph, "mnb"))(phase)
+        np.testing.assert_allclose(float(lm), float(lf), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(gm), np.asarray(gf),
                                    atol=2e-5)
