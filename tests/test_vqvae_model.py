@@ -298,6 +298,72 @@ class TestShardMapDP:
                           jax.random.key(5), weights, cur)
         assert int(m_clean["samples_skipped"]) == 0
 
+    def test_frl_per_sample_nan_containment_under_dp(self):
+        """One poisoned sample on ONE replica of an 8-device mesh: the
+        global step still updates, samples_skipped psums to exactly 1,
+        and the batch-level skip does not fire (the round-1 design would
+        have discarded the full multi-chip step)."""
+        import jax.numpy as jnp
+        from forest_tpu.data.bindings import parse_bindings
+        from forest_tpu.data.cube_v2 import (synthetic_bindings,
+                                             synthetic_feature_stats,
+                                             synthetic_frl_batch)
+        from forest_tpu.data.feature_builder import FeatureBuilder
+        from forest_tpu.models import representation as rep
+        from forest_tpu.parallel import make_dp_frl_step
+        from forest_tpu.parallel.mesh import make_mesh, shard_batch_pytree
+        from forest_tpu.training.representation import (
+            config_builders as cb, step as step_mod, train_step as ts)
+
+        bindings = parse_bindings(synthetic_bindings("/dev/null",
+                                                     "/dev/null"))
+        fb = FeatureBuilder(bindings, synthetic_feature_stats(bindings))
+        model = rep.RepresentationModel(
+            type_in_channels=4, phase_in_channels=3, z_type_dim=8,
+            type_encoder_channels=(16, 8), z_phase_dim=3,
+            phase_tcn_channels=(12, 12), phase_tcn_dilations=(1, 2))
+        t, hw = 15, 32
+        params = rep.init_variables(model, jax.random.key(0),
+                                    num_timesteps=t)["params"]
+        orig_build = fb.build_feature
+
+        def poisoned_build(name, b):
+            x, msk = orig_build(name, b)
+            if name == "type_encoder_input" and x.ndim == 4 \
+                    and x.shape[0] == 2:  # one per-replica shard of 16/8
+                x = x.at[1].set(jnp.inf)  # poisons sample 1 of EVERY shard
+            return x, msk
+
+        # NOTE: under shard_map each replica sees a [2, ...] shard, so the
+        # poison hits one sample PER replica -> expect psum == 8.
+        fb.build_feature = poisoned_build
+        try:
+            process = step_mod.make_process_batch(
+                model, fb, cb.build_sampler(bindings, {}),
+                cb.build_step_config(bindings, {}), hw)
+            opt = ts.make_optimizer(1e-3)
+            weights = {k: jnp.float32(v)
+                       for k, v in step_mod.DEFAULT_WEIGHTS.items()}
+            cur = {"input_dropout_rate": jnp.float32(0.0),
+                   "min_gate": jnp.float32(0.0)}
+            batch16 = {k: jnp.asarray(v) for k, v in synthetic_frl_batch(
+                np.random.default_rng(7), 16, hw, t).items()}
+            mesh8 = make_mesh(8)
+            step8 = make_dp_frl_step(process, opt, mesh8,
+                                     donate_state=False)
+            state = ts.init_train_state(params, opt)
+            new_state, m = step8(state, shard_batch_pytree(batch16, mesh8),
+                                 jax.random.key(3), weights, cur)
+        finally:
+            fb.build_feature = orig_build
+        assert int(m["samples_skipped"]) == 8  # one per replica, psum'd
+        assert int(m["skipped"]) == 0
+        assert np.isfinite(float(m["loss_total"]))
+        moved = jax.tree_util.tree_reduce(
+            lambda acc, pq: acc + float(jnp.sum(jnp.abs(pq))), jax.tree.map(
+                lambda a, b: a - b, new_state.params, state.params), 0.0)
+        assert moved > 0.0
+
     def test_frl_shard_map_dp_runs_and_matches_on_one_device(self):
         """On a 1-device mesh the shard_map FRL step must equal the plain
         jitted step bit-for-bit; on 8 devices it must stay finite."""
