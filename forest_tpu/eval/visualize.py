@@ -261,43 +261,54 @@ def plot_gate_channel_sheets(encode_gate_fn: Callable, dataset,
     return [p]
 
 
+def _load_temporal_channel(fb, dataset, feature, channel, patch_idx):
+    """-> (y [T,H,W], mask [T,H,W]) for one channel of one patch."""
+    import jax.numpy as jnp
+
+    batch = {k: jnp.asarray(v)
+             for k, v in dataset.load_batch([patch_idx]).items()}
+    y, ym = fb.build_feature(feature, batch)
+    ci = list(fb.bindings.get_feature(feature).channels.keys()).index(
+        channel)
+    return np.asarray(y)[0][..., ci], np.asarray(ym)[0][..., ci]
+
+
+def _year_tile_sheet(data, mask, vmin, vmax, cmap, title, out_path,
+                     max_years):
+    """Shared per-year tile scaffolding (grid, masks, colorbar, save)."""
+    out_path = Path(out_path)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    t = min(data.shape[0], max_years)
+    fig, axes = plt.subplots(1, t, figsize=(2.4 * t, 2.8), squeeze=False)
+    im = None
+    for ti in range(t):
+        ax = axes[0, ti]
+        im = ax.imshow(_masked(data[ti], mask[ti]), vmin=vmin, vmax=vmax,
+                       cmap=cmap, interpolation="nearest")
+        ax.set_title(f"t={ti}", fontsize=7)
+        ax.set_xticks([])
+        ax.set_yticks([])
+    fig.suptitle(title, fontsize=11)
+    fig.tight_layout(rect=(0, 0, 0.92, 0.94))
+    fig.colorbar(im, cax=fig.add_axes((0.93, 0.1, 0.015, 0.8)))
+    fig.savefig(out_path, dpi=130, bbox_inches="tight")
+    plt.close(fig)
+    return [out_path]
+
+
 def plot_variable_timeseries(fb, dataset, feature: str, channel: str,
                              out_dir: str | Path, patch_idx: int = 0,
                              max_years: int = 8) -> List[Path]:
     """Per-year tiles of one temporal channel for one patch (reference
     visualize_forest_diagnostics.py:298-398 plot_variable_timeseries)."""
-    import jax.numpy as jnp
-
-    out_dir = Path(out_dir)
-    out_dir.mkdir(parents=True, exist_ok=True)
-    batch = {k: jnp.asarray(v)
-             for k, v in dataset.load_batch([patch_idx]).items()}
-    y, ym = fb.build_feature(feature, batch)
-    fc = fb.bindings.get_feature(feature)
-    names = list(fc.channels.keys())
-    ci = names.index(channel)
-    y = np.asarray(y)[0][..., ci]                        # [T, H, W]
-    m = np.asarray(ym)[0][..., ci]
-    t = min(y.shape[0], max_years)
-    fig, axes = plt.subplots(1, t, figsize=(2.4 * t, 2.8), squeeze=False)
+    y, m = _load_temporal_channel(fb, dataset, feature, channel, patch_idx)
     vals = y[m] if m.any() else np.zeros(1)
-    vmin, vmax = (float(np.nanpercentile(vals, 2)),
-                  float(np.nanpercentile(vals, 98)))
-    im = None
-    for ti in range(t):
-        ax = axes[0, ti]
-        im = ax.imshow(_masked(y[ti], m[ti]), vmin=vmin, vmax=vmax,
-                       cmap="viridis", interpolation="nearest")
-        ax.set_title(f"t={ti}", fontsize=7)
-        ax.set_xticks([])
-        ax.set_yticks([])
-    fig.suptitle(f"{channel} over time (patch {patch_idx})", fontsize=11)
-    fig.tight_layout(rect=(0, 0, 0.92, 0.94))
-    fig.colorbar(im, cax=fig.add_axes((0.93, 0.1, 0.015, 0.8)))
-    p = out_dir / f"timeseries_{channel.replace('.', '_')}.png"
-    fig.savefig(p, dpi=130, bbox_inches="tight")
-    plt.close(fig)
-    return [p]
+    return _year_tile_sheet(
+        y, m, float(np.nanpercentile(vals, 2)),
+        float(np.nanpercentile(vals, 98)), "viridis",
+        f"{channel} over time (patch {patch_idx})",
+        Path(out_dir) / f"timeseries_{channel.replace('.', '_')}.png",
+        max_years)
 
 
 def plot_variable_anomaly(fb, dataset, feature: str, channel: str,
@@ -306,41 +317,18 @@ def plot_variable_anomaly(fb, dataset, feature: str, channel: str,
     """Temporal-anomaly tiles: per-year deviation from each pixel's
     temporal mean, so the color scale shows CHANGE rather than spatial
     structure (reference visualize_forest_diagnostics.py:400-515)."""
-    import jax.numpy as jnp
-
-    out_dir = Path(out_dir)
-    out_dir.mkdir(parents=True, exist_ok=True)
-    batch = {k: jnp.asarray(v)
-             for k, v in dataset.load_batch([patch_idx]).items()}
-    y, ym = fb.build_feature(feature, batch)
-    fc = fb.bindings.get_feature(feature)
-    ci = list(fc.channels.keys()).index(channel)
-    y = np.asarray(y)[0][..., ci]                        # [T, H, W]
-    m = np.asarray(ym)[0][..., ci]
+    y, m = _load_temporal_channel(fb, dataset, feature, channel, patch_idx)
     cnt = np.maximum(m.sum(0), 1)
     mu = (np.where(m, y, 0.0)).sum(0) / cnt              # [H, W]
     anom = np.where(m, y - mu[None], np.nan)
-    t = min(y.shape[0], max_years)
     lim = float(np.nanpercentile(np.abs(anom), 98)) if m.any() else 1.0
     if not np.isfinite(lim) or lim == 0.0:
         lim = 1.0
-    fig, axes = plt.subplots(1, t, figsize=(2.4 * t, 2.8), squeeze=False)
-    im = None
-    for ti in range(t):
-        ax = axes[0, ti]
-        im = ax.imshow(_masked(anom[ti], m[ti]), vmin=-lim, vmax=lim,
-                       cmap="RdBu_r", interpolation="nearest")
-        ax.set_title(f"t={ti}", fontsize=7)
-        ax.set_xticks([])
-        ax.set_yticks([])
-    fig.suptitle(f"{channel} temporal anomaly (patch {patch_idx})",
-                 fontsize=11)
-    fig.tight_layout(rect=(0, 0, 0.92, 0.94))
-    fig.colorbar(im, cax=fig.add_axes((0.93, 0.1, 0.015, 0.8)))
-    p = out_dir / f"anomaly_{channel.replace('.', '_')}.png"
-    fig.savefig(p, dpi=130, bbox_inches="tight")
-    plt.close(fig)
-    return [p]
+    return _year_tile_sheet(
+        anom, m, -lim, lim, "RdBu_r",
+        f"{channel} temporal anomaly (patch {patch_idx})",
+        Path(out_dir) / f"anomaly_{channel.replace('.', '_')}.png",
+        max_years)
 
 
 def plot_ysfc_map(dataset, ysfc_source: str, out_dir: str | Path,

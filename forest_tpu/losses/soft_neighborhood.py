@@ -42,12 +42,10 @@ def soft_neighborhood_matching_loss(
             f"min_valid_per_row must be >= 2, got {min_valid_per_row}")
     if layout == "bmn":
         b, m = d_reference.shape[0], d_reference.shape[1]
-        ax_col, ax_row, ax_pair = 2, 1, 0   # col-reduced arrays are [B, M]
-        ax_row2, ax_pair2 = 1, 0            # axes within the [B, M] arrays
+        ax_col, ax_row2 = 2, 1      # col-reduced arrays are [B, M]
     elif layout == "mnb":
         b, m = d_reference.shape[2], d_reference.shape[0]
-        ax_col, ax_row, ax_pair = 1, 0, 2   # col-reduced arrays are [M, B]
-        ax_row2, ax_pair2 = 0, 1
+        ax_col, ax_row2 = 1, 0      # col-reduced arrays are [M, B]
     else:
         raise ValueError(f"unknown layout {layout!r}")
     mask = mask.astype(bool)

@@ -192,6 +192,8 @@ def parse_training_config(path_or_dict) -> TrainingConfiguration:
         step=raw.get("step", {}) or {},
         sampling_strategy=raw.get("sampling_strategy",
                                   "grid-plus-supplement"),
+        diagnostics=bool(tr.get("diagnostics",
+                                raw.get("diagnostics", True))),
         validation=(tr.get("validation", {}) or {}),
         early_stopping=(tr.get("early_stopping", {}) or {}),
         seed=raw.get("seed", 0),

@@ -53,3 +53,11 @@ class TestConfigLadder:
         ds = r["dataset"]
         assert len(ds.cont_names) == 56
         assert len(ds.cat_names) == 4
+
+
+def test_diagnostics_flag_parses():
+    from forest_tpu.training.representation.training_config import (
+        parse_training_config)
+    assert parse_training_config({}).diagnostics is True
+    assert parse_training_config(
+        {"training": {"diagnostics": False}}).diagnostics is False

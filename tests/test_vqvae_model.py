@@ -299,10 +299,12 @@ class TestShardMapDP:
         assert int(m_clean["samples_skipped"]) == 0
 
     def test_frl_per_sample_nan_containment_under_dp(self):
-        """One poisoned sample on ONE replica of an 8-device mesh: the
-        global step still updates, samples_skipped psums to exactly 1,
-        and the batch-level skip does not fire (the round-1 design would
-        have discarded the full multi-chip step)."""
+        """Poisoned samples under the 8-device mesh: the patched builder
+        runs per REPLICA (shard_map traces it once per shard), so local
+        sample 1 of every replica goes non-finite -- samples_skipped must
+        psum to 8, the batch-level skip must stay quiet, and parameters
+        must still update (the round-1 batch-global design would have
+        discarded the whole multi-chip step)."""
         import jax.numpy as jnp
         from forest_tpu.data.bindings import parse_bindings
         from forest_tpu.data.cube_v2 import (synthetic_bindings,
