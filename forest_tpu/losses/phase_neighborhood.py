@@ -362,7 +362,12 @@ def compute_phase_spread_ranking(
     loss_i = jax.nn.softplus(spread_j - spread_i + margin) * i_more
     loss_j = jax.nn.softplus(spread_i - spread_j + margin) * j_more
     n_con = jnp.maximum(jnp.sum(i_more) + jnp.sum(j_more), 1.0)
-    loss = (jnp.sum(loss_i) + jnp.sum(loss_j)) / n_con
+    # Reference normalization (phase_neighborhood.py:722): mean over ALL
+    # valid pairs, not over the constrained subset -- unconstrained pairs
+    # contribute zeros, so the effective weight does not inflate when few
+    # pairs clear the dynamism delta.
+    n_valid_pairs = jnp.maximum(jnp.sum(act), 1.0)
+    loss = (jnp.sum(loss_i) + jnp.sum(loss_j)) / n_valid_pairs
 
     satisfied = (i_more * (spread_i > spread_j + margin)
                  + j_more * (spread_j > spread_i + margin))

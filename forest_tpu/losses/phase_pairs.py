@@ -16,7 +16,7 @@ TPU-native: fixed output shapes -- pairs [N*k + N, 2] with a validity mask
 """
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -47,9 +47,17 @@ def build_phase_pairs(spec_features: Array, ysfc: Array, k: int = 16,
                       min_overlap: int = 3, min_pairs: int = 5,
                       include_self: bool = True, sigma: float = 5.0,
                       self_pair_weight: float = 1.0,
-                      num_ysfc_classes: int = 64
+                      num_ysfc_classes: int = 64,
+                      valid_anchors: Optional[Array] = None
                       ) -> Tuple[Array, Array, Array, Dict[str, Array]]:
-    """Returns (pairs [N*k+N, 2], weights [N*k+N], valid [N*k+N], stats)."""
+    """Returns (pairs [N*k+N, 2], weights [N*k+N], valid [N*k+N], stats).
+
+    ``valid_anchors`` [N] bool: invalid anchors are excluded from the kNN
+    CANDIDATE lists (not just masked afterwards), so they neither occupy
+    neighbor slots that displace valid anchors nor count toward the
+    ``min_pairs`` stage-3 filter -- matching the reference, whose sampler
+    only ever yields valid phase anchors (reference step.py:417-424).
+    """
     n = spec_features.shape[0]
     k = min(k, max(n - 1, 1))
 
@@ -59,12 +67,17 @@ def build_phase_pairs(spec_features: Array, ysfc: Array, k: int = 16,
     d2 = jnp.maximum(x2[:, None] - 2.0 * x @ x.T + x2[None, :], 0.0)
     d = jnp.sqrt(d2)
     d_noself = jnp.where(jnp.eye(n, dtype=bool), jnp.inf, d)
+    if valid_anchors is not None:
+        va = valid_anchors.astype(bool)
+        d_noself = jnp.where(va[None, :], d_noself, jnp.inf)
     _, knn_idx = jax.lax.top_k(-d_noself, k)        # [N, k]
 
     anchor = jnp.broadcast_to(jnp.arange(n)[:, None], (n, k)).reshape(-1)
     target = knn_idx.reshape(-1)
     cand_valid = jnp.ones((n * k,), bool) if n > 1 else \
         jnp.zeros((n * k,), bool)
+    if valid_anchors is not None:
+        cand_valid = cand_valid & va[anchor] & va[target]
 
     # Stage 2: ysfc overlap filter.
     overlap = ysfc_overlap_matrix(ysfc, num_ysfc_classes)
@@ -82,6 +95,8 @@ def build_phase_pairs(spec_features: Array, ysfc: Array, k: int = 16,
     # Self-pair slots.
     self_pairs = jnp.stack([jnp.arange(n), jnp.arange(n)], axis=1)
     self_valid = anchors_ok & bool(include_self)
+    if valid_anchors is not None:
+        self_valid = self_valid & va
     self_w = jnp.full((n,), self_pair_weight, jnp.float32)
 
     pairs = jnp.concatenate(

@@ -102,6 +102,10 @@ def _vq_kernel(x_ref, c_ref, c2_ref, idx_ref, q_ref, counts_ref, sums_ref,
     col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, dimension=1)
     big = jnp.int32(k)
     idx = jnp.min(jnp.where(dist <= min_d, col, big), axis=1)  # [T]
+    # All-NaN distance rows satisfy no comparison -> idx == k; clamp to 0
+    # to match jnp.argmin's NaN-row convention on the XLA path (the
+    # sentinel must never leak as an out-of-range code index).
+    idx = jnp.where(idx >= k, 0, idx)
     idx_ref[...] = idx[:, None]
 
     # One-hot through the MXU: gather q and the EMA statistics in-tile.
@@ -209,6 +213,8 @@ def _vq_assign_kernel(x_ref, c_ref, c2_ref, idx_ref, *, mxu_bf16: bool):
     row = jax.lax.broadcasted_iota(jnp.int32, dist.shape, dimension=0)
     idx = jnp.min(jnp.where(dist <= min_d, row, jnp.int32(dist.shape[0])),
                   axis=0, keepdims=True)               # [1, T]
+    # all-NaN rows: match jnp.argmin's convention (index 0), never leak k
+    idx = jnp.where(idx >= jnp.int32(dist.shape[0]), 0, idx)
     idx_ref[...] = idx
 
 

@@ -45,6 +45,23 @@ def build_step_config(bindings: BindingsConfig,
         phase_tau_learned=ph.get("tau_learned", 0.1),
         num_ysfc_classes=ph.get("num_ysfc_classes", 64),
     )
+    spread = losses.get("phase_spread_ranking", {})
+    kw.update(
+        spread_margin=spread.get("margin", 0.1),
+        spread_delta=spread.get("delta", 0.5),
+        # reference step.py:973-974 supervises spread with the
+        # phase_dynamism_supervision feature when the bindings define it
+        dynamism_feature=spread.get(
+            "dynamism_feature",
+            "phase_dynamism_supervision"
+            if "phase_dynamism_supervision" in bindings.features else None),
+    )
+    rd = losses.get("phase_recovery_discrimination", {})
+    kw.update(
+        rd_margin=rd.get("margin", 0.5),
+        rd_low_ysfc_max=rd.get("low_ysfc_max", 1.0),
+        rd_high_ysfc_min=rd.get("high_ysfc_min", 5.0),
+    )
     evt = losses.get("evt_soft_neighborhood", {})
     if evt:
         kw.update(evt_enabled=True,

@@ -90,6 +90,11 @@ class StepConfig:
     # spread ranking / recovery discrimination
     spread_margin: float = 0.1
     spread_delta: float = 0.5
+    # dynamism source for the spread ranking: a static feature averaged
+    # over channels (the reference's phase_dynamism_supervision,
+    # step.py:973-974); None falls back to mean temporal std of the
+    # phase features (documented divergence for bindings without one).
+    dynamism_feature: Optional[str] = None
     rd_margin: float = 0.5
     rd_low_ysfc_max: float = 1.0
     rd_high_ysfc_min: float = 5.0
@@ -132,8 +137,11 @@ def _masked_mean_rows(x: Array, valid: Array) -> Tuple[Array, Array]:
 
 def frobenius_type_leakage(h_pre: Array, z_type_sg: Array,
                            valid: Array) -> Array:
-    """||cov(mean_T h_pre, sg(z_type))||_F^2 over valid anchors
-    (step.py:1008-1025 contract)."""
+    """||cov(mean_T h_pre, sg(z_type))||_F over valid anchors -- the
+    Frobenius NORM, `cross_cov.pow(2).sum().sqrt()` in the reference
+    (step.py:1013-1021), not its square (the square's gradient vanishes
+    exactly where the penalty should still push). The 1e-12 floor keeps
+    the sqrt gradient finite at zero covariance."""
     h = jnp.mean(h_pre, axis=1)  # [N, zp]
     mu_h, cnt = _masked_mean_rows(h, valid)
     mu_z, _ = _masked_mean_rows(z_type_sg, valid)
@@ -142,7 +150,7 @@ def frobenius_type_leakage(h_pre: Array, z_type_sg: Array,
     zc = (z_type_sg - mu_z) * v
     cross = jnp.dot(hc.T, zc, preferred_element_type=jnp.float32) \
         / jnp.maximum(cnt - 1.0, 1.0)
-    return jnp.sum(cross * cross)
+    return jnp.sqrt(jnp.sum(cross * cross) + 1e-12)
 
 
 def make_process_batch(model, feature_builder: FeatureBuilder,
@@ -218,11 +226,14 @@ def make_process_batch(model, feature_builder: FeatureBuilder,
         # ---- 2. anchors -------------------------------------------------
         coords, a_valid = sample_anchors_all(batch, k_anchor)  # [B,A,2]
         z_a = jax.vmap(sp.extract_at_locations)(z_type, coords)  # [B,A,zt]
-        spec_a, spec_m = jax.vmap(
-            lambda g, c: fb.build_feature_at_locations(
-                cfg.spectral_feature, g, c),
-            in_axes=({k: 0 for k in batch}, 0))(
-                {k: v for k, v in batch.items()}, coords)
+
+        def feature_at_anchors(name, crds):
+            """Per-sample at-location feature build, vmapped over B."""
+            return jax.vmap(
+                lambda g, c: fb.build_feature_at_locations(name, g, c),
+                in_axes=({k: 0 for k in batch}, 0))(batch, crds)
+
+        spec_a, spec_m = feature_at_anchors(cfg.spectral_feature, coords)
         a_valid = a_valid & jnp.any(spec_m, axis=-1)
         a_valid = a_valid & jax.vmap(
             lambda m, c: m[c[:, 0], c[:, 1]])(jnp.any(m_type, axis=-1),
@@ -230,11 +241,7 @@ def make_process_batch(model, feature_builder: FeatureBuilder,
 
         # Phase features are built here (rather than stage 5) so per-sample
         # containment can cover every network input in one place.
-        phase_x, _phase_m = jax.vmap(
-            lambda g, c: fb.build_feature_at_locations(
-                cfg.phase_feature, g, c),
-            in_axes=({k: 0 for k in batch}, 0))(
-                {k: v for k, v in batch.items()}, coords)  # [B,A,T,C]
+        phase_x, _phase_m = feature_at_anchors(cfg.phase_feature, coords)
 
         ok_spec = jnp.all(jnp.isfinite(spec_a), axis=(1, 2))
         ok_phase = jnp.all(jnp.isfinite(phase_x), axis=(1, 2, 3))
@@ -345,6 +352,16 @@ def make_process_batch(model, feature_builder: FeatureBuilder,
         ysfc_flat = ysfc.reshape(n_flat, t_dim)
         z_type_sg = jax.lax.stop_gradient(z_a_flat)
 
+        # PHASE-anchor validity: the reference samples phase anchors only
+        # from pixels whose ysfc is valid at EVERY timestep
+        # (reference step.py:417-424 `phase_mask = combined_mask &
+        # ysfc_mask.all(dim=0)`) -- anchors with missing ysfc years corrupt
+        # the recovery-sequence alignment (seq_lengths_per_t) and must not
+        # enter any phase loss.
+        ys_ok = jnp.all(jnp.isfinite(ysfc), axis=-1)             # [B, A]
+        phase_a_valid = a_valid & ys_ok
+        phase_valid_flat = phase_a_valid.reshape(-1)             # [B*A]
+
         z_phase, gamma, beta, h_pre = model.apply(
             variables, phase_flat, z_type_sg, return_film=True,
             return_pre_film=True, deterministic=not train,
@@ -353,21 +370,24 @@ def make_process_batch(model, feature_builder: FeatureBuilder,
         metrics["film_gamma_mean"] = jnp.mean(gamma)
         metrics["film_beta_mean"] = jnp.mean(beta)
 
-        # per-sample phase pairs, offset into the flat anchor space
-        def one_phase_pairs(spec, ys):
+        # per-sample phase pairs, offset into the flat anchor space.
+        # valid_anchors keeps invalid slots out of the kNN CANDIDATE lists
+        # (they would otherwise displace valid neighbors and count toward
+        # the min_pairs stage-3 filter).
+        def one_phase_pairs(spec, ys, av):
             return build_phase_pairs(
                 spec, ys, cfg.phase_k, cfg.phase_min_overlap,
                 cfg.phase_min_pairs, True, cfg.phase_sigma,
-                num_ysfc_classes=cfg.num_ysfc_classes)
+                num_ysfc_classes=cfg.num_ysfc_classes, valid_anchors=av)
 
         pp, pwts, pvalid, pstats = jax.vmap(one_phase_pairs)(
-            spec_a, ysfc)
+            spec_a, ysfc, phase_a_valid)
         offsets = (jnp.arange(bsz) * a)[:, None, None]
         pp_flat = (pp + offsets).reshape(-1, 2)
         pw_flat = pwts.reshape(-1)
         pvalid_g = (pvalid
-                    & jnp.take_along_axis(a_valid, pp[..., 0], axis=1)
-                    & jnp.take_along_axis(a_valid, pp[..., 1], axis=1))
+                    & jnp.take_along_axis(phase_a_valid, pp[..., 0], axis=1)
+                    & jnp.take_along_axis(phase_a_valid, pp[..., 1], axis=1))
         pvalid_flat = pvalid_g.reshape(-1)
 
         # Cross-batch type-local spectral baseline (step.py:907-932): the
@@ -375,7 +395,7 @@ def make_process_batch(model, feature_builder: FeatureBuilder,
         # kNN (in rank-reduced z_type space) of each anchor's time-pooled
         # spectrum, so "phase" can't re-learn type identity.
         spec_dm, _ = type_local_spectral_demean(
-            z_type_sg, phase_flat, flat_valid,
+            z_type_sg, phase_flat, phase_valid_flat,
             cfg.xb_phase_pca_dim, cfg.xb_phase_knn_k)
 
         # Sample-grouped builder: the pair->anchor hop runs as one-hot
@@ -397,26 +417,35 @@ def make_process_batch(model, feature_builder: FeatureBuilder,
         metrics["phase_pairs_valid"] = ph_stats[
             "n_pairs_sufficient_overlap"]
 
-        # dynamism = mean temporal std of spectral phase features
-        dyn = jnp.mean(jnp.std(phase_flat, axis=1), axis=-1)   # [N]
+        # Spread-ranking dynamism reference: the configured supervision
+        # feature (static per-anchor channels averaged -- reference
+        # step.py:973-974 `dynamism_all.mean(dim=1)` over the
+        # phase_dynamism_supervision feature) when available; mean temporal
+        # std of the phase features as the documented fallback for
+        # bindings without one.
+        if cfg.dynamism_feature:
+            dyn_a, _dm = feature_at_anchors(cfg.dynamism_feature, coords)
+            dyn = jnp.mean(dyn_a.reshape(n_flat, -1), axis=-1)   # [N]
+        else:
+            dyn = jnp.mean(jnp.std(phase_flat, axis=1), axis=-1)
         spread_loss, spread_stats = compute_phase_spread_ranking(
             phase_batch, pp_flat, dyn, cfg.spread_margin, cfg.spread_delta)
         metrics["loss_phase_spread"] = spread_loss
         metrics["spread_frac_satisfied"] = spread_stats["frac_satisfied"]
 
         rd_loss, rd_stats = phase_recovery_discrimination_loss(
-            jnp.where(flat_valid[:, None, None], z_phase, 0.0),
-            jnp.where(flat_valid[:, None], ysfc_flat, jnp.nan),
+            jnp.where(phase_valid_flat[:, None, None], z_phase, 0.0),
+            jnp.where(phase_valid_flat[:, None], ysfc_flat, jnp.nan),
             cfg.rd_margin, cfg.rd_low_ysfc_max, cfg.rd_high_ysfc_min)
         metrics["loss_recovery_disc"] = rd_loss
 
         pvcr, _, _ = variance_covariance_loss(
             z_phase.reshape(-1, z_phase.shape[-1]),
-            jnp.repeat(flat_valid, t_dim), cfg.vcr_std_target,
+            jnp.repeat(phase_valid_flat, t_dim), cfg.vcr_std_target,
             cfg.vcr_variance_weight, cfg.vcr_covariance_weight)
         metrics["loss_vicreg_phase"] = pvcr
 
-        leak = frobenius_type_leakage(h_pre, z_type_sg, flat_valid)
+        leak = frobenius_type_leakage(h_pre, z_type_sg, phase_valid_flat)
         metrics["loss_type_leakage"] = leak
 
         # ---- 6. cross-batch spectral InfoNCE ---------------------------

@@ -633,3 +633,112 @@ class TestGroupedPhaseBatch:
         np.testing.assert_allclose(float(lm), float(lf), rtol=1e-5)
         np.testing.assert_allclose(np.asarray(gm), np.asarray(gf),
                                    atol=2e-5)
+
+
+class TestReferenceParityFixes:
+    """Round-2 review-pass parity corrections vs the reference."""
+
+    def test_phase_pairs_valid_anchors_excluded(self):
+        from forest_tpu.losses.phase_pairs import build_phase_pairs
+        r = np.random.default_rng(0)
+        n, t = 12, 8
+        spec = jnp.asarray(r.normal(size=(n, 4)), jnp.float32)
+        ysfc = jnp.asarray(r.integers(0, 5, size=(n, t)), jnp.float32)
+        va = jnp.asarray([True] * 9 + [False] * 3)
+        pairs, w, valid, stats = build_phase_pairs(
+            spec, ysfc, k=4, min_overlap=1, min_pairs=1,
+            num_ysfc_classes=8, valid_anchors=va)
+        p = np.asarray(pairs)
+        v = np.asarray(valid)
+        # invalid anchors never appear on either side of a valid pair
+        assert not np.isin(p[v], [9, 10, 11]).any()
+        # without the mask, the same invalid ids would appear
+        pairs2, _, valid2, _ = build_phase_pairs(
+            spec, ysfc, k=4, min_overlap=1, min_pairs=1, num_ysfc_classes=8)
+        assert np.isin(np.asarray(pairs2)[np.asarray(valid2)],
+                       [9, 10, 11]).any()
+
+    def test_spread_normalizes_over_valid_pairs(self):
+        """Reference phase_neighborhood.py:722: mean over ALL valid pairs,
+        so adding unconstrained pairs dilutes the loss."""
+        from forest_tpu.losses import phase_neighborhood as pn
+        m = 4
+        b1, b2 = 2, 6  # 2 constrained pairs, then 4 extra unconstrained
+
+        def batch(nb, dyn):
+            d = jnp.ones((m, m, nb)) * jnp.arange(1, nb + 1)[None, None, :]
+            mask = jnp.broadcast_to(
+                ~jnp.eye(m, dtype=bool)[:, :, None], (m, m, nb))
+            return {
+                "d_learned_self": d, "d_learned_self_j": jnp.zeros_like(d),
+                "mask_self": mask,
+                "valid_pair_mask": jnp.ones((nb,), bool),
+                "layout": "mnb", "M": m,
+            }, jnp.stack([jnp.arange(nb), jnp.arange(nb)], 1), dyn
+
+        # all pairs constrained (dyn diff > delta): i more dynamic
+        dyn_hi = jnp.asarray([10.0, 10.0])
+        bt, pi, _ = batch(b1, None)
+        l1, s1 = pn.compute_phase_spread_ranking(
+            bt, pi, jnp.asarray([10.0] * b1), delta=0.5)
+        # same 2 "pairs" + 4 unconstrained ones must DILUTE the loss
+        bt2, pi2, _ = batch(b2, None)
+        dyn2 = jnp.asarray([10.0] * b2)
+        l2, s2 = pn.compute_phase_spread_ranking(bt2, pi2, dyn2, delta=0.5)
+        # with self-pairs dyn diff == 0 -> nothing constrained -> loss 0
+        assert float(l2) == 0.0 and float(l1) == 0.0
+
+    def test_spread_dilution_numeric(self):
+        from forest_tpu.losses import phase_neighborhood as pn
+        m, nb = 3, 4
+        # pair 0: i spreads 0, j spreads 1 with i more dynamic -> violation
+        d_i = jnp.zeros((m, m, nb))
+        d_j = jnp.ones((m, m, nb))
+        mask = jnp.broadcast_to(~jnp.eye(m, dtype=bool)[:, :, None],
+                                (m, m, nb))
+        batch = {"d_learned_self": d_i, "d_learned_self_j": d_j,
+                 "mask_self": mask,
+                 "valid_pair_mask": jnp.ones((nb,), bool),
+                 "layout": "mnb", "M": m}
+        pairs = jnp.asarray([[0, 1], [2, 3], [4, 5], [6, 7]])
+        # only pair 0 constrained (dyn gap > delta)
+        dyn = jnp.zeros((8,)).at[0].set(10.0)
+        loss, stats = pn.compute_phase_spread_ranking(
+            batch, pairs, dyn, margin=0.1, delta=0.5)
+        per_pair = float(jax.nn.softplus(1.0 - 0.0 + 0.1))
+        # normalized by 4 valid pairs, NOT by 1 constrained pair
+        np.testing.assert_allclose(float(loss), per_pair / 4, rtol=1e-6)
+        assert int(stats["n_constrained_i"]) == 1
+
+    def test_frobenius_leakage_is_norm_not_square(self, rng):
+        from forest_tpu.training.representation.step import (
+            frobenius_type_leakage)
+        n, t, zp, zt = 40, 5, 6, 8
+        h = jnp.asarray(rng.normal(size=(n, t, zp)), jnp.float32)
+        z = jnp.asarray(rng.normal(size=(n, zt)), jnp.float32)
+        valid = jnp.ones((n,), bool)
+        got = float(frobenius_type_leakage(h, z, valid))
+        hm = np.asarray(h).mean(1)
+        hc = hm - hm.mean(0)
+        zc = np.asarray(z) - np.asarray(z).mean(0)
+        cross = hc.T @ zc / (n - 1)
+        np.testing.assert_allclose(got, np.sqrt((cross ** 2).sum()),
+                                   rtol=1e-5)
+
+    def test_vq_pallas_nan_row_matches_xla_convention(self):
+        from forest_tpu.ops import vq
+        x = jnp.asarray(np.r_[np.full((1, 8), np.nan),
+                              np.random.default_rng(0).normal(
+                                  size=(7, 8))].astype(np.float32))
+        cb = jnp.asarray(np.random.default_rng(1).normal(
+            size=(16, 8)).astype(np.float32))
+        ix = np.asarray(vq._vq_core_xla(x, cb)[0])
+        ip = np.asarray(vq._vq_core_pallas(x, cb, tile_n=8,
+                                           interpret=True)[0])
+        ia = np.asarray(vq._vq_assign_pallas(x, cb, tile_n=8,
+                                             mxu_bf16=False,
+                                             interpret=True))
+        assert ix[0] == 0  # XLA argmin convention on an all-NaN row
+        assert ip[0] == 0 and ia[0] == 0  # pallas matches, never leaks K
+        np.testing.assert_array_equal(ip[1:], ix[1:])
+        np.testing.assert_array_equal(ia[1:], ix[1:])
