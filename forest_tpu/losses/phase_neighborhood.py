@@ -409,6 +409,16 @@ def type_local_spectral_demean(z_type: Array, spec: Array, valid: Array,
     neighbors, and their own baseline is meaningless (their loss terms are
     masked downstream).
 
+    Rank-deficiency divergence (documented): when rank(z_type) < pca_dim
+    (collapsed early-training representations), torch.pca_lowrank's
+    randomized SVD returns arbitrary unit-norm directions for the null
+    space, so the reference's neighbor ranking there is noise seeded by
+    its RNG. Here the eigenvalue floor (1e-12) shrinks null-direction
+    scores to ~0 instead, so neighbors are determined by the true-rank
+    subspace only -- deterministic, and at least as meaningful as the
+    reference's random directions, but the two rankings can differ until
+    z_type reaches full rank.
+
     z_type: [N, D] (already stop-gradient), spec: [N, T, C], valid: [N].
     Returns (spec_demeaned [N, T, C], baseline [N, C]).
     """
