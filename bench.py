@@ -25,6 +25,13 @@ N_PATCH_PIXELS = 1024  # 32x32
 D, K = 128, 256
 N_PATCHES = 128
 WARMUP, ITERS = 3, 20
+# Wall-clock budget for the quantize section: the axon relay compiles
+# erratically (1-10 s or 5+ min for identical graphs, CLAUDE.md). The
+# Pallas headline kernel runs first; the XLA cross-check is skipped when
+# the budget is already spent so one bad compile can't push the scored
+# bench past the driver's patience.
+QUANTIZE_BUDGET_S = 150.0
+T_START = time.perf_counter()
 
 
 def log(*a):
@@ -53,7 +60,14 @@ def bench_tpu_quantize():
     cb0 = jnp.asarray(r.normal(size=(K, D)).astype(np.float32))
 
     results = {}
-    for name, up in [("xla", False), ("pallas", True)]:
+    skipped = []
+    for name, up in [("pallas", True), ("xla", False)]:
+        if results and time.perf_counter() - T_START > QUANTIZE_BUDGET_S:
+            log(f"[bench] skipping {name} cross-check: "
+                f"{time.perf_counter() - T_START:.0f}s elapsed "
+                f"> {QUANTIZE_BUDGET_S:.0f}s budget")
+            skipped.append(name)
+            continue
         try:
             def body(i, cb, _up=up):
                 idx, q, counts, sums = vq.vq_core(x, cb, use_pallas=_up)
@@ -65,13 +79,16 @@ def bench_tpu_quantize():
             t0 = time.perf_counter()
             jax.block_until_ready(run(cb0))
             log(f"[bench] {name} compile {time.perf_counter() - t0:.1f}s")
+            out = cb0
             for _ in range(WARMUP):
-                out = run(cb0)
+                out = run(out)
             jax.block_until_ready(out)
             t0 = time.perf_counter()
             reps = 3
+            # Chain the carry across reps too so successive dispatches can
+            # never overlap or be deduplicated.
             for _ in range(reps):
-                out = run(cb0)
+                out = run(out)
             jax.block_until_ready(out)
             us_per_patch = ((time.perf_counter() - t0) / (reps * ITERS)
                             / N_PATCHES * 1e6)
@@ -83,8 +100,14 @@ def bench_tpu_quantize():
     if not results:
         return None, {}
     best = min(results.items(), key=lambda kv: kv[1])
-    return best, {f"quantize_{k}_us": round(v, 3)
-                  for k, v in results.items()}
+    extra = {f"quantize_{k}_us": round(v, 3) for k, v in results.items()}
+    # Per-call numbers for the full fused contract (the headline win case:
+    # idx + quantized vectors + EMA stats in one kernel pass).
+    for k, v in results.items():
+        extra[f"quantize_{k}_us_per_call"] = round(v * N_PATCHES, 1)
+    if skipped:
+        extra["quantize_skipped"] = ",".join(skipped)
+    return best, extra
 
 
 def bench_torch_cpu_quantize():
@@ -131,7 +154,17 @@ def bench_torch_cpu_quantize():
 
 
 def bench_pipeline(tmpdir: str):
-    """Short end-to-end training throughput on a synthetic cube."""
+    """Steady-state end-to-end training throughput on a synthetic cube,
+    with the component rates (chunk decode, host batch assembly, device
+    step) reported separately so the e2e number can be sanity-checked
+    against its bottleneck (this host has ONE core: e2e is host-bound).
+
+    Measurement protocol (VERDICT weak #1): warm every stage first, then
+    time >= MIN_BATCHES batches or a fixed window, whichever is longer in
+    sample count; decode rate over >= 512 chunk reads.
+    """
+    import itertools
+
     import jax
     import jax.numpy as jnp
 
@@ -158,9 +191,12 @@ def bench_pipeline(tmpdir: str):
                   num_timesteps=len(ds.ds["years"]),
                   emb_dim=D, codebook_size=K, hidden=128, quantizer="ema")
     opt = vqvae_step.make_optimizer(3e-4)
-    sampler = ChunkBatchSampler(ds.xy_by_chunk, batch_size, seed=0,
-                                replacement_within_chunk=True)
-    first = host_to_device_batch(ds.load_batch(next(iter(sampler))))
+
+    def make_sampler(seed):
+        return ChunkBatchSampler(ds.xy_by_chunk, batch_size, seed=seed,
+                                 replacement_within_chunk=True)
+
+    first = host_to_device_batch(ds.load_batch(next(iter(make_sampler(0)))))
     state = vqvae_step.init_train_state(model, opt, first, jax.random.key(0))
     step = jax.jit(vqvae_step.make_train_step(model, opt), donate_argnums=0)
     w = {k: jnp.float32(1.0) for k in ("cont", "cat", "canopy", "vq")}
@@ -169,29 +205,72 @@ def bench_pipeline(tmpdir: str):
     state, m = step(state, first, w, jax.random.key(0))
     jax.block_until_ready(m["loss/total"])
     log(f"[bench] train step compile {time.perf_counter() - t0:.1f}s")
+    extra = {}
 
-    # chunk decode rate (host)
+    # -- component 1: chunk decode rate (blosc decode + reshape, host) ----
+    arr = ds.cube.continuous
+    ny = -(-arr.shape[-2] // arr.chunks[-2])
+    nx = -(-arr.shape[-1] // arr.chunks[-1])
+    coords = [(0, 0, i % ny, (i // ny) % nx) for i in range(512)]
+    for c in coords[:ny * nx]:  # warm page cache over the full grid
+        arr.read_chunk(c)
     t0 = time.perf_counter()
-    nchunks = 32
-    for i in range(nchunks):
-        ds.cube.continuous.read_chunk((0, 0, i % 8, (i // 8) % 8))
-    chunk_rate = nchunks / (time.perf_counter() - t0)
+    for c in coords:
+        arr.read_chunk(c)
+    chunk_rate = len(coords) / (time.perf_counter() - t0)
+    extra["zarr_chunks_per_sec"] = round(chunk_rate, 1)
 
-    n_steps, n_samples = 0, 0
-    loader = PrefetchLoader(ds, sampler, num_workers=8, prefetch=4)
+    # -- component 2: host batch assembly (decode + slice + collate) ------
+    idxs = list(itertools.islice(iter(make_sampler(1)), 8))
+    ds.load_batch(idxs[0])  # warm
     t0 = time.perf_counter()
-    for batch in loader:
-        state, m = step(state, host_to_device_batch(batch), w,
+    for b in idxs:
+        ds.load_batch(b)
+    host_sps = len(idxs) * batch_size / (time.perf_counter() - t0)
+    extra["host_assembly_samples_per_sec"] = round(host_sps, 1)
+
+    # -- component 3: device step only (state-chained, fixed batch) -------
+    fixed = host_to_device_batch(ds.load_batch(idxs[0]))
+    for i in range(3):
+        state, m = step(state, dict(fixed), w, jax.random.key(i))
+    jax.block_until_ready(m["loss/total"])
+    t0 = time.perf_counter()
+    dev_iters = 50
+    for i in range(dev_iters):
+        state, m = step(state, dict(fixed), w, jax.random.key(i))
+    jax.block_until_ready(m["loss/total"])
+    dev_ms = (time.perf_counter() - t0) / dev_iters * 1e3
+    extra["device_step_ms"] = round(dev_ms, 3)
+    extra["device_samples_per_sec"] = round(batch_size / dev_ms * 1e3, 1)
+
+    # -- end-to-end: warm the loader, then measure a steady-state window --
+    chained = itertools.chain.from_iterable(
+        make_sampler(2 + e) for e in range(1000))
+    loader = PrefetchLoader(ds, chained, num_workers=8, prefetch=4)
+    it = iter(loader)
+    warm, measure, window_s = 12, 120, 25.0
+    for i in range(warm):  # let workers spin up + caches warm
+        state, m = step(state, host_to_device_batch(next(it)), w,
+                        jax.random.key(i))
+    jax.block_until_ready(m["loss/total"])
+    n_steps = 0
+    t0 = time.perf_counter()
+    while n_steps < measure or time.perf_counter() - t0 < window_s:
+        state, m = step(state, host_to_device_batch(next(it)), w,
                         jax.random.key(n_steps))
         n_steps += 1
-        n_samples += batch_size
-        if n_steps >= 30:
+        if n_steps >= 4 * measure:
             break
     jax.block_until_ready(m["loss/total"])
-    sps = n_samples / (time.perf_counter() - t0)
-    log(f"[bench] pipeline: {sps:,.0f} samples/s  "
-        f"chunk decode {chunk_rate:,.0f} chunks/s")
-    return sps, chunk_rate
+    sps = n_steps * batch_size / (time.perf_counter() - t0)
+    extra["train_samples_per_sec"] = round(sps, 1)
+    extra["e2e_batches_measured"] = n_steps
+    log(f"[bench] pipeline e2e: {sps:,.0f} samples/s over {n_steps} batches"
+        f" | decode {chunk_rate:,.0f} chunks/s"
+        f" | host assembly {host_sps:,.0f} samples/s"
+        f" | device step {dev_ms:.2f} ms ({batch_size / dev_ms * 1e3:,.0f}"
+        f" samples/s)")
+    return extra
 
 
 def bench_frl_step(iters: int = 10):
@@ -241,9 +320,7 @@ def main():
     extra = {"kernel": name, **per_kernel}
     try:
         with tempfile.TemporaryDirectory() as td:
-            sps, chunk_rate = bench_pipeline(td)
-        extra.update(train_samples_per_sec=round(sps, 1),
-                     zarr_chunks_per_sec=round(chunk_rate, 1))
+            extra.update(bench_pipeline(td))
     except Exception as e:  # pipeline bench is best-effort
         log(f"[bench] pipeline bench failed: {type(e).__name__}: {e}")
     try:

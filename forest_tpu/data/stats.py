@@ -283,19 +283,40 @@ class DerivedStatsComputer:
             }
             reservoirs[spec["name"]] = res
         if self.covariance and len(self.specs) > 1:
-            occ = OnlineCovarianceComputer(len(self.specs))
-            for patch in patches:
-                cols = [self._derive(s, patch) for s in self.specs]
-                hw = min(c.size for c in cols)
-                rows = np.stack([c.ravel()[:hw] for c in cols], axis=1)
-                rows = rows[np.isfinite(rows).all(axis=1)]
-                if len(rows) >= 2:
-                    occ.update(rows)
-            out["__covariance__"] = {
-                "matrix": occ.covariance(1e-8).tolist(),
-                "mean": occ.mean.tolist(), "n": occ.n,
-                "channels": [s["name"] for s in self.specs],
-            }
+            # Covariance pairs values positionally after ravel, which is
+            # only meaningful when every channel has the same shape per
+            # patch (e.g. all [H,W] deriveds). Group specs by derived
+            # shape and emit one covariance block per group rather than
+            # silently truncating mismatched sources to a common prefix.
+            shape_of = {s["name"]: self._derive(s, patches[0]).shape
+                        for s in self.specs}
+            groups: Dict[tuple, list] = {}
+            for s in self.specs:
+                groups.setdefault(shape_of[s["name"]], []).append(s)
+            specs_cov = max(groups.values(), key=len)
+            skipped = [s["name"] for s in self.specs
+                       if s not in specs_cov]
+            if skipped:
+                import warnings
+                warnings.warn(
+                    "derived-stats covariance: skipping channels with "
+                    f"mismatched shapes {skipped} (positional pairing "
+                    "would misalign values)", stacklevel=2)
+            if len(specs_cov) > 1:
+                occ = OnlineCovarianceComputer(len(specs_cov))
+                for patch in patches:
+                    cols = [self._derive(s, patch).ravel()
+                            for s in specs_cov]
+                    rows = np.stack(cols, axis=1)
+                    rows = rows[np.isfinite(rows).all(axis=1)]
+                    if len(rows) >= 2:
+                        occ.update(rows)
+                out["__covariance__"] = {
+                    "matrix": occ.covariance(1e-8).tolist(),
+                    "mean": occ.mean.tolist(), "n": occ.n,
+                    "channels": [s["name"] for s in specs_cov],
+                    "skipped": skipped,
+                }
         return out
 
     def compute_and_save(self, zarr_path=None, n_patches: int = 16) -> Dict:

@@ -422,15 +422,25 @@ class ZarrGroup:
             if isinstance(v, ZarrGroup):
                 yield k, v
 
+    def _invalidate(self, name: str) -> None:
+        # A node cached under a nested path ("a/b") goes stale if "a" or
+        # "a/b" is recreated, and vice versa — drop every cache entry on
+        # either side of the created path, not just the exact key.
+        prefix = name + "/"
+        for k in list(self._node_cache):
+            if k == name or k.startswith(prefix) \
+                    or name.startswith(k + "/"):
+                del self._node_cache[k]
+
     def create_group(self, name: str) -> "ZarrGroup":
-        self._node_cache.pop(name, None)
+        self._invalidate(name)
         p = self.path / name
         return create_group(p)
 
     def create_array(self, name: str, shape, chunks, dtype,
                      fill_value=0, compressor="default",
                      attrs: Optional[Dict[str, Any]] = None) -> ZarrArray:
-        self._node_cache.pop(name, None)
+        self._invalidate(name)
         return create_array(self.path / name, shape, chunks, dtype,
                             fill_value, compressor, attrs)
 

@@ -45,6 +45,7 @@ def run_epoch(dataset, step_fn: Callable, state_or_params, *,
                             num_workers=num_workers)
     agg: Dict[str, float] = {}
     n_steps = 0
+    n_weight = 0.0
     wait_t = step_t = 0.0
     t0 = time.perf_counter()
     t_wait = time.perf_counter()
@@ -66,13 +67,19 @@ def run_epoch(dataset, step_fn: Callable, state_or_params, *,
         # One device->host transfer for the whole metrics dict (per-metric
         # float() would pay ~0.5 ms dispatch latency each on the relay).
         m = jax.device_get(m)
+        # Weight each batch mean by its valid-sample count so a
+        # repeat-filled tail batch doesn't skew epoch means (the
+        # reference pools per-sample over the epoch, loops.py:85-246;
+        # count-weighted batch means match that for per-sample metrics).
+        w = float(valid_counts[i])
         for k, v in m.items():
-            agg[k] = agg.get(k, 0.0) + float(v)
+            agg[k] = agg.get(k, 0.0) + w * float(v)
         n_steps += 1
+        n_weight += w
         step_t += time.perf_counter() - t_step
         t_wait = time.perf_counter()
 
-    out = {k: v / max(n_steps, 1) for k, v in agg.items()}
+    out = {k: v / max(n_weight, 1.0) for k, v in agg.items()}
     out["n_steps"] = n_steps
     out["epoch_time_s"] = time.perf_counter() - t0
     out["wait_s"] = wait_t

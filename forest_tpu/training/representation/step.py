@@ -556,8 +556,12 @@ def make_process_batch(model, feature_builder: FeatureBuilder,
             metrics.update(dg.tau_sweep_stats(
                 d_neg, neg_valid, cfg.min_pair_weight,
                 "diag_tau_spectral_neg", True))
+            # Rows must match the leakage loss itself (and the reference
+            # diagnostic, step.py:1140-1171): phase-valid anchors, not all
+            # spatially-valid anchors — they differ when ysfc has missing
+            # timesteps.
             metrics.update(dg.type_leakage_ridge(
-                jnp.mean(h_pre, axis=1), z_type_sg, flat_valid))
+                jnp.mean(h_pre, axis=1), z_type_sg, phase_valid_flat))
 
         # ---- 8. total ---------------------------------------------------
         total = (weights["spatial_infonce"] * spatial_loss

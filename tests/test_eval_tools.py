@@ -480,3 +480,105 @@ class TestPhaseProbeCLI:
         assert saved["target_feature"] == "phase_ccdc"
         pre = pp.PhaseProbePreprocessor.from_dict(saved["preprocessor"])
         assert pre.output_dim + 1 == len(saved["weights"])
+
+
+class TestLandscapeCategories:
+    """fit_landscape_categories at reference depth
+    (/root/reference/frl/training/fit_landscape_categories.py:1-1039)."""
+
+    def test_phase_summary_matches_numpy_oracle(self, rng):
+        from forest_tpu.eval import landscape_categories as lc
+        n, t, d = 40, 10, 4
+        zp = rng.normal(size=(n, t, d)).astype(np.float32)
+        ysfc = rng.integers(0, 12, size=(n, t)).astype(np.float32)
+        ysfc[rng.random((n, t)) < 0.3] = np.nan
+        summary, tvar = jax.device_get(
+            lc.phase_summary(jnp.asarray(zp), jnp.asarray(ysfc)))
+        overall = zp.mean(1)
+        for i in range(n):
+            v = np.isfinite(ysfc[i])
+            for lo, sl in ((ysfc[i] <= 1.0, slice(0, d)),
+                           (ysfc[i] >= 5.0, slice(d, 2 * d))):
+                m = v & lo
+                exp = zp[i][m].mean(0) if m.any() else overall[i]
+                np.testing.assert_allclose(summary[i, sl], exp, rtol=2e-4,
+                                           atol=1e-5)
+            np.testing.assert_allclose(summary[i, 2 * d:], overall[i],
+                                       rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(tvar, zp.var(1).mean(-1), rtol=2e-3)
+
+    def test_fit_taxonomy_separates_synthetic_clusters(self, rng, tmp_path):
+        from forest_tpu.eval import landscape_categories as lc
+        # 3 type clusters; cluster 2 is "dynamic" (high temporal var,
+        # 2 clear phase sub-groups in the summary space).
+        zp_dim = 3
+        zt = np.concatenate([c + 0.05 * rng.normal(size=(400, 4))
+                             for c in (np.zeros(4), np.full(4, 6.0),
+                                       np.full(4, -6.0))]).astype(np.float32)
+        summary = 0.05 * rng.normal(size=(1200, 3 * zp_dim)
+                                    ).astype(np.float32)
+        summary[800:1000] += 4.0   # dynamic cluster phase sub-group A
+        summary[1000:1200] -= 4.0  # sub-group B
+        tvar = np.full(1200, 0.01, np.float32)
+        tvar[800:] = 1.0           # only cluster 2 is dynamic
+        fit = lc.fit_taxonomy(zt, summary, tvar, zp_dim, [2, 3, 4],
+                              min_cluster_pixels=50, seed=0,
+                              out_dir=tmp_path)
+        assert fit["k_type"] == 3
+        tax = fit["taxonomy"]
+        dyn = [k for k, v in tax.items() if v["is_dynamic"]]
+        assert len(dyn) == 1
+        assert tax[dyn[0]]["k_phase"] == 2
+        for k, v in tax.items():
+            if k != dyn[0]:
+                assert v["k_phase"] == 1 and v["phase_gmm_skipped"]
+        # artifacts
+        assert (tmp_path / "type_gmm.pkl").exists()
+        assert (tmp_path / f"phase_gmm_{dyn[0]}.pkl").exists()
+        assert (tmp_path / "silhouette_curve_type.png").exists()
+        assert (tmp_path / "variability_summary.csv").exists()
+        assert (tmp_path / "type_variability.png").exists()
+        # variability stats: the dynamic cluster's temporal variance
+        # dominates the stable clusters'. (Its temporal_fraction is still
+        # low because the two phase sub-groups make it spatially bimodal
+        # -- spatial_spread ~16 vs var_t ~1 -- which is the intended
+        # semantics of the reference diagnostic.)
+        vs = fit["var_stats"]
+        stable = [k for k in vs if k != dyn[0]]
+        assert all(vs[dyn[0]]["mean_temporal_var"]
+                   > 10 * vs[k]["mean_temporal_var"] for k in stable)
+        assert vs[dyn[0]]["spatial_spread"] > vs[dyn[0]]["mean_temporal_var"]
+
+    def test_bic_sweep_picks_true_k(self, rng):
+        from forest_tpu.eval import landscape_categories as lc
+        x = np.concatenate([c + rng.normal(size=(150, 3))
+                            for c in (np.zeros(3), np.full(3, 10.0))]
+                           ).astype(np.float32)
+        k, gm, bics = lc.bic_sweep(x, [1, 2, 4], seed=0)
+        assert k == 2 and set(bics) == {1, 2, 4}
+
+    def test_cli_e2e_on_synthetic_cube(self, frl_run, capsys, tmp_path):
+        from forest_tpu.eval import landscape_categories as lc
+        root, cfg, result = frl_run
+        ck = cfg.run.experiment_dir / cfg.run.ckpt_dir / \
+            "encoder_last.msgpack"
+        out = tmp_path / "taxonomy"
+        lc.main(["--checkpoint", str(ck),
+                 "--bindings", str(root / "bindings.yaml"),
+                 "--output-dir", str(out), "--patch-size", "32",
+                 "--split-block-size", "1", "1",
+                 "--batch-size", "2", "--max-batches", "2",
+                 "--k-type-min", "2", "--k-type-max", "4",
+                 "--k-type-step", "1", "--min-cluster-pixels", "20",
+                 "--dynamic-var-threshold", "0.0"])
+        assert "wrote" in capsys.readouterr().out
+        import json
+        tj = json.loads((out / "taxonomy.json").read_text())
+        assert tj["k_type"] >= 2
+        assert tj["n_pixels_fit"] > 0
+        assert set(tj["clusters"]) == {str(k) for k in range(tj["k_type"])}
+        assert (out / "type_gmm.pkl").exists()
+        assert (out / "variability_summary.csv").exists()
+        # threshold 0 forces every big-enough cluster dynamic -> pass 2 ran
+        if tj["n_dynamic_clusters"]:
+            assert (out / "ysfc_by_phase.png").exists()
