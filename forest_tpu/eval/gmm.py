@@ -112,6 +112,94 @@ def fit_landscape_categories(z_type: np.ndarray, z_phase: np.ndarray,
             "per_type": per_type}
 
 
+def main(argv=None):
+    """CLI (fit_gmm_clusters.py role): stream a split through the frozen
+    type encoder, reservoir-sample valid-pixel embeddings, BIC-sweep GMMs,
+    optionally score clusters against EVT codes; writes labels + summary.
+
+    Run: python -m forest_tpu.eval.gmm --checkpoint CKPT --bindings B.yaml
+            --output OUT.npz [--components 4 8 16] [--evt-source g.c]
+    """
+    import argparse
+    import json
+
+    import jax.numpy as jnp
+
+    from forest_tpu.data.bindings import parse_bindings
+    from forest_tpu.data.feature_builder import FeatureBuilder
+    from forest_tpu.data.frl_dataset import ForestDatasetV2
+    from forest_tpu.eval import frozen
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--bindings", required=True)
+    ap.add_argument("--output", required=True, help=".npz output path")
+    ap.add_argument("--split", default="train")
+    ap.add_argument("--split-block-size", type=int, nargs=2, default=(4, 4))
+    ap.add_argument("--patch-size", type=int, default=128)
+    ap.add_argument("--batch-size", type=int, default=4)
+    ap.add_argument("--max-batches", type=int, default=None)
+    ap.add_argument("--components", type=int, nargs="+",
+                    default=(4, 8, 16, 24, 32))
+    ap.add_argument("--capacity", type=int, default=100_000)
+    ap.add_argument("--covariance-type", default="diag")
+    ap.add_argument("--evt-source", default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    a = ap.parse_args(argv)
+
+    bindings = parse_bindings(a.bindings)
+    fb = FeatureBuilder(bindings)
+    ds = ForestDatasetV2(bindings, split=a.split, patch_size=a.patch_size,
+                         split_block_size=tuple(a.split_block_size))
+    model, params = frozen.load_frozen_model(a.checkpoint)
+    enc_t, _, _ = frozen.make_encode_fns(model, params, fb)
+
+    def batches():
+        n = len(ds)
+        count = 0
+        for i in range(0, n, a.batch_size):
+            idx = list(range(i, min(i + a.batch_size, n)))
+            batch = {k: jnp.asarray(v)
+                     for k, v in ds.load_batch(idx).items()}
+            z = np.asarray(enc_t(batch))
+            _, m = fb.build_feature("type_encoder_input", batch)
+            valid = np.asarray(jnp.all(m, axis=-1)).reshape(-1)
+            rows = z.reshape(-1, z.shape[-1])
+            if a.evt_source:
+                g, c = a.evt_source.split(".")
+                gc = fb.bindings.dataset[g]
+                evt = np.asarray(batch[g][..., gc.channel_index(c)]
+                                 ).reshape(-1)
+                rows = np.concatenate([rows, evt[:, None]], axis=1)
+            yield rows, valid
+            count += 1
+            if a.max_batches and count >= a.max_batches:
+                break
+
+    buf = reservoir_sample_embeddings(batches(), a.capacity, a.seed)
+    z = buf[:, :model.z_type_dim]
+    res = fit_gmm_clusters(z, a.components, a.covariance_type, a.seed)
+    labels = res["best"]["model"].predict(z)
+    summary = {"best_k": res["best"]["k"],
+               "bic": {r["k"]: r["bic"] for r in res["results"]},
+               "aic": {r["k"]: r["aic"] for r in res["results"]},
+               "n_samples": res["n_samples"]}
+    save = {"labels": labels, "z_type": z,
+            "means": res["best"]["model"].means_}
+    if a.evt_source:
+        evt = buf[:, -1].astype(np.int64)
+        cmp = compare_gmm_evt(labels, evt)
+        summary["nmi"] = cmp["nmi"]
+        summary["purity"] = cmp["purity"]
+        save["evt"] = evt
+    np.savez(a.output, **save)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
+
+
 __all__ = ["reservoir_sample_embeddings", "fit_gmm_clusters",
            "compare_gmm_evt", "cluster_evt_contingency",
-           "fit_landscape_categories"]
+           "fit_landscape_categories", "main"]

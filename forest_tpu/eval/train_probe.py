@@ -1,0 +1,393 @@
+"""Mini-batch SGD linear-probe training pipeline on a frozen encoder.
+
+Behavioral contract from /root/reference/frl/training/train_linear_probe.py
+(682 LoC): train a linear head on frozen encoder pixel embeddings to
+predict target metrics; per-epoch train pass (batch SGD, masked MSE summed
+over metrics), validation pass computing POOLED per-metric MSE / R^2 /
+Spearman rho^2 over the whole split (:323-437), per-metric logging table
+(:439-452), best-checkpoint tracking by val R^2 and final artifact save
+(:609-668). Extensions required by the round-2 review: optax LR schedule
+and early stopping.
+
+TPU-native design: the reference runs encoder and probe as two torch
+modules with a host loop collecting per-sample tensors; here the frozen
+encoder forward, target feature build, mask combination, probe forward,
+masked loss, and probe gradient run as ONE jitted graph per patch batch
+(the encoder output never leaves the device during training), and the
+validation pass accumulates SSE / SST / rank stats in-graph, shipping
+only per-metric scalars (plus a bounded subsample for Spearman) to host.
+
+The closed-form counterpart is ``fit_linear_probe``
+(forest_tpu/eval/linear_probe.py); ``tests/test_eval_tools.py::
+TestTrainProbePipeline`` asserts the SGD pipeline converges to the same
+R^2 on identical data.
+
+Run: python -m forest_tpu.eval.train_probe --checkpoint CKPT \
+        --bindings B.yaml [--target-feature F] [--epochs 20] [--lr 0.05]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+from dataclasses import asdict, dataclass, field
+from pathlib import Path
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+SPEARMAN_CAP = 200_000  # max pooled rows per metric for rank correlation
+
+
+@dataclass
+class ProbeMetrics:
+    """Per-epoch probe evaluation (reference ProbeMetrics, :56-66)."""
+    mse_per_metric: Dict[str, float] = field(default_factory=dict)
+    r2_per_metric: Dict[str, float] = field(default_factory=dict)
+    spearman_rho2_per_metric: Dict[str, float] = field(default_factory=dict)
+    mse_total: float = 0.0
+    r2_total: float = 0.0
+    spearman_rho2_total: float = 0.0
+    n_samples: int = 0
+
+
+def spearman_rho2(pred: np.ndarray, target: np.ndarray) -> float:
+    """Rank-correlation squared for 1-D arrays (reference :68-83)."""
+    n = len(pred)
+    if n < 2:
+        return 0.0
+    pr = np.argsort(np.argsort(pred)).astype(np.float64)
+    tr = np.argsort(np.argsort(target)).astype(np.float64)
+    p = pr - pr.mean()
+    t = tr - tr.mean()
+    den = np.sqrt((p * p).sum() * (t * t).sum())
+    if den < 1e-12:
+        return 0.0
+    return float(((p * t).sum() / den) ** 2)
+
+
+def make_probe_fns(encode_fn: Callable, fb, target_feature: str,
+                   lr: float, weight_decay: float = 0.0,
+                   schedule: str = "cosine", total_steps: int = 1000,
+                   warmup_steps: int = 0,
+                   mask_channels: Tuple[str, ...] = ()):
+    """Build (init, train_step, eval_step) closures.
+
+    ``train_step(params, opt_state, batch, step)`` fuses frozen encode +
+    target build + probe grad update in one jitted graph and returns
+    (params, opt_state, {per-metric sse, sst, n}).
+
+    ``eval_step(params, batch)`` returns the same masked accumulators plus
+    the dense (pred, target, valid) tensors for pooled rank stats.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    if schedule == "cosine":
+        sched = optax.warmup_cosine_decay_schedule(
+            0.0, lr, max(warmup_steps, 1), max(total_steps, 2))
+    elif schedule == "constant":
+        sched = lr
+    else:
+        raise ValueError(f"unknown schedule {schedule!r}")
+    opt = optax.adamw(sched, weight_decay=weight_decay)
+
+    def build(batch):
+        z = encode_fn(batch)                       # [B, H, W, D]
+        y, ym = fb.build_feature(target_feature, batch)  # [B, H, W, K]
+        valid = jnp.all(ym, axis=-1)
+        for ref in mask_channels:
+            g, c = ref.split(".")
+            gc = fb.bindings.dataset[g]
+            m = jnp.asarray(batch[g][..., gc.channel_index(c)],
+                            jnp.float32)
+            valid = valid & (m > 0)
+        valid = valid & jnp.all(jnp.isfinite(z), axis=-1) \
+            & jnp.all(jnp.isfinite(y), axis=-1)
+        d = z.shape[-1]
+        k = y.shape[-1]
+        return (z.reshape(-1, d), jnp.where(valid[..., None], y, 0.0)
+                .reshape(-1, k), valid.reshape(-1))
+
+    def metrics_acc(pred, y, v):
+        """Per-metric SSE + target sums for pooled R^2 (sst via sums)."""
+        vf = v.astype(jnp.float32)[:, None]
+        sse = jnp.sum(((pred - y) ** 2) * vf, axis=0)
+        s1 = jnp.sum(y * vf, axis=0)
+        s2 = jnp.sum(y * y * vf, axis=0)
+        return {"sse": sse, "sum_y": s1, "sum_y2": s2,
+                "n": jnp.sum(v.astype(jnp.int64))}
+
+    @jax.jit
+    def train_step(params, opt_state, batch):
+        z, y, v = build(batch)
+        z = jax.lax.stop_gradient(z)
+
+        def loss_fn(p):
+            pred = z @ p["w"] + p["b"]
+            vf = v.astype(jnp.float32)
+            # Reference loss: sum over metrics of per-metric masked mean
+            # MSE (:219-245) -- equivalent to mean over valid rows of the
+            # per-row sum of squared errors.
+            per = jnp.sum((pred - y) ** 2, axis=-1) * vf
+            loss = jnp.sum(per) / jnp.maximum(jnp.sum(vf), 1.0)
+            return loss, pred
+
+        (loss, pred), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = opt.update(g, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        acc = metrics_acc(pred, y, v)
+        acc["loss"] = loss
+        return params, opt_state, acc
+
+    @jax.jit
+    def eval_step(params, batch):
+        z, y, v = build(batch)
+        pred = z @ params["w"] + params["b"]
+        return metrics_acc(pred, y, v), pred, y, v
+
+    def init(d: int, k: int):
+        params = {"w": jnp.zeros((d, k), jnp.float32),
+                  "b": jnp.zeros((k,), jnp.float32)}
+        return params, opt.init(params)
+
+    return init, train_step, eval_step
+
+
+def _iter_batches(dataset, batch_size: int, max_batches: Optional[int],
+                  shuffle: bool = False, seed: int = 0):
+    import jax.numpy as jnp
+
+    n = len(dataset)
+    order = np.arange(n)
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    count = 0
+    for i in range(0, n, batch_size):
+        idx = [int(j) for j in order[i:i + batch_size]]
+        yield {k: jnp.asarray(v) for k, v in
+               dataset.load_batch(idx).items()}
+        count += 1
+        if max_batches and count >= max_batches:
+            break
+
+
+def _finalize(acc: Dict[str, np.ndarray], names: List[str],
+              pooled: Optional[Dict[str, Tuple[np.ndarray, np.ndarray]]]
+              ) -> ProbeMetrics:
+    """Pooled per-metric MSE / R^2 (+ Spearman when pooled rows given)."""
+    n = int(acc["n"])
+    m = ProbeMetrics(n_samples=n)
+    for j, name in enumerate(names):
+        sse = float(acc["sse"][j])
+        mean = float(acc["sum_y"][j]) / max(n, 1)
+        sst = float(acc["sum_y2"][j]) - n * mean * mean
+        m.mse_per_metric[name] = sse / max(n, 1)
+        m.r2_per_metric[name] = (1.0 - sse / sst) if sst > 1e-8 else 0.0
+        if pooled is not None and name in pooled:
+            m.spearman_rho2_per_metric[name] = spearman_rho2(*pooled[name])
+        else:
+            m.spearman_rho2_per_metric[name] = 0.0
+    k = max(len(names), 1)
+    m.mse_total = sum(m.mse_per_metric.values()) / k
+    m.r2_total = sum(m.r2_per_metric.values()) / k
+    m.spearman_rho2_total = sum(m.spearman_rho2_per_metric.values()) / k
+    return m
+
+
+def validate_probe(params, eval_step, dataset, names: List[str],
+                   batch_size: int = 4,
+                   max_batches: Optional[int] = None) -> ProbeMetrics:
+    """Pooled validation over the whole split (reference validate_epoch,
+    :323-437): exact pooled MSE/R^2 from in-graph accumulators; Spearman
+    over up to SPEARMAN_CAP pooled rows per metric."""
+    total: Optional[Dict[str, np.ndarray]] = None
+    preds: List[np.ndarray] = []
+    ys: List[np.ndarray] = []
+    kept = 0
+    for batch in _iter_batches(dataset, batch_size, max_batches):
+        acc, pred, y, v = eval_step(params, batch)
+        acc = {k: np.asarray(a) for k, a in acc.items()}
+        total = acc if total is None else \
+            {k: total[k] + acc[k] for k in total}
+        if kept < SPEARMAN_CAP:
+            vm = np.asarray(v)
+            preds.append(np.asarray(pred)[vm])
+            ys.append(np.asarray(y)[vm])
+            kept += int(vm.sum())
+    if total is None:
+        return ProbeMetrics()
+    pooled = None
+    if preds:
+        p = np.concatenate(preds)[:SPEARMAN_CAP]
+        t = np.concatenate(ys)[:SPEARMAN_CAP]
+        pooled = {name: (p[:, j], t[:, j]) for j, name in enumerate(names)}
+    return _finalize(total, names, pooled)
+
+
+def log_metrics(m: ProbeMetrics, prefix: str = "", echo=print) -> None:
+    """Per-metric table (reference log_metrics, :439-452)."""
+    echo(f"{prefix} per-metric results ({m.n_samples} px):")
+    echo(f"{'metric':<30} {'MSE':>10} {'R2':>10} {'rho2':>10}")
+    for name in m.mse_per_metric:
+        echo(f"{name:<30} {m.mse_per_metric[name]:>10.4f} "
+             f"{m.r2_per_metric[name]:>10.4f} "
+             f"{m.spearman_rho2_per_metric[name]:>10.4f}")
+    echo(f"{'average':<30} {m.mse_total:>10.4f} {m.r2_total:>10.4f} "
+         f"{m.spearman_rho2_total:>10.4f}")
+
+
+def train_probe_pipeline(encode_fn: Callable, fb, ds_train, ds_val,
+                         target_feature: str, epochs: int = 20,
+                         lr: float = 5e-2, weight_decay: float = 0.0,
+                         schedule: str = "cosine", warmup_frac: float = 0.05,
+                         batch_size: int = 4,
+                         max_batches: Optional[int] = None,
+                         patience: Optional[int] = None,
+                         mask_channels: Tuple[str, ...] = (),
+                         out_dir: Optional[Path] = None,
+                         seed: int = 0, echo=print) -> Dict:
+    """Full probe training loop: epochs of batch SGD + pooled validation,
+    best-by-val-R^2 tracking, optional early stopping, artifact save
+    (reference main loop, :607-668).
+
+    Returns {params, best_params, best_val_r2, best_epoch, history,
+    final_val (ProbeMetrics), names}.
+    """
+    names = list(fb.bindings.get_feature(target_feature).channels.keys())
+    n_train_batches = max_batches or -(-len(ds_train) // batch_size)
+    total_steps = max(epochs * n_train_batches, 2)
+    init, train_step, eval_step = make_probe_fns(
+        encode_fn, fb, target_feature, lr, weight_decay, schedule,
+        total_steps, int(warmup_frac * total_steps), mask_channels)
+
+    first = next(_iter_batches(ds_train, batch_size, 1))
+    z0 = encode_fn(first)
+    params, opt_state = init(int(z0.shape[-1]), len(names))
+
+    best = {"r2": -np.inf, "epoch": -1, "params": None}
+    history: List[Dict] = []
+    bad_epochs = 0
+    val_m = ProbeMetrics()
+    for epoch in range(epochs):
+        if hasattr(ds_train, "on_epoch_start"):
+            ds_train.on_epoch_start()
+        tr_total: Optional[Dict[str, np.ndarray]] = None
+        for batch in _iter_batches(ds_train, batch_size, max_batches,
+                                   shuffle=True, seed=seed + epoch):
+            params, opt_state, acc = train_step(params, opt_state, batch)
+            acc = {k: np.asarray(v) for k, v in acc.items()
+                   if k != "loss"}
+            tr_total = acc if tr_total is None else \
+                {k: tr_total[k] + acc[k] for k in tr_total}
+        tr_m = (_finalize(tr_total, names, None) if tr_total
+                else ProbeMetrics())
+        val_m = validate_probe(params, eval_step, ds_val, names,
+                               batch_size, max_batches)
+        echo(f"probe epoch {epoch + 1}/{epochs} | train MSE "
+             f"{tr_m.mse_total:.4f} | val MSE {val_m.mse_total:.4f} | "
+             f"val R2 {val_m.r2_total:.4f}")
+        history.append({"epoch": epoch + 1,
+                        "train_mse": tr_m.mse_total,
+                        "val_mse": val_m.mse_total,
+                        "val_r2": val_m.r2_total,
+                        "val_spearman_rho2": val_m.spearman_rho2_total})
+        if val_m.r2_total > best["r2"]:
+            best = {"r2": val_m.r2_total, "epoch": epoch + 1,
+                    "params": {k: np.asarray(v)
+                               for k, v in params.items()},
+                    "metrics": val_m}
+            bad_epochs = 0
+            if out_dir is not None:
+                _save_probe(out_dir / "probe_best.npz", best["params"],
+                            val_m, names, epoch + 1)
+        else:
+            bad_epochs += 1
+            if patience is not None and bad_epochs >= patience:
+                echo(f"early stop at epoch {epoch + 1} "
+                     f"(no val R2 gain for {patience} epochs)")
+                break
+
+    log_metrics(val_m, prefix="final", echo=echo)
+    if out_dir is not None:
+        out_dir.mkdir(parents=True, exist_ok=True)
+        _save_probe(out_dir / "probe_final.npz",
+                    {k: np.asarray(v) for k, v in params.items()},
+                    val_m, names, len(history))
+        (out_dir / "probe_history.json").write_text(json.dumps({
+            "history": history, "best_epoch": best["epoch"],
+            "best_val_r2": float(best["r2"]),
+            "target_metrics": names,
+            "final": asdict(val_m)}, indent=2))
+    return {"params": params, "best_params": best["params"],
+            "best_val_r2": float(best["r2"]),
+            "best_epoch": best["epoch"], "history": history,
+            "final_val": val_m, "names": names}
+
+
+def _save_probe(path: Path, params: Dict[str, np.ndarray], m: ProbeMetrics,
+                names: List[str], epoch: int) -> None:
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez(path, w=params["w"], b=params["b"], epoch=epoch,
+             target_metrics=np.asarray(names),
+             val_mse=m.mse_total, val_r2=m.r2_total,
+             val_spearman_rho2=m.spearman_rho2_total,
+             val_mse_per_metric=np.asarray(
+                 [m.mse_per_metric[n] for n in names]),
+             val_r2_per_metric=np.asarray(
+                 [m.r2_per_metric[n] for n in names]))
+
+
+def main(argv=None):
+    from forest_tpu.data.bindings import parse_bindings
+    from forest_tpu.data.feature_builder import FeatureBuilder
+    from forest_tpu.data.frl_dataset import ForestDatasetV2
+    from forest_tpu.eval import frozen
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--bindings", required=True)
+    ap.add_argument("--target-feature", default="target_metrics")
+    ap.add_argument("--output-dir", default=None)
+    ap.add_argument("--epochs", type=int, default=20)
+    ap.add_argument("--batch-size", type=int, default=4)
+    ap.add_argument("--max-batches", type=int, default=None)
+    ap.add_argument("--patch-size", type=int, default=128)
+    ap.add_argument("--split-block-size", type=int, nargs=2, default=(4, 4))
+    ap.add_argument("--lr", type=float, default=5e-2)
+    ap.add_argument("--weight-decay", type=float, default=0.0)
+    ap.add_argument("--schedule", default="cosine",
+                    choices=["cosine", "constant"])
+    ap.add_argument("--patience", type=int, default=None)
+    ap.add_argument("--mask-channels", nargs="*", default=[])
+    ap.add_argument("--seed", type=int, default=0)
+    a = ap.parse_args(argv)
+
+    bindings = parse_bindings(a.bindings)
+    fb = FeatureBuilder(bindings)
+    mk = dict(patch_size=a.patch_size,
+              split_block_size=tuple(a.split_block_size), min_aoi=0.3)
+    ds_train = ForestDatasetV2(bindings, split="train", **mk)
+    ds_val = ForestDatasetV2(bindings, split="val", **mk)
+    model, params = frozen.load_frozen_model(a.checkpoint)
+    enc_t, _, _ = frozen.make_encode_fns(model, params, fb)
+
+    out_dir = Path(a.output_dir) if a.output_dir else \
+        Path(a.checkpoint).parent / "linear_probe"
+    res = train_probe_pipeline(
+        enc_t, fb, ds_train, ds_val, a.target_feature, a.epochs, a.lr,
+        a.weight_decay, a.schedule, batch_size=a.batch_size,
+        max_batches=a.max_batches, patience=a.patience,
+        mask_channels=tuple(a.mask_channels), out_dir=out_dir,
+        seed=a.seed)
+    print(f"best val R2 {res['best_val_r2']:.4f} "
+          f"(epoch {res['best_epoch']}); wrote {out_dir}")
+
+
+if __name__ == "__main__":
+    main()
+
+
+__all__ = ["ProbeMetrics", "spearman_rho2", "make_probe_fns",
+           "validate_probe", "train_probe_pipeline", "log_metrics",
+           "main"]

@@ -143,3 +143,73 @@ class TestIO:
         io.write_tsv(tmp_path / "b.tsv", [[1, 2], [3, 4]],
                      header=["a", "b"])
         assert (tmp_path / "b.tsv").read_text().startswith("a\tb\n1\t2")
+
+
+class TestZarrInfoDepth:
+    """Reference-depth sections (/root/reference/utils/zarr_info.py:47-331):
+    features/years/NAIP stats/cont/cat stats + the three exports."""
+
+    @pytest.fixture(scope="class")
+    def legacy_cube(self, tmp_path_factory):
+        from forest_tpu.data.cube import build_synthetic_cube
+        base = tmp_path_factory.mktemp("zi")
+        build_synthetic_cube(base / "cube.zarr", height=64, width=64,
+                             chunk_yx=32, patch_size=32, seed=0)
+        return base / "cube.zarr"
+
+    def test_feature_roster_and_naip(self, legacy_cube):
+        root = zl.open_zarr(legacy_cube)
+        feats = zarr_info.list_features(root)
+        kinds = {k for _, k in feats}
+        assert "cont" in kinds and "cat" in kinds
+        ni = zarr_info.naip_info(root)
+        assert ni["present"] and ni["kshape"] == (3, 3)
+        stats = zarr_info.naip_band_stats(root, sample_chunks=None)
+        assert len(stats) == ni["bands"]
+        assert all(s["mean"] is not None for s in stats)
+        # NaN-aware: synthetic naip has injected NaNs but stats are finite
+        assert all(np.isfinite(s["std"]) for s in stats)
+
+    def test_cat_counts_and_exports(self, legacy_cube, tmp_path):
+        root = zl.open_zarr(legacy_cube)
+        counts = zarr_info.categorical_counts(root, sample_chunks=None)
+        assert counts
+        name, cc = next(iter(counts.items()))
+        assert sum(cc.values()) > 0
+        csv_p = tmp_path / "counts.csv"
+        zarr_info.export_counts(counts, csv_p)
+        header = csv_p.read_text().splitlines()[0]
+        assert header == "feature,code,count,prop"
+        man_p = tmp_path / "manifest.json"
+        zarr_info.export_manifest(root, man_p)
+        import json
+        man = json.loads(man_p.read_text())
+        assert man["naip_bands"] == 3
+        assert "continuous" in man["arrays"]
+        assert len(man["feature_names"]) == len(man["feature_kinds"])
+
+    def test_cli_all_sections(self, legacy_cube, tmp_path, capsys):
+        zarr_info.main([str(legacy_cube), "--naip-stats", "--cont-stats",
+                        "--cat-stats", "--top", "5",
+                        "--dump-meta", str(tmp_path / "meta.json"),
+                        "--export-counts", str(tmp_path / "c.csv"),
+                        "--export-manifest", str(tmp_path / "m.json")])
+        out = capsys.readouterr().out
+        for section in ("features (", "NAIP: present", "NAIP per-band",
+                        "continuous feature stats:",
+                        "categorical class counts:", "dataset attrs:",
+                        "files:"):
+            assert section in out, section
+        assert (tmp_path / "meta.json").exists()
+        assert (tmp_path / "c.csv").exists()
+        assert (tmp_path / "m.json").exists()
+
+    def test_v2_cube_features(self, tmp_path, capsys):
+        from forest_tpu.data.cube_v2 import build_synthetic_v2_cube
+        build_synthetic_v2_cube(tmp_path / "v2.zarr", height=64, width=64,
+                                chunk_yx=32)
+        zarr_info.main([str(tmp_path / "v2.zarr"), "--cat-stats"])
+        out = capsys.readouterr().out
+        assert "annual/ccdc/data/ndvi (cont)" in out
+        assert "static/evt/data/evt (cat)" in out
+        assert "years: 2010..2024" in out

@@ -177,10 +177,75 @@ class TestFrozenAndProbes:
             evt_source="static_categorical.evt",
             out_csv=root / "emb.csv")
         assert rows[0]["valid"] == 1
-        assert "z0" in rows[0] and "zp0" in rows[0]
+        # full reference column families (embed_locations.py:1-24)
+        for fam in ("x_type_0", "x_phase_0", "z_type_0", "z_phase_0",
+                    "g_type_0", "pixel_row", "pixel_col", "ysfc"):
+            assert fam in rows[0], fam
         assert rows[0]["split"] in ("train", "val", "test")
         assert rows[0]["evt"] >= 7000
         assert (root / "emb.csv").exists()
+
+    def test_embed_locations_golden_csv(self, frl_run, tmp_path):
+        """Golden-file check: CSV column set + exact roundtrip of values,
+        and per-point year selects the matching ysfc timestep."""
+        import csv as _csv
+        from forest_tpu.eval import embed_locations as el
+        from forest_tpu.eval import frozen
+        root, cfg, result = frl_run
+        enc_t, enc_p, proj = frozen.make_encode_fns(
+            result["model"], result["state"].params, result["fb"])
+        ds = result["ds_train"]
+        w0 = ds.patches[0]
+        locs = np.asarray([[w0.row_start + 5, w0.col_start + 6],
+                           [w0.row_start + 9, w0.col_start + 2]])
+        out = tmp_path / "golden.csv"
+        rows = el.embed_locations(
+            locs, ds, result["fb"], enc_t, enc_p, proj,
+            evt_source="static_categorical.evt",
+            years=[2012, None], out_csv=out)
+        with open(out) as f:
+            got = list(_csv.DictReader(f))
+        assert len(got) == 2
+        zt, zp, gt = 8, 3, 8  # fixture model dims
+        expect_cols = (["index", "valid", "pixel_row", "pixel_col",
+                        "split", "ysfc", "evt"]
+                       + [f"x_type_{i}" for i in range(4)]
+                       + [f"x_phase_{i}" for i in range(3)]
+                       + [f"z_type_{i}" for i in range(zt)]
+                       + [f"z_phase_{i}" for i in range(zp)]
+                       + [f"g_type_{i}" for i in range(gt)])
+        assert set(expect_cols) <= set(got[0].keys())
+        for r_csv, r_mem in zip(got, rows):
+            for k in expect_cols:
+                if k in ("split",):
+                    assert r_csv[k] == r_mem[k]
+                else:
+                    assert float(r_csv[k]) == pytest.approx(
+                        float(r_mem[k]), rel=1e-6)
+        # year=2012 -> timestep 2 of the 2010-2024 axis; point 2 uses the
+        # final timestep, so their ysfc differ by the 12-year offset
+        # (synthetic ysfc increments by 1 per year for disturbed pixels).
+        y0, y1 = float(got[0]["ysfc"]), float(got[1]["ysfc"])
+        assert y0 != y1 or y0 == 30.0  # 30 = never-disturbed plateau
+
+    def test_embed_locations_cli(self, frl_run, capsys, tmp_path):
+        from forest_tpu.eval import embed_locations as el
+        root, cfg, result = frl_run
+        ck = cfg.run.experiment_dir / cfg.run.ckpt_dir / \
+            "encoder_last.msgpack"
+        pts = tmp_path / "pts.csv"
+        pts.write_text("row,col,year\n5,40,2015\n9,33,\n")
+        out = tmp_path / "emb.csv"
+        el.main(["--locations", str(pts), "--checkpoint", str(ck),
+                 "--bindings", str(root / "bindings.yaml"),
+                 "--output", str(out), "--patch-size", "32",
+                 "--split-block-size", "1", "1",
+                 "--evt-source", "static_categorical.evt"])
+        assert "2/2 points embedded" in capsys.readouterr().out
+        import csv as _csv
+        with open(out) as f:
+            got = list(_csv.DictReader(f))
+        assert len(got) == 2 and "z_type_0" in got[0]
 
 
 class TestVisualization:
@@ -582,3 +647,94 @@ class TestLandscapeCategories:
         # threshold 0 forces every big-enough cluster dynamic -> pass 2 ran
         if tj["n_dynamic_clusters"]:
             assert (out / "ysfc_by_phase.png").exists()
+
+
+class TestTrainProbePipeline:
+    """Reference-depth SGD probe pipeline
+    (/root/reference/frl/training/train_linear_probe.py:1-682)."""
+
+    def test_spearman_rho2(self, rng):
+        from forest_tpu.eval import train_probe as tp
+        x = rng.normal(size=200)
+        assert tp.spearman_rho2(x, np.exp(x)) == pytest.approx(1.0)
+        assert tp.spearman_rho2(x, -x) == pytest.approx(1.0)
+        assert tp.spearman_rho2(x, rng.normal(size=200)) < 0.1
+
+    def test_sgd_converges_to_ridge_r2(self, frl_run):
+        from forest_tpu.eval import frozen, train_probe as tp
+        root, cfg, result = frl_run
+        enc_t, _, _ = frozen.make_encode_fns(
+            result["model"], result["state"].params, result["fb"])
+        ridge = lp.fit_linear_probe(
+            enc_t, result["fb"], result["ds_train"], result["ds_val"],
+            target_feature="infonce_type_spectral", ridge_lambda=1e-6,
+            max_batches_train=3, max_batches_eval=2, batch_size=2)
+        res = tp.train_probe_pipeline(
+            enc_t, result["fb"], result["ds_train"], result["ds_val"],
+            "infonce_type_spectral", epochs=60, lr=0.1,
+            batch_size=2, max_batches=3, echo=lambda *a: None)
+        r2_ridge = float(np.nanmean(ridge["r2_val"]))
+        assert res["best_val_r2"] > r2_ridge - 0.05
+        assert len(res["history"]) == 60
+        assert res["final_val"].n_samples > 0
+        assert set(res["names"]) == set(
+            result["fb"].bindings.get_feature(
+                "infonce_type_spectral").channels.keys())
+
+    def test_early_stopping_and_artifacts(self, frl_run, tmp_path):
+        from forest_tpu.eval import frozen, train_probe as tp
+        root, cfg, result = frl_run
+        enc_t, _, _ = frozen.make_encode_fns(
+            result["model"], result["state"].params, result["fb"])
+        res = tp.train_probe_pipeline(
+            enc_t, result["fb"], result["ds_train"], result["ds_val"],
+            "infonce_type_spectral", epochs=50, lr=0.0,  # lr=0: no gain
+            batch_size=2, max_batches=2, patience=3,
+            out_dir=tmp_path, echo=lambda *a: None)
+        assert len(res["history"]) <= 5  # stopped early
+        assert (tmp_path / "probe_final.npz").exists()
+        assert (tmp_path / "probe_history.json").exists()
+        import json
+        hist = json.loads((tmp_path / "probe_history.json").read_text())
+        assert hist["target_metrics"] == res["names"]
+
+    def test_cli_e2e(self, frl_run, capsys, tmp_path):
+        from forest_tpu.eval import train_probe as tp
+        root, cfg, result = frl_run
+        ck = cfg.run.experiment_dir / cfg.run.ckpt_dir / \
+            "encoder_last.msgpack"
+        tp.main(["--checkpoint", str(ck),
+                 "--bindings", str(root / "bindings.yaml"),
+                 "--target-feature", "infonce_type_spectral",
+                 "--output-dir", str(tmp_path / "probe"),
+                 "--patch-size", "32", "--split-block-size", "1", "1",
+                 "--epochs", "3", "--batch-size", "2",
+                 "--max-batches", "2"])
+        out = capsys.readouterr().out
+        assert "best val R2" in out
+        assert "per-metric results" in out
+        npz = np.load(tmp_path / "probe" / "probe_final.npz")
+        assert npz["w"].shape[0] == 8  # z_type_dim
+
+
+class TestGmmCLI:
+    def test_main_e2e(self, frl_run, capsys, tmp_path):
+        import json
+        from forest_tpu.eval import gmm as gm
+        root, cfg, result = frl_run
+        ck = cfg.run.experiment_dir / cfg.run.ckpt_dir / \
+            "encoder_last.msgpack"
+        out = tmp_path / "gmm.npz"
+        gm.main(["--checkpoint", str(ck),
+                 "--bindings", str(root / "bindings.yaml"),
+                 "--output", str(out), "--patch-size", "32",
+                 "--split-block-size", "1", "1", "--batch-size", "2",
+                 "--max-batches", "2", "--components", "2", "4",
+                 "--capacity", "5000",
+                 "--evt-source", "static_categorical.evt"])
+        summary = json.loads(capsys.readouterr().out)
+        assert summary["best_k"] in (2, 4)
+        assert 0.0 <= summary["purity"] <= 1.0
+        npz = np.load(out)
+        assert npz["labels"].shape == npz["evt"].shape
+        assert npz["z_type"].shape[1] == 8
