@@ -87,18 +87,35 @@ def resolve_weights(masks: Sequence[Array],
 
 def sample_anchors_supplement(key: Array, weights: Array, n: int
                               ) -> Tuple[Array, Array]:
-    """Weighted multinomial (with replacement) draw of n pixel coords.
+    """Weighted multinomial draw WITHOUT replacement of n pixel coords
+    (reference anchor_sampling.py:166 ``torch.multinomial(probs,
+    n_supplement, replacement=False)``), via the Gumbel-top-k identity:
+    top-n of ``log w + Gumbel`` is an exact weighted sample without
+    replacement.
 
-    Returns (coords [n, 2], valid [n]); all-invalid when total weight is 0.
+    Perf: the previous ``jax.random.categorical(shape=(n,))`` lowered to a
+    2.5 ms/step fused reduce over the flat [65536] grid at production
+    scale (profile fusion.89); a single Gumbel + TPU ``approx_max_k``
+    (95% recall, still a valid weighted draw) is ~an order of magnitude
+    cheaper. Small grids keep the exact ``top_k``.
+
+    Returns (coords [n, 2], valid [n]); rows beyond the number of
+    positive-weight pixels (or all rows when total weight is 0) are
+    invalid.
     """
     h, w = weights.shape
     flat = weights.reshape(-1)
-    total = jnp.sum(flat)
-    logits = jnp.log(jnp.maximum(flat, 1e-20))
-    idx = jax.random.categorical(key, logits, shape=(n,))
+    neg = jnp.float32(-jnp.inf)
+    gumbel = -jnp.log(-jnp.log(
+        jnp.maximum(jax.random.uniform(key, flat.shape), 1e-20)))
+    scores = jnp.where(flat > 0, jnp.log(jnp.maximum(flat, 1e-20)) + gumbel,
+                       neg)
+    if flat.size > 4096:
+        vals, idx = jax.lax.approx_max_k(scores, n, recall_target=0.95)
+    else:
+        vals, idx = jax.lax.top_k(scores, n)
     coords = jnp.stack([idx // w, idx % w], axis=1).astype(jnp.int32)
-    valid = jnp.broadcast_to(total > 0, (n,))
-    return coords, valid
+    return coords, jnp.isfinite(vals)
 
 
 def sample_anchors_grid_plus_supplement(

@@ -225,7 +225,11 @@ def make_process_batch(model, feature_builder: FeatureBuilder,
 
         # ---- 2. anchors -------------------------------------------------
         coords, a_valid = sample_anchors_all(batch, k_anchor)  # [B,A,2]
-        z_a = jax.vmap(sp.extract_at_locations)(z_type, coords)  # [B,A,zt]
+        # z_a is extracted below in ONE merged gather with the neighbor
+        # coords: TPU lowers each row-gather (and its backward scatter)
+        # to a serial loop, so two separate extract ops cost ~70% more
+        # than one (scripts/bench_extract_variants.py: 15.6 -> 9.2 ms
+        # fwd+bwd at production shapes).
 
         def feature_at_anchors(name, crds):
             """Per-sample at-location feature build, vmapped over B."""
@@ -263,7 +267,6 @@ def make_process_batch(model, feature_builder: FeatureBuilder,
 
         a = n_anchors
         flat_valid = a_valid.reshape(-1)                      # [B*A]
-        z_a_flat = z_a.reshape(-1, z_a.shape[-1])
         spec_flat = spec_a.reshape(bsz * a, -1)
         patch_ids = jnp.repeat(jnp.arange(bsz), a)
         coords_flat = coords.reshape(-1, 2)
@@ -299,7 +302,12 @@ def make_process_batch(model, feature_builder: FeatureBuilder,
             jnp.arange(k_tot) < k1, (bsz, a, k_tot))
         pv = jnp.concatenate([v_p, v_n], axis=2) & a_valid[:, :, None]
         nbr_flat = nbr.reshape(bsz, a * k_tot, 2)
-        z_nbr = jax.vmap(sp.extract_at_locations)(z_type, nbr_flat)
+        # Merged anchor+neighbor extraction (see the stage-2 note).
+        all_coords = jnp.concatenate([coords, nbr_flat], axis=1)
+        z_all = jax.vmap(sp.extract_at_locations)(z_type, all_coords)
+        z_a = z_all[:, :a]                                  # [B, A, zt]
+        z_nbr = z_all[:, a:]
+        z_a_flat = z_a.reshape(-1, z_a.shape[-1])
         # Spectral pair weights (step.py:385-399 contract):
         #   positives: clip(exp(-d/sigma), min_w, 1)
         #   negatives: clip(1 - exp(-d/sigma), min_w, 1)

@@ -220,10 +220,23 @@ class TestAnchorSampling:
     def test_supplement_respects_weights(self):
         w = jnp.zeros((32, 32)).at[10:12, 10:12].set(1.0)
         coords, valid = anchor_sampling.sample_anchors_supplement(
-            jax.random.key(0), w, 50)
-        c = np.asarray(coords)
-        assert np.all(valid)
+            jax.random.key(0), w, 3)
+        c = np.asarray(coords)[np.asarray(valid)]
+        assert np.asarray(valid).all()
         assert np.all((c >= 10) & (c < 12))
+
+    def test_supplement_without_replacement(self):
+        # Reference contract (anchor_sampling.py:166): multinomial with
+        # replacement=False -- only as many valid draws as positive-weight
+        # pixels, and no duplicates among them.
+        w = jnp.zeros((32, 32)).at[10:12, 10:12].set(1.0)
+        coords, valid = anchor_sampling.sample_anchors_supplement(
+            jax.random.key(0), w, 50)
+        v = np.asarray(valid)
+        assert v.sum() == 4
+        c = np.asarray(coords)[v]
+        assert np.all((c >= 10) & (c < 12))
+        assert len({(int(r), int(q)) for r, q in c}) == 4
 
     def test_zero_weights_invalid(self):
         w = jnp.zeros((16, 16))
