@@ -34,7 +34,14 @@ Round-2 additions port the remaining notebooks' estimators:
 - ``adjusted_r2`` / ``linear_probe_table`` / ``blockwise_l2_normalize`` /
   ``knn_eval`` / ``tune_phase_weight_and_k`` / ``error_by_strata`` /
   ``response_by_recovery_class`` (fia_embedding_evaluation.Rmd): probe
-  and kNN evaluation metrics with block scaling and per-stratum error.
+  and kNN evaluation metrics with block scaling and per-stratum error;
+- ``evt_centroid_segments`` / ``evt_cohesion``
+  (fia_evt_type_clustering.Rmd): EVT-centroid Ward typology with
+  rare-EVT nearest-centroid attachment, location-based plot assignment,
+  cohesion metrics, and the cannot-link (macro-pure) constrained variant
+  with embedding-only leakage.
+
+With these, all 7 analysis notebooks' estimators have Python ports.
 
 CLI: python -m forest_tpu.eval.fia --csv emb.csv --target BALIVE
         --analysis {hierarchical,hdbscan,removals,probe_table}
@@ -579,6 +586,121 @@ def response_by_recovery_class(y: np.ndarray, ysfc: np.ndarray,
     return out
 
 
+# ---------------------------------------------------------------------------
+# EVT-centroid typology (fia_evt_type_clustering.Rmd)
+# ---------------------------------------------------------------------------
+
+def evt_centroid_segments(z: np.ndarray, evt: np.ndarray, k: int,
+                          min_evt_n: int = 20,
+                          macro: Optional[Dict] = None) -> Dict:
+    """EVT-seeded z_type typology (fia_evt_type_clustering.Rmd):
+
+    1. per-EVT centroids in standardized z; EVTs with >= ``min_evt_n``
+       plots are the clustering atoms;
+    2. Ward on the big-EVT centroids, cut at ``k``; rare EVTs attach to
+       the nearest cluster centroid (same-macro nearest when ``macro``
+       constrains);
+    3. segment centroids recomputed from the plots seeded by the EVT
+       grouping; EVERY plot then assigned to its nearest segment centroid
+       by its own z location (an EVT may split across segments).
+
+    ``macro``: optional {evt_code: bool} macro-class map (the notebook's
+    Tree/non-Tree EVT_LF); when given, the Ward runs cannot-link (cross-
+    macro centroid distances inflated so those merges are deferred) and
+    rare EVTs attach within their macro only.
+
+    Returns {segments [n], evt_group {code: seg}, seg_macro {seg: bool},
+    cohesion, frac_single_segment, leakage}.
+    """
+    z = _standardize(z)
+    evt = np.asarray(evt)
+    codes, counts = np.unique(evt, return_counts=True)
+    cent = np.stack([z[evt == c].mean(0) for c in codes])
+    big = counts >= min_evt_n
+    if not big.any():
+        big = counts >= 1
+    cent_big = cent[big]
+    kk = min(k, len(cent_big))
+
+    if macro is not None:
+        is_tree = np.asarray([bool(macro.get(c, False)) for c in codes])
+        tb = is_tree[big]
+        from scipy.spatial.distance import pdist, squareform
+
+        d = squareform(pdist(cent_big))
+        d[tb[:, None] != tb[None, :]] = d.max() * 1000.0
+        from scipy.cluster.hierarchy import fcluster, linkage
+        from scipy.spatial.distance import squareform as sq
+
+        lab_big = fcluster(linkage(sq(d, checks=False), method="ward"),
+                           t=kk, criterion="maxclust") - 1
+    else:
+        is_tree = None
+        lab_big = ward_cluster(cent_big, kk)
+
+    seg_ids = np.unique(lab_big)
+    clcent = np.stack([cent_big[lab_big == s].mean(0) for s in seg_ids])
+    seg_macro = {}
+    if macro is not None:
+        tb = is_tree[big]
+        seg_macro = {int(s): bool(tb[lab_big == s].mean() >= 0.5)
+                     for s in seg_ids}
+
+    # EVT -> segment: big from the cut; rare to the nearest (same-macro)
+    # cluster centroid
+    evt_group: Dict = {}
+    big_codes = codes[big]
+    for j, c in enumerate(big_codes):
+        evt_group[c] = int(lab_big[j])
+    for j, c in enumerate(codes):
+        if c in evt_group:
+            continue
+        cand = np.arange(len(seg_ids))
+        if macro is not None:
+            want = bool(macro.get(c, False))
+            m = np.asarray([seg_macro[int(s)] == want for s in seg_ids])
+            if m.any():
+                cand = cand[m]
+        d2 = ((clcent[cand] - cent[j]) ** 2).sum(1)
+        evt_group[c] = int(seg_ids[cand[int(np.argmin(d2))]])
+
+    # segment centroids from the plots, then nearest-centroid assignment
+    grp0 = np.asarray([evt_group[c] for c in evt])
+    glev = np.unique(grp0)
+    gc = np.stack([z[grp0 == g].mean(0) for g in glev])
+    d2 = ((z[:, None, :] - gc[None]) ** 2).sum(-1)
+    segments = glev[np.argmin(d2, axis=1)]
+
+    cohesion, frac_single = evt_cohesion(evt, segments)
+    out = {"segments": segments, "evt_group": evt_group,
+           "seg_macro": seg_macro, "cohesion": cohesion,
+           "frac_single_segment": frac_single}
+    if macro is not None:
+        plot_macro = np.asarray([bool(macro.get(c, False)) for c in evt])
+        seg_m = np.asarray([seg_macro.get(int(s), False)
+                            for s in segments])
+        out["leakage"] = float((plot_macro != seg_m).mean())
+    return out
+
+
+def evt_cohesion(evt: np.ndarray, segments: np.ndarray
+                 ) -> Tuple[float, float]:
+    """(plot-weighted cohesion: plots in their EVT's modal segment;
+    fraction of EVTs entirely within one segment) -- the notebook's
+    'EVT cohesion under location-based assignment' metrics."""
+    evt = np.asarray(evt)
+    segments = np.asarray(segments)
+    codes = np.unique(evt)
+    modal = 0
+    single = 0
+    for c in codes:
+        seg_c = segments[evt == c]
+        _, counts = np.unique(seg_c, return_counts=True)
+        modal += counts.max()
+        single += int(len(counts) == 1)
+    return modal / len(evt), single / len(codes)
+
+
 def main(argv=None):
     """CLI over an embeddings CSV (embed_locations output schema:
     z_type_* / z_phase_* columns + a target column): run the requested
@@ -695,4 +817,5 @@ __all__ = ["post_stratified_estimate", "simple_random_estimate",
            "density_strata_report", "removals_stratification_report",
            "adjusted_r2", "linear_probe_table", "blockwise_l2_normalize",
            "knn_eval", "tune_phase_weight_and_k", "error_by_strata",
-           "response_by_recovery_class", "main"]
+           "response_by_recovery_class", "evt_centroid_segments",
+           "evt_cohesion", "main"]

@@ -325,3 +325,54 @@ class TestFiaCLI:
         import json
         out = json.loads(capsys.readouterr().out)
         assert out["table"]["emb_sup"]["pct_of_baseline"] < 50.0
+
+
+class TestEvtTypology:
+    """fia_evt_type_clustering.Rmd ports: EVT-centroid Ward segments,
+    cohesion metrics, cannot-link constrained typology."""
+
+    def _data(self, rng, n=600):
+        # 4 EVTs in 2 latent groups: 7001/7002 near each other, 7003/7004
+        # near each other; plus a rare EVT 7005 near group 2.
+        evt = rng.choice([7001, 7002, 7003, 7004], n)
+        base = {7001: 0.0, 7002: 0.6, 7003: 8.0, 7004: 8.6, 7005: 8.3}
+        z = np.asarray([base[e] for e in evt])[:, None] \
+            + rng.normal(0, 0.2, (n, 3))
+        evt = np.concatenate([evt, [7005] * 5])
+        z = np.concatenate([z, 8.3 + rng.normal(0, 0.2, (5, 3))])
+        return z.astype(np.float32), evt
+
+    def test_segments_and_rare_evt_attach(self, rng):
+        z, evt = self._data(rng)
+        res = fia.evt_centroid_segments(z, evt, k=2, min_evt_n=20)
+        # the two latent groups separate; the rare EVT joins group 2
+        assert res["evt_group"][7001] == res["evt_group"][7002]
+        assert res["evt_group"][7003] == res["evt_group"][7004]
+        assert res["evt_group"][7001] != res["evt_group"][7003]
+        assert res["evt_group"][7005] == res["evt_group"][7003]
+        assert res["cohesion"] > 0.95
+        assert 0.0 <= res["frac_single_segment"] <= 1.0
+        assert len(res["segments"]) == len(evt)
+
+    def test_cannot_link_macro_purity(self, rng):
+        z, evt = self._data(rng)
+        # adversarial macro: 7001/7003 are "Tree", 7002/7004 not -- the
+        # unconstrained Ward would merge within latent groups; cannot-link
+        # must keep macro-pure segments
+        macro = {7001: True, 7003: True, 7002: False, 7004: False,
+                 7005: False}
+        res = fia.evt_centroid_segments(z, evt, k=2, min_evt_n=20,
+                                        macro=macro)
+        for c, s in res["evt_group"].items():
+            assert res["seg_macro"][s] == macro[c], (c, s)
+        assert "leakage" in res
+        # leakage: embedding-only assignment crosses macros since the
+        # latent structure conflicts with the macro split
+        assert 0.0 <= res["leakage"] <= 1.0
+
+    def test_cohesion_metrics_analytic(self):
+        evt = np.array([1, 1, 1, 2, 2, 2])
+        seg = np.array([0, 0, 1, 1, 1, 1])
+        coh, single = fia.evt_cohesion(evt, seg)
+        assert coh == pytest.approx(5 / 6)
+        assert single == pytest.approx(0.5)
