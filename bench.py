@@ -28,10 +28,9 @@ WARMUP, ITERS = 3, 20
 # Wall-clock budget for the quantize section: the axon relay compiles
 # erratically (1-10 s or 5+ min for identical graphs, CLAUDE.md). The
 # Pallas headline kernel runs first; the XLA cross-check is skipped when
-# the budget is already spent so one bad compile can't push the scored
-# bench past the driver's patience.
+# the section budget is already spent so one bad compile can't push the
+# scored bench past the driver's patience.
 QUANTIZE_BUDGET_S = 150.0
-T_START = time.perf_counter()
 
 
 def log(*a):
@@ -61,11 +60,12 @@ def bench_tpu_quantize():
 
     results = {}
     skipped = []
+    t_section = time.perf_counter()
     for name, up in [("pallas", True), ("xla", False)]:
-        if results and time.perf_counter() - T_START > QUANTIZE_BUDGET_S:
+        if results and time.perf_counter() - t_section > QUANTIZE_BUDGET_S:
             log(f"[bench] skipping {name} cross-check: "
-                f"{time.perf_counter() - T_START:.0f}s elapsed "
-                f"> {QUANTIZE_BUDGET_S:.0f}s budget")
+                f"{time.perf_counter() - t_section:.0f}s in quantize "
+                f"section > {QUANTIZE_BUDGET_S:.0f}s budget")
             skipped.append(name)
             continue
         try:
@@ -301,28 +301,60 @@ def bench_frl_step(iters: int = 10):
     raise RuntimeError("frl bench produced no steady-step line")
 
 
+def probe_dispatch_latency():
+    """Median per-dispatch latency of a tiny chained op (relay health).
+
+    The axon relay sometimes enters a degraded state (long compiles AND
+    elevated per-dispatch latency); this probe makes that visible in the
+    scored extra so a slow pipeline number can be attributed to relay
+    state rather than the code.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.float32(0.0)
+    x = f(x)
+    jax.block_until_ready(x)
+    t0 = time.perf_counter()
+    n = 200
+    for _ in range(n):
+        x = f(x)
+    jax.block_until_ready(x)
+    us = (time.perf_counter() - t0) / n * 1e6
+    log(f"[bench] dispatch latency: {us:.0f} us/op (chained x{n})")
+    return round(us, 1)
+
+
 def main():
     import tempfile
 
     import jax
 
     log(f"[bench] backend: {jax.default_backend()} devices: {jax.devices()}")
+    extra = {}
+    # Pipeline FIRST: its numbers are relay-health-sensitive (the round-1
+    # driver run measured 83k samples/s in a process whose first compile
+    # took 230 s, vs 669k standalone), so measure it before the quantize
+    # section's potentially-long compiles can degrade the session.
+    extra["dispatch_latency_us"] = probe_dispatch_latency()
+    try:
+        with tempfile.TemporaryDirectory() as td:
+            extra.update(bench_pipeline(td))
+    except Exception as e:  # pipeline bench is best-effort
+        log(f"[bench] pipeline bench failed: {type(e).__name__}: {e}")
+
     best, per_kernel = bench_tpu_quantize()
     if best is None:
         # The driver contract is ONE JSON line no matter what.
         print(json.dumps({
             "metric": "vq_quantize_us_per_32x32_patch", "value": -1.0,
             "unit": "us", "vs_baseline": 0.0,
-            "extra": {"error": "both quantize kernels failed"}}))
+            "extra": {"error": "both quantize kernels failed", **extra}}))
         return
     name, tpu_us = best
     torch_us = bench_torch_cpu_quantize()
-    extra = {"kernel": name, **per_kernel}
-    try:
-        with tempfile.TemporaryDirectory() as td:
-            extra.update(bench_pipeline(td))
-    except Exception as e:  # pipeline bench is best-effort
-        log(f"[bench] pipeline bench failed: {type(e).__name__}: {e}")
+    extra = {"kernel": name, **per_kernel, **extra}
     try:
         ms, x_ref = bench_frl_step()
         extra.update(frl_step_ms=round(ms, 1), frl_vs_a40_ref=round(x_ref, 2))
