@@ -147,7 +147,12 @@ class BindingsConfig:
     losses: Dict[str, Dict] = field(default_factory=dict)
 
     def get_feature(self, name: str) -> FeatureConfig:
-        return self.features[name]
+        try:
+            return self.features[name]
+        except KeyError:
+            raise KeyError(
+                f"feature {name!r} not defined in bindings; available: "
+                f"{sorted(self.features)}") from None
 
     def groups_for_features(self, feature_names) -> set:
         """Dataset groups a set of features reads (channels + their masks).

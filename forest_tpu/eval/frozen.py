@@ -105,4 +105,20 @@ def make_phase_target_fn(fb: FeatureBuilder, target_feature: str):
     return targets
 
 
-__all__ = ["load_frozen_model", "make_encode_fns", "make_phase_target_fn"]
+def require_patches(ds, split, patch_size, split_block_size):
+    """Exit with a actionable message when a split enumerates zero patches.
+
+    On small cubes a coarse checkerboard block size can place every block in
+    one split (data/checkerboard.py), which otherwise surfaces as an opaque
+    IndexError deep in the streaming loop.
+    """
+    if len(ds) == 0:
+        raise SystemExit(
+            f"no patches in split {split!r} (patch_size={patch_size}, "
+            f"split_block_size={tuple(split_block_size)}): on small cubes "
+            "every checkerboard block may land in one split -- try a smaller "
+            "--split-block-size (e.g. 1 1) or --patch-size, or another split")
+
+
+__all__ = ["load_frozen_model", "make_encode_fns", "make_phase_target_fn",
+           "require_patches"]

@@ -607,6 +607,13 @@ def main(argv=None):
     keep = set(bindings.groups_for_features(
         [a.type_feature, phase_feature, a.ysfc_feature])) | {"static_mask"}
 
+    if len(ds) == 0:
+        raise SystemExit(
+            f"no patches in split {a.split!r} (patch_size={a.patch_size}, "
+            f"split_block_size={tuple(a.split_block_size)}): on small cubes "
+            "every checkerboard block may land in one split — try a smaller "
+            "--split-block-size (e.g. 1 1) or --patch-size, or another "
+            "--split")
     log(f"pass 1: collecting up to {a.max_pixels} pixels "
         f"from {len(ds)} patches")
     rs = ReservoirSampler(a.max_pixels, seed=a.seed)
@@ -617,6 +624,11 @@ def main(argv=None):
         rs.add(rows)
         n_seen += len(rows)
     buf = rs.sample()
+    if len(buf) == 0:
+        raise SystemExit(
+            "collected 0 valid forest pixels: every pixel in the streamed "
+            "patches is masked out (aoi/forest/dem masks) or NaN — check the "
+            "mask channels in the bindings, or raise --max-batches")
     zt_dim = model.z_type_dim
     z_type = buf[:, :zt_dim]
     summary = buf[:, zt_dim:zt_dim + 3 * zp_dim]

@@ -497,6 +497,8 @@ def main(argv=None):
         bindings, split=split, patch_size=a.patch_size,
         split_block_size=tuple(a.split_block_size))
         for split in ("train", "val")}
+    for split, d in ds.items():
+        frozen.require_patches(d, split, a.patch_size, a.split_block_size)
     w, pre = fit_phase_probe(
         enc_t, enc_phase_fn, ds["train"], design=a.design,
         interaction_pca_k=a.interaction_pca_k,

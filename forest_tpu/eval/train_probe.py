@@ -95,6 +95,16 @@ def make_probe_fns(encode_fn: Callable, fb, target_feature: str,
     def build(batch):
         z = encode_fn(batch)                       # [B, H, W, D]
         y, ym = fb.build_feature(target_feature, batch)  # [B, H, W, K]
+        if y.ndim == z.ndim + 1:
+            # Temporal target [B, T, H, W, K]: the probe is static (one row
+            # per pixel on z_type), so reduce to the masked mean over valid
+            # timesteps -- "predict the temporal mean of the metric". The
+            # reference's target_metrics feature is static-only.
+            cnt = jnp.sum(ym, axis=1)
+            y = jnp.where(cnt > 0,
+                          jnp.sum(jnp.where(ym, y, 0.0), axis=1)
+                          / jnp.maximum(cnt, 1), 0.0)
+            ym = cnt > 0
         valid = jnp.all(ym, axis=-1)
         for ref in mask_channels:
             g, c = ref.split(".")
@@ -369,6 +379,8 @@ def main(argv=None):
               split_block_size=tuple(a.split_block_size), min_aoi=0.3)
     ds_train = ForestDatasetV2(bindings, split="train", **mk)
     ds_val = ForestDatasetV2(bindings, split="val", **mk)
+    frozen.require_patches(ds_train, "train", a.patch_size, a.split_block_size)
+    frozen.require_patches(ds_val, "val", a.patch_size, a.split_block_size)
     model, params = frozen.load_frozen_model(a.checkpoint)
     enc_t, _, _ = frozen.make_encode_fns(model, params, fb)
 

@@ -399,6 +399,7 @@ def main(argv=None):
     fb = FeatureBuilder(bindings)
     ds = ForestDatasetV2(bindings, split=a.split, patch_size=a.patch_size,
                          split_block_size=tuple(a.split_block_size))
+    frozen.require_patches(ds, a.split, a.patch_size, a.split_block_size)
     model, params = frozen.load_frozen_model(a.checkpoint)
     enc_t, _, _ = frozen.make_encode_fns(model, params, fb)
 

@@ -738,3 +738,48 @@ class TestGmmCLI:
         npz = np.load(out)
         assert npz["labels"].shape == npz["evt"].shape
         assert npz["z_type"].shape[1] == 8
+
+
+class TestCliGuards:
+    """Actionable failures for misconfigured CLI runs (round-2 journey
+    hardening): empty checkerboard splits and missing bindings features
+    must not surface as IndexError/KeyError deep in streaming loops."""
+
+    def test_get_feature_missing_lists_available(self, frl_run):
+        root, cfg, result = frl_run
+        b = result["fb"].bindings
+        with pytest.raises(KeyError, match="available"):
+            b.get_feature("target_metrics")
+
+    def test_require_patches_empty_split(self):
+        from forest_tpu.eval import frozen
+        with pytest.raises(SystemExit, match="split_block_size"):
+            frozen.require_patches([], "train", 64, (4, 4))
+        frozen.require_patches([0], "train", 64, (4, 4))  # non-empty: ok
+
+    def test_landscape_cli_empty_split_message(self, frl_run, tmp_path):
+        from forest_tpu.eval import landscape_categories as lc
+        root, cfg, result = frl_run
+        ck = cfg.run.experiment_dir / cfg.run.ckpt_dir / \
+            "encoder_last.msgpack"
+        # 96x96 cube, patch 32, block (4,4) = 128px blocks -> one block,
+        # every patch lands in a single split; train must exit cleanly.
+        with pytest.raises(SystemExit, match="checkerboard"):
+            lc.main(["--checkpoint", str(ck),
+                     "--bindings", str(root / "bindings.yaml"),
+                     "--output-dir", str(tmp_path / "lc"),
+                     "--patch-size", "32", "--split-block-size", "4", "4"])
+
+    def test_train_probe_temporal_target_mean(self, frl_run):
+        """Temporal [B,T,H,W,K] targets reduce to the valid-timestep mean."""
+        from forest_tpu.eval import frozen, train_probe as tp
+        root, cfg, result = frl_run
+        enc_t, _, _ = frozen.make_encode_fns(
+            result["model"], result["state"].params, result["fb"])
+        res = tp.train_probe_pipeline(
+            enc_t, result["fb"], result["ds_train"], result["ds_val"],
+            "ysfc", epochs=2, lr=0.05, batch_size=2, max_batches=2,
+            echo=lambda *a: None)
+        assert res["names"] == ["annual.ysfc"]
+        assert res["final_val"].n_samples > 0
+        assert np.isfinite(res["history"][-1]["train_mse"])
