@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from forest_tpu.ops.topk import gumbel_weighted_topk
+
 Array = jax.Array
 
 
@@ -104,18 +106,9 @@ def sample_anchors_supplement(key: Array, weights: Array, n: int
     invalid.
     """
     h, w = weights.shape
-    flat = weights.reshape(-1)
-    neg = jnp.float32(-jnp.inf)
-    gumbel = -jnp.log(-jnp.log(
-        jnp.maximum(jax.random.uniform(key, flat.shape), 1e-20)))
-    scores = jnp.where(flat > 0, jnp.log(jnp.maximum(flat, 1e-20)) + gumbel,
-                       neg)
-    if flat.size > 4096:
-        vals, idx = jax.lax.approx_max_k(scores, n, recall_target=0.95)
-    else:
-        vals, idx = jax.lax.top_k(scores, n)
+    idx, valid = gumbel_weighted_topk(key, weights, n)
     coords = jnp.stack([idx // w, idx % w], axis=1).astype(jnp.int32)
-    return coords, jnp.isfinite(vals)
+    return coords, valid
 
 
 def sample_anchors_grid_plus_supplement(

@@ -282,7 +282,7 @@ class DerivedStatsComputer:
                 "source": spec["source"],
             }
             reservoirs[spec["name"]] = res
-        if self.covariance and len(self.specs) > 1:
+        if self.covariance and len(self.specs) > 1 and patches:
             # Covariance pairs values positionally after ravel, which is
             # only meaningful when every channel has the same shape per
             # patch (e.g. all [H,W] deriveds). Group specs by derived

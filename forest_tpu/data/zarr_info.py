@@ -142,7 +142,12 @@ def _iter_sample_chunks(a: zl.ZarrArray, sample_chunks: Optional[int],
         coords = [coords[i] for i in
                   rng.choice(len(coords), sample_chunks, replace=False)]
     for c in coords:
-        yield a.read_chunk(c)
+        # read_chunk returns edge chunks at FULL chunk shape with
+        # fill-value padding past the array bounds; trim to the in-bounds
+        # extent so padding never enters the streamed stats.
+        trim = tuple(slice(0, min(cs, s - ci * cs))
+                     for ci, cs, s in zip(c, a.chunks, a.shape))
+        yield a.read_chunk(c)[trim]
 
 
 def naip_band_stats(root: zl.ZarrGroup,

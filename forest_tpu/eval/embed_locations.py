@@ -66,11 +66,11 @@ def embed_locations(locations: np.ndarray, dataset, fb,
     """
     p = patch_size or dataset.patch_size
     t_count = None
-    year_axis = getattr(dataset, "years", None)
-    t_lo = getattr(dataset, "_t_lo", 0)
-    t_hi = getattr(dataset, "_t_hi", None)
-    if year_axis is not None and t_hi is not None:
-        year_axis = list(np.asarray(year_axis)[t_lo:t_hi])
+    # The patch T axis is the CONFIG time window: frl_dataset NaN-pads each
+    # loaded year to temporal_window.year_to_index(year), so per-point years
+    # must map through the window, not through the loaded-years positions
+    # (cube years may be non-contiguous or start after the window).
+    t_window = getattr(dataset, "temporal_window", None)
     rows_out: List[Dict] = []
     # group points by containing patch to read each patch once
     by_patch: Dict[tuple, List[int]] = {}
@@ -123,13 +123,15 @@ def embed_locations(locations: np.ndarray, dataset, fb,
         for n, i in enumerate(idxs):
             r, c = coords_local[n]
             # point year -> timestep index (reference maps MEASYEAR into
-            # the cube's year axis; default = final timestep)
+            # the config time window; default = final timestep). Years
+            # outside the window keep the default; in-window years missing
+            # from the cube land on their NaN-padded slot.
             ti = t_count - 1
             if years is not None and years[i] is not None \
-                    and year_axis is not None:
+                    and t_window is not None:
                 yr = int(years[i])
-                if yr in year_axis:
-                    ti = year_axis.index(yr)
+                if t_window.start_year <= yr <= t_window.end_year:
+                    ti = min(t_window.year_to_index(yr), t_count - 1)
             split = checkerboard.split_code(
                 pr * p, pc * p, p, dataset.split_block_size)
             row: Dict = {

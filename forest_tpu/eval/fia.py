@@ -482,16 +482,19 @@ def linear_probe_table(blocks: Dict[str, np.ndarray], y: np.ndarray,
 def blockwise_l2_normalize(blocks: Dict[str, np.ndarray],
                            weights: Optional[Dict[str, float]] = None
                            ) -> np.ndarray:
-    """Concatenate feature blocks, each scaled to unit mean L2 norm (the
-    notebook's block-wise population normalization before kNN, section 2),
-    optionally re-weighted per block (the type-vs-phase scale knob,
-    section 3)."""
+    """Concatenate feature blocks after the notebook's pop_l2_normalize
+    (fia_embedding_evaluation.Rmd:292-301): divide by the mean train L2
+    norm, then row-normalize -- which reduces to per-ROW unit-L2 per block
+    (the scalar population factor cancels under row normalization), so the
+    result is split-independent and train/val/test stay in one consistent
+    scaling. Per-block ``weights`` apply AFTER normalization (the
+    type-vs-phase scale knob, Rmd:433-434)."""
     cols = []
     for name, x in blocks.items():
         x = np.atleast_2d(np.asarray(x, np.float64))
-        norm = float(np.sqrt((x ** 2).sum(1)).mean())
+        norm = np.sqrt((x ** 2).sum(1, keepdims=True))
         w = (weights or {}).get(name, 1.0)
-        cols.append(x * (w / max(norm, 1e-12)))
+        cols.append(x * (w / np.maximum(norm, 1e-12)))
     return np.concatenate(cols, axis=1)
 
 
@@ -738,6 +741,25 @@ def main(argv=None):
         recs = list(_csv.DictReader(f))
     if not recs:
         raise SystemExit("empty CSV")
+    # Drop rows embed_locations marked invalid (points outside the cube
+    # write only index/valid; DictWriter pads every other column with '').
+    def usable(r):
+        if r.get("valid", "1").strip() in ("0", ""):
+            return False
+        if r.get(a.target, "").strip() == "":
+            return False
+        return all(v.strip() != "" for k, v in r.items()
+                   if k.startswith(("z_type_", "z_phase_")))
+    n_all = len(recs)
+    recs = [r for r in recs if usable(r)]
+    if not recs:
+        raise SystemExit(
+            f"no usable rows in {a.csv}: all {n_all} rows are invalid "
+            f"(valid=0) or missing {a.target!r}/embedding values")
+    if len(recs) < n_all:
+        import sys
+        print(f"[fia] skipped {n_all - len(recs)}/{n_all} rows with "
+              "valid=0 or blank embedding/target cells", file=sys.stderr)
 
     def cols(prefix):
         names = sorted((k for k in recs[0] if k.startswith(prefix)),

@@ -607,13 +607,7 @@ def main(argv=None):
     keep = set(bindings.groups_for_features(
         [a.type_feature, phase_feature, a.ysfc_feature])) | {"static_mask"}
 
-    if len(ds) == 0:
-        raise SystemExit(
-            f"no patches in split {a.split!r} (patch_size={a.patch_size}, "
-            f"split_block_size={tuple(a.split_block_size)}): on small cubes "
-            "every checkerboard block may land in one split — try a smaller "
-            "--split-block-size (e.g. 1 1) or --patch-size, or another "
-            "--split")
+    frozen.require_patches(ds, a.split, a.patch_size, a.split_block_size)
     log(f"pass 1: collecting up to {a.max_pixels} pixels "
         f"from {len(ds)} patches")
     rs = ReservoirSampler(a.max_pixels, seed=a.seed)

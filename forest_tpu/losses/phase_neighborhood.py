@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from forest_tpu.losses.soft_neighborhood import soft_neighborhood_matching_loss
+from forest_tpu.ops.topk import topk_maybe_approx
 
 Array = jax.Array
 
@@ -437,17 +438,11 @@ def type_local_spectral_demean(z_type: Array, spec: Array, valid: Array,
     sim = jnp.where(jnp.eye(n, dtype=bool), neg, sim)
     sim = jnp.where(valid[None, :], sim, neg)  # never pick invalid neighbors
     kk = min(knn_k, n - 1)
-    if n > 1024:
-        # Full-width lax.top_k over N~3600 profiled ~4.5 ms/step at
-        # production scale; the TPU PartialReduce-based approx_max_k is an
-        # order of magnitude cheaper and a >=95%-recall neighbor set is
-        # indistinguishable for a demeaning baseline (the reference's own
-        # ranking is RNG-seeded noise in rank-deficient regimes anyway --
-        # see the divergence note above). Small N (oracle tests, debug
-        # runs) keeps the exact path.
-        _, idx = jax.lax.approx_max_k(sim, kk, recall_target=0.95)
-    else:
-        _, idx = jax.lax.top_k(sim, kk)                      # [N, kk]
+    # A >=95%-recall neighbor set is indistinguishable for a demeaning
+    # baseline (the reference's own ranking is RNG-seeded noise in
+    # rank-deficient regimes anyway -- see the divergence note above);
+    # exact_below=1024 keeps oracle tests / debug runs on the exact path.
+    _, idx = topk_maybe_approx(sim, kk, exact_below=1024)    # [N, kk]
     s_mean = jnp.mean(spec, axis=1)                          # [N, C]
     nb_v = valid[idx].astype(jnp.float32)                    # [N, kk]
     denom = jnp.maximum(jnp.sum(nb_v, axis=1, keepdims=True), 1.0)

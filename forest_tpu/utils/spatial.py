@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from forest_tpu.ops.topk import gumbel_weighted_topk
+
 Array = jax.Array
 
 
@@ -95,17 +97,12 @@ def spatial_negative_pairs(anchor_coords: Array, mask: Array,
     n = anchor_coords.shape[0]
     h, w = mask.shape
     k_pool, k_pick = jax.random.split(key)
-    flat_valid = mask.reshape(-1) > 0
-    gumbel = -jnp.log(-jnp.log(jnp.maximum(
-        jax.random.uniform(k_pool, (h * w,)), 1e-20)))
-    scores = jnp.where(flat_valid, gumbel, -jnp.inf)
     p = min(pool_size, h * w)
-    if h * w > 4096:
-        vals, idx = jax.lax.approx_max_k(scores, p, recall_target=0.95)
-    else:
-        vals, idx = jax.lax.top_k(scores, p)
+    # uniform over valid pixels: weight 1.0 per valid pixel (log 1 = 0,
+    # so the Gumbel scores are bit-identical to the unweighted form)
+    idx, pool_ok = gumbel_weighted_topk(
+        k_pool, (mask.reshape(-1) > 0).astype(jnp.float32), p)
     pool = jnp.stack([idx // w, idx % w], 1).astype(jnp.int32)  # [P, 2]
-    pool_ok = jnp.isfinite(vals)                                # [P]
 
     d = jnp.sqrt(jnp.sum(
         (pool[None, :, :].astype(jnp.float32)

@@ -170,6 +170,19 @@ class TestZarrInfoDepth:
         # NaN-aware: synthetic naip has injected NaNs but stats are finite
         assert all(np.isfinite(s["std"]) for s in stats)
 
+    def test_edge_chunks_trimmed(self, tmp_path):
+        """zarrlite.read_chunk returns edge chunks fill-padded to full
+        chunk shape; the streamed stats must trim to the array bounds so
+        padding never counts as data (regression: fill 0 dragged
+        continuous means and spawned phantom categorical counts)."""
+        root = zl.create_group(tmp_path / "t.zarr")
+        a = root.create_array("v", (10, 3), (4, 2), np.float32,
+                              fill_value=0.0)
+        a[:] = np.full((10, 3), 5.0, np.float32)
+        chunks = list(zarr_info._iter_sample_chunks(a, None))
+        assert sum(c.size for c in chunks) == 10 * 3
+        assert all((c == 5.0).all() for c in chunks)
+
     def test_cat_counts_and_exports(self, legacy_cube, tmp_path):
         root = zl.open_zarr(legacy_cube)
         counts = zarr_info.categorical_counts(root, sample_chunks=None)

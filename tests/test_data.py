@@ -285,6 +285,32 @@ class TestDerivedStatsPipeline:
         z = n.forward(np.asarray([back["sob"]["mean"]]))
         assert abs(float(z[0])) < 1e-6  # mean maps to ~0 under zscore
 
+    def test_empty_dataset_no_crash(self, tmp_path):
+        """Zero-patch datasets (e.g. a split whose checkerboard blocks all
+        landed elsewhere) must yield placeholder stats, not IndexError in
+        the covariance shape probe (regression)."""
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        from forest_tpu.data.bindings import parse_bindings
+        from forest_tpu.data.cube_v2 import (build_synthetic_v2_cube,
+                                             synthetic_bindings)
+        from forest_tpu.data.frl_dataset import ForestDatasetV2
+        from forest_tpu.data.stats import DerivedStatsComputer
+
+        cube = f"{tmp_path}/cube.zarr"
+        build_synthetic_v2_cube(cube, height=64, width=64, chunk_yx=32)
+        b = parse_bindings(synthetic_bindings(cube, "/dev/null"))
+        ds = ForestDatasetV2(b, split=None, patch_size=32, min_aoi=1.1)
+        assert len(ds) == 0
+        src = next(iter(b.dataset))
+        ch = b.dataset[src].channels[0].name
+        specs = [{"name": "d1", "source": f"{src}.{ch}", "kind": "delta"},
+                 {"name": "sob", "source": f"{src}.{ch}", "kind": "sobel"}]
+        out = DerivedStatsComputer(b, ds, specs, seed=0).compute(
+            n_patches=4)
+        assert out["d1"]["n_seen"] == 0
+        assert "__covariance__" not in out
+
 
 class TestMultiHostIngestion:
     """SURVEY §6.8 per-host chunk assignment: N sampler shards must

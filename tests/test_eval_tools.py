@@ -228,6 +228,45 @@ class TestFrozenAndProbes:
         y0, y1 = float(got[0]["ysfc"]), float(got[1]["ysfc"])
         assert y0 != y1 or y0 == 30.0  # 30 = never-disturbed plateau
 
+    def test_embed_locations_offset_year_axis(self, tmp_path):
+        """Cube years start AFTER the bindings window: per-point years must
+        map through temporal_window.year_to_index (the patch T axis is the
+        CONFIG window, NaN-padded), not positions in the loaded-years list
+        (regression: year_axis.index() read the wrong timestep whenever
+        the first cube year > window start)."""
+        import jax.numpy as jnp
+        import yaml
+        from forest_tpu.data import zarrlite as zl
+        from forest_tpu.data.bindings import parse_bindings
+        from forest_tpu.data.cube_v2 import (build_synthetic_v2_cube,
+                                             synthetic_bindings)
+        from forest_tpu.data.feature_builder import FeatureBuilder
+        from forest_tpu.data.frl_dataset import ForestDatasetV2
+        from forest_tpu.eval import embed_locations as el
+
+        cube = tmp_path / "cube.zarr"
+        build_synthetic_v2_cube(cube, height=64, width=64, chunk_yx=32,
+                                years=tuple(range(2012, 2025)))
+        b = parse_bindings(synthetic_bindings(
+            cube, tmp_path / "st.json", start=2010, end=2024))
+        fb = FeatureBuilder(b)
+        ds = ForestDatasetV2(b, split=None, patch_size=32,
+                             split_block_size=(1, 1), min_aoi=0.0)
+        enc = lambda batch: jnp.zeros((1, 32, 32, 2))  # noqa: E731
+        w0 = ds.patches[0]
+        r, c = w0.row_start + 3, w0.col_start + 20
+        rows = el.embed_locations(np.asarray([[r, c]] * 3), ds, fb, enc,
+                                  years=[2012, 2010, None])
+        # 2012 = first CUBE year -> window index 2 -> finite, matching the
+        # raw cube value (the buggy position-mapping hit the 2010 NaN slot)
+        raw = np.asarray(zl.open_zarr(cube)["annual/lcms/data/ysfc"]
+                         [0:1, r:r + 1, c:c + 1]).ravel()[0]
+        assert rows[0]["ysfc"] == pytest.approx(float(raw))
+        # 2010 is inside the window but missing from the cube -> NaN slot
+        assert not np.isfinite(rows[1]["ysfc"])
+        # no year -> final timestep (2024, present in the cube)
+        assert np.isfinite(rows[2]["ysfc"])
+
     def test_embed_locations_cli(self, frl_run, capsys, tmp_path):
         from forest_tpu.eval import embed_locations as el
         root, cfg, result = frl_run

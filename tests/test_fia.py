@@ -260,7 +260,13 @@ class TestEmbeddingEvaluation:
         res = fia.tune_phase_weight_and_k(zt_tr, zp_tr, y_tr, zt_va, zp_va,
                                           y_va, weight_grid=(0.0, 1.0, 4.0),
                                           k_grid=(5, 10))
-        assert res["best"]["phase_weight"] == 4.0
+        # up-weighting the (only informative) phase block must win over
+        # dropping it; the exact winning weight depends on the row-L2
+        # scaling so assert the property, not the grid point
+        assert res["best"]["phase_weight"] > 0
+        w0_best = min(e["rmse"] for e in res["sweep"]
+                      if e["phase_weight"] == 0.0)
+        assert res["best"]["rmse"] < 0.75 * w0_best
         assert len(res["sweep"]) == 6
 
     def test_error_by_strata_and_recovery_classes(self, rng):
@@ -316,6 +322,33 @@ class TestFiaCLI:
         out = json.loads(capsys.readouterr().out)
         assert out["table"]["z_type"]["adj_r2"] > 0.9
         assert "z_type+z_phase" in out["table"]
+
+    def test_skips_invalid_embed_rows(self, rng, tmp_path, capsys):
+        """embed_locations writes valid=0 rows for out-of-cube points with
+        every other column padded to '' (DictWriter restval); fia.main must
+        skip them instead of crashing on float('')."""
+        import csv
+        csv_p = tmp_path / "emb.csv"
+        self._write_csv(csv_p, rng, n=100)
+        rows = list(csv.reader(open(csv_p)))
+        rows[0] = ["index", "valid"] + rows[0]
+        for i, r in enumerate(rows[1:]):
+            r[:0] = [str(i), "1"]
+        rows.append(["100", "0"] + [""] * (len(rows[0]) - 2))
+        with open(csv_p, "w", newline="") as f:
+            csv.writer(f).writerows(rows)
+        fia.main(["--csv", str(csv_p), "--target", "BALIVE",
+                  "--analysis", "probe_table"])
+        import json
+        out = json.loads(capsys.readouterr().out)
+        assert out["n_plots"] == 100  # the padded row was dropped
+
+    def test_all_rows_invalid_exits(self, tmp_path):
+        csv_p = tmp_path / "emb.csv"
+        csv_p.write_text("index,valid,z_type_0,BALIVE\n0,0,,\n1,0,,\n")
+        with pytest.raises(SystemExit, match="no usable rows"):
+            fia.main(["--csv", str(csv_p), "--target", "BALIVE",
+                      "--analysis", "probe_table"])
 
     def test_removals_cli(self, rng, tmp_path, capsys):
         csv_p = tmp_path / "emb.csv"

@@ -254,6 +254,25 @@ class TestAnchorSampling:
         assert w[9, 9] > w[0, 0]
         np.testing.assert_allclose(w.sum(), 2.0, atol=1e-5)
 
+    def test_gumbel_topk_large_axis_approx_path(self):
+        # >4096 elements dispatches to approx_max_k (recall 0.95); draws
+        # must stay inside the positive-weight set and stay duplicate-free
+        from forest_tpu.ops.topk import gumbel_weighted_topk
+        w = jnp.zeros(8192).at[100:164].set(1.0)
+        idx, valid = gumbel_weighted_topk(jax.random.key(0), w, 32)
+        i = np.asarray(idx)[np.asarray(valid)]
+        assert len(i) >= 16  # approx recall may drop a few, never most
+        assert np.all((i >= 100) & (i < 164))
+        assert len(set(i.tolist())) == len(i)
+
+    def test_topk_maybe_approx_exact_below_threshold(self):
+        from forest_tpu.ops.topk import topk_maybe_approx
+        x = jnp.asarray(np.random.default_rng(0).normal(
+            size=(7, 100)).astype(np.float32))
+        _, i = topk_maybe_approx(x, 5)
+        _, i2 = jax.lax.top_k(x, 5)
+        assert np.array_equal(np.asarray(i), np.asarray(i2))
+
     def test_sampler_from_config(self, env):
         _, b, _, _, _ = env
         samp = anchor_sampling.build_anchor_sampler(
