@@ -68,7 +68,10 @@ class Conv2DEncoder(nn.Module):
             is_last = (i == n - 1) and self.out_channels is None
             x = nn.Conv(c, (k, k), padding="SAME", use_bias=False,
                         name=f"conv_{i}")(x)
-            x = nn.GroupNorm(num_groups=fit_groups(g, c),
+            # epsilon matches torch GroupNorm (1e-5; flax defaults 1e-6) so
+            # activations track the reference bit-closely and imported
+            # checkpoints (utils/torch_import.py) reproduce reference outputs.
+            x = nn.GroupNorm(num_groups=fit_groups(g, c), epsilon=1e-5,
                              name=f"norm_{i}")(x)
             if not is_last and self.activation == "relu":
                 x = nn.relu(x)

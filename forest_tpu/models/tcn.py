@@ -51,9 +51,11 @@ class GatedResidualBlock(nn.Module):
                     kernel_dilation=(self.dilation,),
                     padding=[(pad, pad)], name="conv")(h)
         from forest_tpu.models.conv2d_encoder import fit_groups
+        # epsilon=1e-5 matches torch GroupNorm (reference parity; see
+        # utils/torch_import.py).
         h = nn.GroupNorm(num_groups=fit_groups(self.num_groups,
                                                self.out_channels),
-                         name="norm")(h)
+                         epsilon=1e-5, name="norm")(h)
         gate = jax.nn.sigmoid(nn.Conv(self.out_channels, (1,),
                                       name="gate")(h))
         h = nn.relu(h)
