@@ -65,7 +65,10 @@ class Conv2DEncoder(nn.Module):
             x = jnp.where(keep, x / jnp.maximum(1.0 - rate, 1e-6), 0.0)
 
         for i, (c, k, d, g) in enumerate(zip(self.channels, ks, dr, ng)):
-            is_last = (i == n - 1) and self.out_channels is None
+            # Reference contract (conv2d_encoder.py:104-125): the FINAL
+            # stage gets no activation and no dropout even when a trailing
+            # projection follows, so its output is unconstrained.
+            is_last = i == n - 1
             x = nn.Conv(c, (k, k), padding="SAME", use_bias=False,
                         name=f"conv_{i}")(x)
             # epsilon matches torch GroupNorm (1e-5; flax defaults 1e-6) so
@@ -75,13 +78,15 @@ class Conv2DEncoder(nn.Module):
                              name=f"norm_{i}")(x)
             if not is_last and self.activation == "relu":
                 x = nn.relu(x)
-            if d > 0.0:
+            if d > 0.0 and not is_last:
                 x = nn.Dropout(d, broadcast_dims=(1, 2),
                                deterministic=deterministic,
                                name=f"drop_{i}")(x)
-        if self.out_channels is not None:
-            x = nn.Conv(self.out_channels, (1, 1), use_bias=False,
-                        name="conv_out")(x)
+        # Trailing 1x1 projection only when it changes width, with a bias
+        # (reference conv2d_encoder.py:130-138: Conv2d default bias).
+        if self.out_channels is not None \
+                and self.out_channels != self.channels[-1]:
+            x = nn.Conv(self.out_channels, (1, 1), name="conv_out")(x)
         return x
 
 

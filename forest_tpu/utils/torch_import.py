@@ -39,14 +39,18 @@ Known divergences (surfaced in the import report):
   projection disabled, frl_repr_model_v1.yaml:76-79). The BatchNorm eval
   affine is folded exactly into fc1 and the LayerNorm stays at identity
   init, so imported projections are approximate.
-- Conv2DEncoder ``out_channels`` final projection: the reference Conv2d
-  carries a bias that the flax ``conv_out`` (use_bias=False) cannot hold;
-  strict imports reject such checkpoints (the production model never sets
-  out_channels).
 
-Run: python -m forest_tpu.utils.torch_import --checkpoint encoder_last.pt \
-        --model-config model.yaml --type-in-channels C --phase-in-channels P \
-        --output encoder_imported.msgpack
+The reference checkpoint stores ``model_config`` (its own YAML schema with
+a top-level ``latents`` section), ``type_in_channels`` and
+``phase_in_channels`` alongside the state_dict
+(/root/reference/frl/training/train_representation.py:602-611), so the CLI
+needs no extra arguments for a standard checkpoint;
+:func:`translate_reference_model_config` maps the reference schema onto
+forest-tpu's (PARITY.md renamed keys: ``latents.*`` -> ``model.*``,
+``dropout`` -> ``dropout_rate``).
+
+Run: python -m forest_tpu.utils.torch_import \
+        --checkpoint encoder_last.pt --output encoder_imported.msgpack
 """
 from __future__ import annotations
 
@@ -101,6 +105,15 @@ def _f32(x) -> np.ndarray:
     return np.asarray(x, np.float32)
 
 
+def _req(sd: Mapping[str, np.ndarray], key: str, context: str) -> np.ndarray:
+    """Fetch a sibling tensor with a descriptive error when absent."""
+    if key not in sd:
+        raise ValueError(
+            f"checkpoint is missing {key!r} (expected alongside {context}; "
+            "incomplete or non-reference state_dict?)")
+    return sd[key]
+
+
 def _group(sd: Mapping[str, np.ndarray], prefix: str) -> Dict[int, Dict]:
     """Collect ``{prefix}{j}.{leaf}`` entries into {j: {leaf: tensor}}."""
     out: Dict[int, Dict] = {}
@@ -112,14 +125,14 @@ def _group(sd: Mapping[str, np.ndarray], prefix: str) -> Dict[int, Dict]:
     return out
 
 
-def _convert_encoder(sd, params, rep: ImportReport, strict: bool) -> None:
+def _convert_encoder(sd, params, rep: ImportReport) -> None:
     """``encoder.layers.*`` -> encoder/{conv_i, norm_i, conv_out}.
 
     Slot indices in the reference Sequential depend on which parameterless
     layers (ReLU/Dropout2d) were appended, so stages are recovered by
     CLASSIFYING parameterized entries in slot order: biasless 4-D weight =
     stage conv, 1-D weight+bias = GroupNorm, 4-D weight WITH bias = the
-    optional trailing projection (Conv2d default bias=True)."""
+    optional trailing projection (Conv2d default bias=True -> conv_out)."""
     enc: Dict[str, Any] = {}
     conv_i = norm_i = 0
     slots = _group(sd, "encoder.layers.")
@@ -132,19 +145,16 @@ def _convert_encoder(sd, params, rep: ImportReport, strict: bool) -> None:
             conv_i += 1
             rep.mapped.append(f"{key}.weight")
         elif w.ndim == 1:
-            enc[f"norm_{norm_i}"] = {"scale": _f32(w),
-                                     "bias": _f32(entry["bias"])}
+            enc[f"norm_{norm_i}"] = {
+                "scale": _f32(w),
+                "bias": _f32(_req(sd, f"{key}.bias", f"{key}.weight"))}
             norm_i += 1
             rep.mapped += [f"{key}.weight", f"{key}.bias"]
         elif w.ndim == 4:
-            msg = (f"{key}: trailing encoder projection carries a bias "
-                   "the flax conv_out (use_bias=False) cannot hold")
-            if strict:
-                raise ValueError(msg)
-            rep.warnings.append(msg + " -- bias dropped")
-            enc["conv_out"] = {"kernel": _conv2d(_f32(w))}
-            rep.mapped.append(f"{key}.weight")
-            rep.unmapped.append(f"{key}.bias")
+            enc["conv_out"] = {
+                "kernel": _conv2d(_f32(w)),
+                "bias": _f32(_req(sd, f"{key}.bias", f"{key}.weight"))}
+            rep.mapped += [f"{key}.weight", f"{key}.bias"]
         else:
             rep.unmapped.append(f"{key}.weight")
     if enc:
@@ -162,7 +172,8 @@ def _convert_spatial(sd, params, rep: ImportReport) -> None:
         idx[1::2] = np.arange(c) + c
         sp["mix_backbone"] = {
             "kernel": _conv2d(w[:, idx]),
-            "bias": _f32(sd["spatial_conv.mix_backbone.0.bias"]),
+            "bias": _f32(_req(sd, "spatial_conv.mix_backbone.0.bias",
+                              "mix_backbone.0.weight")),
         }
         rep.mapped += ["spatial_conv.mix_backbone.0.weight",
                        "spatial_conv.mix_backbone.0.bias"]
@@ -171,14 +182,17 @@ def _convert_spatial(sd, params, rep: ImportReport) -> None:
         w = sd.get(f"spatial_conv.{tname}.weight")
         if w is not None:
             sp[fname] = {"kernel": _conv2d(_f32(w)),
-                         "bias": _f32(sd[f"spatial_conv.{tname}.bias"])}
+                         "bias": _f32(_req(sd, f"spatial_conv.{tname}.bias",
+                                           f"{tname}.weight"))}
             rep.mapped += [f"spatial_conv.{tname}.weight",
                            f"spatial_conv.{tname}.bias"]
     for slot, fname in ((0, "gate_0"), (2, "gate_1")):
         w = sd.get(f"spatial_conv.gate_net.{slot}.weight")
         if w is not None:
             sp[fname] = {"kernel": _conv2d(_f32(w)),
-                         "bias": _f32(sd[f"spatial_conv.gate_net.{slot}.bias"])}
+                         "bias": _f32(_req(
+                             sd, f"spatial_conv.gate_net.{slot}.bias",
+                             f"gate_net.{slot}.weight"))}
             rep.mapped += [f"spatial_conv.gate_net.{slot}.weight",
                            f"spatial_conv.gate_net.{slot}.bias"]
     for buf in _BUFFER_NAMES:
@@ -215,7 +229,7 @@ def _convert_heads(sd, params, rep: ImportReport) -> None:
     if "phase_head.weight" in sd:
         params["phase_head"] = {
             "kernel": _dense_from_1x1(_f32(sd["phase_head.weight"])),
-            "bias": _f32(sd["phase_head.bias"]),
+            "bias": _f32(_req(sd, "phase_head.bias", "phase_head.weight")),
         }
         rep.mapped += ["phase_head.weight", "phase_head.bias"]
 
@@ -227,7 +241,8 @@ def _convert_heads(sd, params, rep: ImportReport) -> None:
                 continue
             film[f"{stem}_{suffix}"] = {
                 "kernel": _dense_from_1x1(_f32(w)),
-                "bias": _f32(sd[f"phase_film.{net}.{slot}.bias"]),
+                "bias": _f32(_req(sd, f"phase_film.{net}.{slot}.bias",
+                                  f"{net}.{slot}.weight")),
             }
             rep.mapped += [f"phase_film.{net}.{slot}.weight",
                            f"phase_film.{net}.{slot}.bias"]
@@ -235,18 +250,18 @@ def _convert_heads(sd, params, rep: ImportReport) -> None:
         params["phase_film"] = film
 
     if "type_projection.net.0.weight" in sd:
+        def pr(k):
+            return _f32(_req(sd, f"type_projection.net.{k}",
+                             "type_projection.net.0.weight"))
         w0 = _f32(sd["type_projection.net.0.weight"])   # [hid, in]
-        b0 = _f32(sd["type_projection.net.0.bias"])
-        bn_w = _f32(sd["type_projection.net.1.weight"])
-        bn_b = _f32(sd["type_projection.net.1.bias"])
-        bn_m = _f32(sd["type_projection.net.1.running_mean"])
-        bn_v = _f32(sd["type_projection.net.1.running_var"])
-        scale = bn_w / np.sqrt(bn_v + _BN_EPS)
+        b0 = pr("0.bias")
+        scale = pr("1.weight") / np.sqrt(pr("1.running_var") + _BN_EPS)
         params["type_projection"] = {
             "fc1": {"kernel": _dense(w0 * scale[:, None]),
-                    "bias": (b0 - bn_m) * scale + bn_b},
-            "fc2": {"kernel": _dense(_f32(sd["type_projection.net.3.weight"])),
-                    "bias": _f32(sd["type_projection.net.3.bias"])},
+                    "bias": (b0 - pr("1.running_mean")) * scale
+                    + pr("1.bias")},
+            "fc2": {"kernel": _dense(pr("3.weight")),
+                    "bias": pr("3.bias")},
         }
         rep.mapped += [f"type_projection.net.{s}.{leaf}"
                        for s, leaf in ((0, "weight"), (0, "bias"),
@@ -275,7 +290,7 @@ def convert_state_dict(sd: Mapping[str, Any], *, strict: bool = True
     sd = {k: np.asarray(v) for k, v in sd.items()}
     params: Dict[str, Any] = {}
     rep = ImportReport()
-    _convert_encoder(sd, params, rep, strict)
+    _convert_encoder(sd, params, rep)
     _convert_spatial(sd, params, rep)
     _convert_tcn(sd, params, rep)
     _convert_heads(sd, params, rep)
@@ -329,9 +344,19 @@ def import_reference_checkpoint(sd: Mapping[str, Any], model_cfg: Dict,
 
     extra = sorted(set(got) - set(want))
     if extra:
-        raise ValueError(
-            f"converted tensors have no home in the target model: {extra} "
-            "(model_cfg mismatch with the checkpoint?)")
+        msg = (f"converted tensors have no home in the target model: {extra}"
+               " (model_cfg mismatch with the checkpoint?)")
+        if strict:
+            raise ValueError(msg)
+        rep.warnings.append(msg + " -- dropped")
+        for p in extra:
+            rep.unmapped.append(p)
+            node = converted
+            *parents, leaf = p.split("/")
+            for k in parents:
+                node = node[k]
+            del node[leaf]
+        got = _tree_paths(converted)
     for p in sorted(set(want) - set(got)):
         if _DEFAULT_OK.match(p):
             rep.defaulted.append(p)
@@ -359,6 +384,46 @@ def import_reference_checkpoint(sd: Mapping[str, Any], model_cfg: Dict,
     return fill(template, converted), rep
 
 
+def translate_reference_model_config(cfg: Dict) -> Dict:
+    """Reference model-YAML schema -> forest-tpu's version-4 schema.
+
+    The reference nests latent dims under ``latents`` and uses ``dropout``
+    where forest-tpu uses ``model.z_*_dim`` / ``dropout_rate``
+    (frl_repr_model_v1.yaml:13-78; PARITY.md §2.6 renamed keys). Configs
+    already in the forest-tpu shape pass through unchanged.
+    """
+    if "latents" not in cfg:
+        return cfg
+    lat = cfg["latents"]
+    te = dict(cfg.get("type_encoder", {}))
+    sc = dict(cfg.get("spatial_conv", {}))
+    pt = dict(cfg.get("phase_tcn", {}))
+    proj = dict(cfg.get("type_projection", {}))
+
+    def section(src, keys, renames=()):
+        out = {k: src[k] for k in keys if k in src}
+        for old, new in renames:
+            if old in src:
+                out[new] = src[old]
+        return out
+
+    return {"version": str(cfg.get("version", "4")), "model": {
+        "z_type_dim": lat["z_type_dim"],
+        "z_phase_dim": lat["z_phase_dim"],
+        "type_encoder": section(
+            te, ("channels", "kernel_size", "num_groups"),
+            (("dropout", "dropout_rate"),)),
+        "spatial_conv": section(
+            sc, ("gate_hidden", "gate_kernel_size", "num_directions",
+                 "coarse_dilation", "rank")),
+        "phase_tcn": section(
+            pt, ("channels", "kernel_size", "dilations", "num_groups"),
+            (("dropout", "dropout_rate"),)),
+        "type_projection": section(
+            proj, ("enabled", "hidden_dim", "output_dim", "l2_normalize")),
+    }}
+
+
 def main(argv=None):
     import argparse
     import sys
@@ -369,10 +434,14 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--checkpoint", required=True,
                     help=".pt file saved by the reference trainer")
-    ap.add_argument("--model-config", required=True,
-                    help="forest-tpu model YAML (version 4 schema)")
-    ap.add_argument("--type-in-channels", type=int, required=True)
-    ap.add_argument("--phase-in-channels", type=int, required=True)
+    ap.add_argument("--model-config", default=None,
+                    help="model YAML (forest-tpu v4 or reference schema); "
+                         "defaults to the model_config stored in the "
+                         "checkpoint")
+    ap.add_argument("--type-in-channels", type=int, default=None,
+                    help="defaults to the checkpoint's stored value")
+    ap.add_argument("--phase-in-channels", type=int, default=None,
+                    help="defaults to the checkpoint's stored value")
     ap.add_argument("--output", required=True,
                     help="msgpack output (loadable by eval.frozen."
                          "load_frozen_model; a .json meta sidecar is "
@@ -381,23 +450,51 @@ def main(argv=None):
                     help="warn instead of failing on unmappable tensors")
     a = ap.parse_args(argv)
 
+    # Pure host-side tool: never compile through a TPU backend just to
+    # obtain parameter shapes (the session env pins JAX_PLATFORMS=axon).
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
     import torch
 
     from forest_tpu.training.checkpointing import save_state
 
     raw = torch.load(a.checkpoint, map_location="cpu", weights_only=True)
-    sd = raw.get("model_state_dict", raw)
-    sd = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
-          for k, v in sd.items()}
-    model_cfg = yaml.safe_load(Path(a.model_config).read_text())
+    sd = raw.get("model_state_dict", raw) if isinstance(raw, dict) else raw
+
+    def to_np(v):
+        if hasattr(v, "float"):            # torch tensor (incl. bf16/f16)
+            return v.detach().float().numpy()
+        return np.asarray(v)
+
+    sd = {k: to_np(v) for k, v in sd.items()}
+
+    if a.model_config is not None:
+        model_cfg = yaml.safe_load(Path(a.model_config).read_text())
+    elif isinstance(raw, dict) and "model_config" in raw:
+        model_cfg = raw["model_config"]
+    else:
+        raise SystemExit("--model-config required: the checkpoint carries "
+                         "no model_config entry")
+    model_cfg = translate_reference_model_config(model_cfg)
+
+    def channels(flag_val, key):
+        if flag_val is not None:
+            return flag_val
+        if isinstance(raw, dict) and key in raw:
+            return int(raw[key])
+        raise SystemExit(f"--{key.replace('_', '-')} required: the "
+                         f"checkpoint carries no {key} entry")
+
+    tin = channels(a.type_in_channels, "type_in_channels")
+    pin = channels(a.phase_in_channels, "phase_in_channels")
 
     params, rep = import_reference_checkpoint(
-        sd, model_cfg, a.type_in_channels, a.phase_in_channels,
-        strict=not a.no_strict)
+        sd, model_cfg, tin, pin, strict=not a.no_strict)
     out = Path(a.output)
     meta = {"model_config": model_cfg,
-            "type_in_channels": a.type_in_channels,
-            "phase_in_channels": a.phase_in_channels,
+            "type_in_channels": tin,
+            "phase_in_channels": pin,
             "imported_from": str(a.checkpoint),
             "import_report": {
                 "mapped": len(rep.mapped), "skipped": rep.skipped,
@@ -414,4 +511,4 @@ if __name__ == "__main__":
 
 
 __all__ = ["convert_state_dict", "import_reference_checkpoint",
-           "ImportReport", "main"]
+           "translate_reference_model_config", "ImportReport", "main"]

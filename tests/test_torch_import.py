@@ -67,18 +67,41 @@ class TestConv2DEncoderParity:
                                    np.transpose(want, (0, 2, 3, 1)),
                                    rtol=1e-4, atol=1e-5)
 
-    def test_out_channels_bias_rejected_strict(self):
+    def test_trailing_projection_parity(self):
+        """Reference semantics with out_channels: the last STAGE still
+        skips ReLU, and the biased 1x1 projection maps to conv_out."""
+        from forest_tpu.models.conv2d_encoder import Conv2DEncoder
+        cin, channels, cout = 3, [4], 2
+        enc = self._torch_encoder(cin, channels, ks=1, groups=2)
+        enc.eval()
+        torch.manual_seed(9)
+        proj = tnn.Conv2d(4, cout, 1)  # reference projection: bias=True
+        sd = {f"encoder.layers.{k}": _np(v)
+              for k, v in enc.state_dict().items()}
+        sd["encoder.layers.2.weight"] = _np(proj.weight)
+        sd["encoder.layers.2.bias"] = _np(proj.bias)
+        params, _ = ti.convert_state_dict(sd)
+        assert set(params["encoder"]["conv_out"]) == {"kernel", "bias"}
+
+        x = np.random.default_rng(9).normal(
+            size=(2, 4, 4, cin)).astype(np.float32)
+        model = Conv2DEncoder(channels=(4,), kernel_size=1, num_groups=2,
+                              out_channels=cout)
+        got = model.apply({"params": params["encoder"]}, jnp.asarray(x))
+        with torch.no_grad():
+            want = proj(enc(torch.from_numpy(
+                np.transpose(x, (0, 3, 1, 2))))).numpy()
+        np.testing.assert_allclose(np.asarray(got),
+                                   np.transpose(want, (0, 2, 3, 1)),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_missing_sibling_bias_is_descriptive(self):
         enc = self._torch_encoder(3, [4], ks=1, groups=2)
         sd = {f"encoder.layers.{k}": _np(v)
               for k, v in enc.state_dict().items()}
-        proj = tnn.Conv2d(4, 2, 1)  # reference trailing projection: bias=True
-        sd["encoder.layers.3.weight"] = _np(proj.weight)
-        sd["encoder.layers.3.bias"] = _np(proj.bias)
-        with pytest.raises(ValueError, match="conv_out"):
-            ti.convert_state_dict(sd, strict=True)
-        params, rep = ti.convert_state_dict(sd, strict=False)
-        assert "conv_out" in params["encoder"]
-        assert any("bias dropped" in w for w in rep.warnings)
+        del sd["encoder.layers.1.bias"]
+        with pytest.raises(ValueError, match="missing"):
+            ti.convert_state_dict(sd)
 
 
 class TestTcnBlockParity:
@@ -315,6 +338,70 @@ class TestFullModelImport:
         sd["mystery.weight"] = np.zeros(3, np.float32)
         with pytest.raises(ValueError, match="unmapped"):
             ti.convert_state_dict(sd, strict=True)
+
+    def test_translate_reference_model_config(self):
+        ref = {"version": "4", "name": "frl_repr_model_v1",
+               "latents": {"z_type_dim": 8, "z_phase_dim": 3},
+               "type_encoder": {"channels": [16, 8], "kernel_size": 3,
+                                "padding": 1, "dropout": [0.0, 0.0],
+                                "num_groups": 4,
+                                "input_dropout": {"schedule": "linear"}},
+               "spatial_conv": {"num_layers": 2, "kernel_size": 3,
+                                "gate_hidden": 6, "rank": 2},
+               "phase_tcn": {"channels": [12, 12], "kernel_size": 3,
+                             "dilations": [1, 2], "dropout": 0.1,
+                             "num_groups": 8},
+               "type_projection": {"enabled": True, "hidden_dim": 10,
+                                   "output_dim": 6, "l2_normalize": True}}
+        got = ti.translate_reference_model_config(ref)
+        m = got["model"]
+        assert m["z_type_dim"] == 8 and m["z_phase_dim"] == 3
+        assert m["type_encoder"]["channels"] == [16, 8]
+        assert m["type_encoder"]["dropout_rate"] == [0.0, 0.0]
+        assert m["spatial_conv"] == {"gate_hidden": 6, "rank": 2}
+        assert m["phase_tcn"]["dropout_rate"] == 0.1
+        assert m["type_projection"]["enabled"]
+        # already-translated configs pass through
+        assert ti.translate_reference_model_config(MODEL_CFG) is MODEL_CFG
+        # and the translated config builds the same model as MODEL_CFG
+        from forest_tpu.models import representation as rmod
+        a = rmod.from_config(got, 5, 4)
+        b = rmod.from_config(MODEL_CFG, 5, 4)
+        assert (a.z_type_dim, a.type_encoder_channels,
+                a.phase_tcn_dilations, a.type_proj_hidden_dim) == \
+               (b.z_type_dim, b.type_encoder_channels,
+                b.phase_tcn_dilations, b.type_proj_hidden_dim)
+
+    def test_cli_defaults_from_checkpoint(self, tmp_path, capsys):
+        """No --model-config / --*-in-channels flags: everything comes
+        from the checkpoint's stored reference-schema entries."""
+        rng = np.random.default_rng(4)
+        tin, pin = 5, 4
+        sd = make_ref_state_dict(rng, MODEL_CFG, tin, pin)
+        ref_cfg = {"version": "4",
+                   "latents": {"z_type_dim": 8, "z_phase_dim": 3},
+                   "type_encoder": {"channels": [16, 8], "kernel_size": 3,
+                                    "num_groups": 4},
+                   "spatial_conv": {"gate_hidden": 6, "rank": 2},
+                   "phase_tcn": {"channels": [12, 12], "dilations": [1, 2]},
+                   "type_projection": {"enabled": True, "hidden_dim": 10,
+                                       "output_dim": 6}}
+        ckpt = tmp_path / "encoder_last.pt"
+        torch.save({"model_state_dict":
+                    {k: torch.from_numpy(np.atleast_1d(v).copy())
+                     if v.ndim else torch.tensor(v)
+                     for k, v in sd.items()},
+                    "model_config": ref_cfg,
+                    "type_in_channels": tin,
+                    "phase_in_channels": pin}, ckpt)
+        out = tmp_path / "imported.msgpack"
+        ti.main(["--checkpoint", str(ckpt), "--output", str(out)])
+        assert out.exists()
+        import json
+        meta = json.loads(
+            out.with_suffix(out.suffix + ".json").read_text())
+        assert meta["type_in_channels"] == tin
+        assert meta["model_config"]["model"]["z_type_dim"] == 8
 
     def test_cli_roundtrip(self, tmp_path, capsys):
         import yaml
