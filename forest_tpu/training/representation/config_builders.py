@@ -20,6 +20,11 @@ def build_step_config(bindings: BindingsConfig,
                       training_cfg: Dict[str, Any]) -> StepConfig:
     kw: Dict[str, Any] = {}
     losses = bindings.losses or {}
+    # Accept both this repo's model_input keys and the reference YAML's
+    # (model.type_encoder_feature / model.phase_encoder_feature) so
+    # reference training configs port without edits.
+    mi = (training_cfg.get("model_input")
+          or training_cfg.get("model") or {})
 
     sp = losses.get("infonce_type_spatial", {})
     kw.update(
@@ -35,7 +40,10 @@ def build_step_config(bindings: BindingsConfig,
     )
     ph = losses.get("phase_neighborhood", {})
     kw.update(
-        phase_feature=ph.get("feature", "phase_ccdc"),
+        phase_feature=ph.get("feature",
+                             mi.get("phase_feature",
+                                    mi.get("phase_encoder_feature",
+                                           "phase_ccdc"))),
         ysfc_source=ph.get("ysfc_source", "annual.ysfc"),
         phase_k=ph.get("k", 16),
         phase_min_overlap=ph.get("min_overlap", 3),
@@ -75,8 +83,8 @@ def build_step_config(bindings: BindingsConfig,
     kw.update({k: v for k, v in step_cfg.items() if k in valid_fields})
     kw.setdefault(
         "type_feature",
-        training_cfg.get("model_input", {}).get("type_feature",
-                                                "type_encoder_input"))
+        mi.get("type_feature",
+               mi.get("type_encoder_feature", "type_encoder_input")))
     # Drop unknown keys and None values (None would clobber dataclass
     # defaults) -- except neg_max_distance, where None means "no limit".
     cleaned = {k: v for k, v in kw.items()

@@ -101,3 +101,28 @@ class TestTransforms:
     def test_unknown_raises(self):
         with pytest.raises(KeyError):
             transforms.get_transform("bogus")
+
+
+class TestConfigBuilderAliases:
+    def test_reference_model_input_key_names(self):
+        """Reference training YAMLs use model.type_encoder_feature /
+        model.phase_encoder_feature (frl_training_v1.yaml); the builder
+        accepts them alongside this repo's model_input.type_feature."""
+        from forest_tpu.data.bindings import BindingsConfig
+        from forest_tpu.training.representation import config_builders as cb
+        b = BindingsConfig()
+        cfg = cb.build_step_config(
+            b, {"model": {"type_encoder_feature": "my_type_feat",
+                          "phase_encoder_feature": "my_phase_feat"}})
+        assert cfg.type_feature == "my_type_feat"
+        assert cfg.phase_feature == "my_phase_feat"
+        # repo-native names win when both present
+        cfg2 = cb.build_step_config(
+            b, {"model_input": {"type_feature": "native"}})
+        assert cfg2.type_feature == "native"
+        # bindings losses feature still overrides the model alias
+        b2 = BindingsConfig(losses={"phase_neighborhood":
+                                    {"feature": "from_losses"}})
+        cfg3 = cb.build_step_config(
+            b2, {"model": {"phase_encoder_feature": "my_phase_feat"}})
+        assert cfg3.phase_feature == "from_losses"
