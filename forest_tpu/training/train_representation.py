@@ -35,7 +35,8 @@ from forest_tpu.data.frl_dataset import ForestDatasetV2
 from forest_tpu.data.stats import StatsCalculator
 from forest_tpu.data.windows import SpatialWindow
 from forest_tpu.models import representation as rep
-from forest_tpu.training.checkpointing import CheckpointManager
+from forest_tpu.training.checkpointing import (CheckpointManager,
+                                               load_state_raw)
 from forest_tpu.training.representation import (config_builders as cb,
                                                 curriculum as cur_mod,
                                                 epoch_logging, loops,
@@ -166,14 +167,15 @@ def setup(cfg: TrainingConfiguration,
                 ds_train=ds_train, ds_val=ds_val, weights=weights,
                 curricula=curricula, step_cfg=step_cfg,
                 lr_sched=lr_sched, steps_per_epoch=steps_per_epoch,
-                model_cfg=model_cfg or {})
+                optimizer=optimizer, model_cfg=model_cfg or {})
 
 
 def train(cfg: TrainingConfiguration,
           bindings_path: Optional[str] = None,
           model_cfg: Optional[Dict[str, Any]] = None,
           max_batches: Optional[int] = None,
-          resume: bool = True) -> Dict[str, Any]:
+          resume: bool = True,
+          init_from: Optional[str] = None) -> Dict[str, Any]:
     exp_dir = cfg.run.experiment_dir
     exp_dir.mkdir(parents=True, exist_ok=True)
     (exp_dir / "provenance.json").write_text(json.dumps(
@@ -203,12 +205,38 @@ def train(cfg: TrainingConfiguration,
         mode=cfg.run.checkpoint.mode)
 
     start_epoch = 0
+    resumed_run = False
     if resume:
         resumed = ckpt.maybe_resume(state)
         if resumed is not None:
             state, meta = resumed
             start_epoch = int(meta.get("epoch", -1)) + 1
+            resumed_run = True
             log.info("auto-resumed from epoch %d", start_epoch - 1)
+    if init_from:
+        # Warm-start a NEW run from a params-only checkpoint (e.g. one
+        # imported from a reference .pt via utils/torch_import): params are
+        # replaced, the optimizer/schedule start fresh. An auto-resumed run
+        # keeps its own state -- resuming continues, init_from seeds.
+        if resumed_run:
+            log.warning("--init-from %s ignored: run auto-resumed from its "
+                        "own checkpoint (use --no-resume or a fresh "
+                        "experiment dir to warm-start)", init_from)
+        else:
+            raw, _ = load_state_raw(Path(init_from))
+            if "params" not in raw:
+                raise ValueError(f"{init_from} has no 'params' entry")
+            loaded = jax.tree.map(jnp.asarray, raw["params"])
+            want = jax.tree.map(lambda p: tuple(p.shape), state.params)
+            got = jax.tree.map(lambda p: tuple(np.shape(p)), loaded)
+            if want != got:
+                raise ValueError(
+                    f"--init-from {init_from} does not match the configured "
+                    f"model: expected leaf shapes {want} but checkpoint has "
+                    f"{got}")
+            state = ts.init_train_state(loaded, ctx["optimizer"])
+            log.info("warm-started params from %s (fresh optimizer state)",
+                     init_from)
 
     cur = ctx["curricula"]
     base_weights = ctx["weights"]
@@ -311,6 +339,10 @@ def main(argv=None):
     ap.add_argument("--phase-start-epoch", dest="phase_start_epoch",
                     type=int, default=None)
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--init-from", dest="init_from", default=None,
+                    help="params-only msgpack to warm-start a fresh run "
+                         "(e.g. a reference .pt imported via "
+                         "forest_tpu.utils.torch_import)")
     ap.add_argument("--overwrite", action="store_true")
     ap.add_argument("--profile", action="store_true")
     a = ap.parse_args(argv)
@@ -333,7 +365,7 @@ def main(argv=None):
     if mc_path:
         model_cfg = yaml.safe_load(Path(mc_path).read_text())
     train(cfg, a.bindings, model_cfg, a.max_batches,
-          resume=not a.no_resume)
+          resume=not a.no_resume, init_from=a.init_from)
 
 
 if __name__ == "__main__":

@@ -403,6 +403,81 @@ class TestFullModelImport:
         assert meta["type_in_channels"] == tin
         assert meta["model_config"]["model"]["z_type_dim"] == 8
 
+    def test_import_then_finetune_e2e(self, tmp_path):
+        """Full migration path: synthesize a reference checkpoint, import
+        it, and warm-start the real training loop from it (--init-from).
+        With a ~zero lr the params must come through the epoch (nearly)
+        untouched, proving the imported weights actually seed the run
+        (fresh-init params would differ by O(0.1))."""
+        import yaml
+        from forest_tpu.data.cube_v2 import (build_synthetic_v2_cube,
+                                             synthetic_bindings)
+        from forest_tpu.training import train_representation as tr
+        from forest_tpu.training.checkpointing import save_state
+        from forest_tpu.training.representation.training_config import (
+            parse_training_config)
+
+        cfg_model = {"version": "4", "model": {
+            "z_type_dim": 8, "z_phase_dim": 3,
+            "type_encoder": {"channels": [16, 8], "kernel_size": 3,
+                             "num_groups": 4},
+            "spatial_conv": {"gate_hidden": 6, "rank": 2},
+            "phase_tcn": {"channels": [12, 12], "dilations": [1, 2]}}}
+        tin, pin = 4, 3  # synthetic bindings feature channel counts
+        rng = np.random.default_rng(7)
+        sd = make_ref_state_dict(rng, cfg_model, tin, pin)
+        params, _ = ti.import_reference_checkpoint(sd, cfg_model, tin, pin)
+        imported = tmp_path / "imported.msgpack"
+        save_state(imported, {"params": params}, {})
+
+        root = tmp_path
+        build_synthetic_v2_cube(root / "cube.zarr", height=96, width=96,
+                                chunk_yx=32)
+        bpath = root / "bindings.yaml"
+        bpath.write_text(yaml.safe_dump(synthetic_bindings(
+            root / "cube.zarr", root / "stats.json")))
+        cfg = parse_training_config({
+            "run": {"experiment_name": "mig",
+                    "run_root": str(root / "runs")},
+            "training": {"epoch": {"num_epochs": 1, "mode": "full",
+                                   "batch_size": 4}},
+            "optimizer": {"lr": 1e-12},
+            "scheduler": {"warmup_epochs": 0, "phase_rewarmup": False},
+            "spatial_domain": {"patch_size": 32,
+                               "split_block_size": [1, 1]},
+            "hardware": {"num_workers": 2},
+        })
+        result = tr.train(cfg, str(bpath), cfg_model, max_batches=2,
+                          init_from=str(imported))
+        got = result["state"].params
+        np.testing.assert_allclose(
+            np.asarray(got["phase_head"]["kernel"]),
+            params["phase_head"]["kernel"], rtol=0, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(got["encoder"]["conv_0"]["kernel"]),
+            params["encoder"]["conv_0"]["kernel"], rtol=0, atol=1e-6)
+
+        # mismatched shapes are rejected with a clear error
+        bad = dict(params)
+        bad["phase_head"] = {"kernel": np.zeros((99, 3), np.float32),
+                             "bias": np.zeros(3, np.float32)}
+        bad_p = tmp_path / "bad.msgpack"
+        save_state(bad_p, {"params": bad}, {})
+        cfg2 = parse_training_config({
+            "run": {"experiment_name": "mig2",
+                    "run_root": str(root / "runs")},
+            "training": {"epoch": {"num_epochs": 1, "mode": "full",
+                                   "batch_size": 4}},
+            "optimizer": {"lr": 1e-12},
+            "scheduler": {"warmup_epochs": 0, "phase_rewarmup": False},
+            "spatial_domain": {"patch_size": 32,
+                               "split_block_size": [1, 1]},
+            "hardware": {"num_workers": 2},
+        })
+        with pytest.raises(ValueError, match="init-from"):
+            tr.train(cfg2, str(bpath), cfg_model, max_batches=1,
+                     init_from=str(bad_p))
+
     def test_cli_roundtrip(self, tmp_path, capsys):
         import yaml
         from forest_tpu.eval import frozen
