@@ -1,0 +1,169 @@
+"""Minimal GeoTIFF reader/writer for aligned-grid ingestion (no GDAL).
+
+The raster-helper role of ``/root/reference/utils/rasterio.py:27-397``
+(windowed open, grid-alignment checks, per-year band stacks feeding the
+cube builder) scoped to what this image supports: pixel decode is PIL
+(baked in), and the GeoTIFF georeferencing tags are parsed from the TIFF
+directory directly -- ModelPixelScale (33550) + ModelTiepoint (33922), or
+ModelTransformation (34264), plus GDAL_NODATA (42113). Reprojection is
+OUT of scope (no pyproj/GDAL in the image): every source must already sit
+on the target grid, matching the reference's aligned-COG fast path; the
+builder rejects misaligned sources instead of silently resampling.
+
+The affine convention matches the cube's ``geo_transform`` attr consumed
+by ``eval/embed_locations.py``: ``[x0, dx, y0, dy]`` with
+``x = x0 + col * dx`` and ``y = y0 + row * dy`` (dy is negative for
+north-up rasters).
+"""
+from __future__ import annotations
+
+import glob as _glob
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+_MODEL_PIXEL_SCALE = 33550
+_MODEL_TIEPOINT = 33922
+_MODEL_TRANSFORMATION = 34264
+_GDAL_NODATA = 42113
+
+
+@dataclass
+class Raster:
+    """One decoded raster: ``data`` [H, W] (single band) or [H, W, C]."""
+    data: np.ndarray
+    transform: Optional[Tuple[float, float, float, float]]  # x0, dx, y0, dy
+    nodata: Optional[float]
+
+    @property
+    def shape(self):
+        return self.data.shape
+
+    def masked(self) -> np.ndarray:
+        """float32 copy with nodata -> NaN (the builder's fill contract)."""
+        x = np.asarray(self.data, np.float32)
+        if self.nodata is not None:
+            x = np.where(x == np.float32(self.nodata), np.nan, x)
+        return x
+
+
+def _parse_transform(tags) -> Optional[Tuple[float, float, float, float]]:
+    if _MODEL_TRANSFORMATION in tags:
+        m = [float(v) for v in tags[_MODEL_TRANSFORMATION]]
+        # 4x4 row-major: x = m[3] + col*m[0] + row*m[1]; y = m[7] + ...
+        if m[1] != 0.0 or m[4] != 0.0:
+            raise ValueError("rotated ModelTransformation rasters are not "
+                             "supported (no resampling backend)")
+        return (m[3], m[0], m[7], m[5])
+    if _MODEL_PIXEL_SCALE in tags and _MODEL_TIEPOINT in tags:
+        sx, sy = [float(v) for v in tags[_MODEL_PIXEL_SCALE][:2]]
+        tp = [float(v) for v in tags[_MODEL_TIEPOINT][:6]]
+        i, j, _, x, y, _ = tp
+        # tiepoint maps pixel (i, j) -> map (x, y); GeoTIFF y decreases
+        return (x - i * sx, sx, y + j * sy, -sy)
+    return None
+
+
+def read_geotiff(path: str | Path,
+                 window: Optional[Tuple[int, int, int, int]] = None
+                 ) -> Raster:
+    """Read a GeoTIFF -> :class:`Raster`.
+
+    ``window``: optional (row_start, col_start, height, width) crop; the
+    returned transform is shifted so the window's pixel (0, 0) keeps its
+    true map coordinates (the reference's windowed-read contract).
+    """
+    from PIL import Image
+
+    with Image.open(path) as im:
+        tags = dict(im.tag_v2) if hasattr(im, "tag_v2") else {}
+        data = np.array(im)
+    transform = _parse_transform(tags)
+    nodata = None
+    if _GDAL_NODATA in tags:
+        try:
+            nodata = float(str(tags[_GDAL_NODATA]).strip("\x00 "))
+        except ValueError:
+            pass
+    if window is not None:
+        r0, c0, h, w = window
+        if r0 < 0 or c0 < 0 or r0 + h > data.shape[0] \
+                or c0 + w > data.shape[1]:
+            raise ValueError(f"window {window} outside raster "
+                             f"{data.shape[:2]}")
+        data = data[r0:r0 + h, c0:c0 + w]
+        if transform is not None:
+            x0, dx, y0, dy = transform
+            transform = (x0 + c0 * dx, dx, y0 + r0 * dy, dy)
+    return Raster(data=data, transform=transform, nodata=nodata)
+
+
+def write_geotiff(path: str | Path, data: np.ndarray,
+                  transform: Optional[Sequence[float]] = None,
+                  nodata: Optional[float] = None) -> None:
+    """Write [H, W] (float32/uint8/uint16/int32) or [H, W, 3] uint8."""
+    from PIL import Image, TiffImagePlugin
+
+    data = np.asarray(data)
+    if data.dtype == np.float64:
+        data = data.astype(np.float32)
+    im = Image.fromarray(data, mode="F" if data.dtype.kind == "f"
+                         and data.ndim == 2 else None)
+    ifd = TiffImagePlugin.ImageFileDirectory_v2()
+    if transform is not None:
+        x0, dx, y0, dy = [float(v) for v in transform]
+        if dy >= 0:
+            raise ValueError("north-up GeoTIFF requires dy < 0")
+        ifd[_MODEL_PIXEL_SCALE] = (dx, -dy, 0.0)
+        ifd.tagtype[_MODEL_PIXEL_SCALE] = TiffImagePlugin.TiffTags.DOUBLE
+        ifd[_MODEL_TIEPOINT] = (0.0, 0.0, 0.0, x0, y0, 0.0)
+        ifd.tagtype[_MODEL_TIEPOINT] = TiffImagePlugin.TiffTags.DOUBLE
+    if nodata is not None:
+        ifd[_GDAL_NODATA] = repr(float(nodata)) if nodata % 1 \
+            else str(int(nodata))
+        ifd.tagtype[_GDAL_NODATA] = TiffImagePlugin.TiffTags.ASCII
+    im.save(path, tiffinfo=ifd)
+
+
+def assert_aligned(a: Raster, b: Raster, *, atol: float = 1e-6,
+                   names: Tuple[str, str] = ("a", "b")) -> None:
+    """Reject sources that don't share one grid (reference alignment
+    check, utils/rasterio.py -- there is no resampling backend here)."""
+    if a.data.shape[:2] != b.data.shape[:2]:
+        raise ValueError(f"{names[0]} {a.data.shape[:2]} and {names[1]} "
+                         f"{b.data.shape[:2]} differ in pixel grid size")
+    if a.transform is not None and b.transform is not None:
+        if not np.allclose(a.transform, b.transform, atol=atol):
+            raise ValueError(
+                f"{names[0]} transform {a.transform} != {names[1]} "
+                f"transform {b.transform}: sources must be pre-aligned "
+                "(no reprojection backend in this image)")
+
+
+def read_year_stack(pattern: str | Path, base: str | Path = ".",
+                    expect_t: Optional[int] = None) -> Tuple[np.ndarray,
+                                                             Raster]:
+    """Glob per-year GeoTIFFs (sorted) -> ([T, H, W] float32 with nodata
+    as NaN, first Raster for the grid). The reference builds annual stacks
+    from per-year COG exports the same way."""
+    paths = sorted(_glob.glob(str(Path(base) / str(pattern))))
+    if not paths:
+        raise FileNotFoundError(f"no rasters match {pattern!r} under "
+                                f"{base}")
+    first = read_geotiff(paths[0])
+    layers = [first.masked()]
+    for p in paths[1:]:
+        r = read_geotiff(p)
+        assert_aligned(first, r, names=(paths[0], p))
+        layers.append(r.masked())
+    stack = np.stack(layers, axis=0)
+    if expect_t is not None and stack.shape[0] != expect_t:
+        raise ValueError(f"{pattern!r}: {stack.shape[0]} rasters found, "
+                         f"expected {expect_t}")
+    return stack, first
+
+
+__all__ = ["Raster", "read_geotiff", "write_geotiff", "assert_aligned",
+           "read_year_stack"]

@@ -7,11 +7,21 @@ band, writes the hierarchical ``annual/<group>/<kind>/<band>`` /
 ``static/<group>/<kind>/<band>`` layout, computes per-variable statistics
 embedded in zarr attrs plus JSON/CSV sidecars, and supports ``--append``.
 
-Source formats: the reference ingests COG rasters via rioxarray; this image
-has no rasterio/GDAL, so sources are ``.npy`` files or ``.npz`` members
-(``file.npz:key``) laid out [H, W] (static) or [T, H, W] (annual), or the
-literal ``zeros``/``ones`` for mask scaffolding. GEE export provenance
-(SURVEY.md §2.1) stays upstream of this builder in both codebases.
+Source formats: the reference ingests COG rasters via rioxarray; here a
+band source is one of
+
+- ``.npy`` file / ``.npz`` member (``file.npz:key``), [H, W] or [T, H, W];
+- a single ``.tif``/``.tiff`` GeoTIFF (static bands), decoded by
+  ``data/raster.py`` -- its GDAL_NODATA becomes NaN on float bands, and
+  the first GeoTIFF's geo-transform is stamped into the cube's
+  ``geo_transform`` attr (consumed by eval/embed_locations --map-coords);
+- a glob of per-year GeoTIFFs (``ndvi_*.tif``, sorted) stacked to
+  [T, H, W] for annual bands.
+
+All GeoTIFF sources must share one grid (``raster.assert_aligned``; there
+is no reprojection backend in this image -- the reference's aligned-COG
+fast path). GEE export provenance (SURVEY.md §2.1) stays upstream of this
+builder in both codebases.
 
 Spec YAML:
   output: cube.zarr
@@ -42,14 +52,33 @@ from forest_tpu.data import zarrlite as zl
 from forest_tpu.data.io import write_json, write_tsv
 
 
-def _load_source(source: str, base: Path) -> np.ndarray:
+def _load_source_ex(source: str, base: Path):
+    """-> (array, Raster-or-None): the Raster carries grid metadata when
+    the source is GeoTIFF so build_cube can check alignment and stamp the
+    cube's geo_transform attr."""
     if source == "zeros":
         raise ValueError("'zeros'/'ones' need explicit shape via spatial")
+    low = source.lower()
+    if low.endswith((".tif", ".tiff")):
+        from forest_tpu.data import raster as rio
+        if "*" in source or "?" in source:
+            stack, first = rio.read_year_stack(source, base)
+            return stack, first
+        r = rio.read_geotiff(base / source)
+        data = r.data
+        if r.nodata is not None and np.dtype(data.dtype).kind == "f":
+            data = np.where(data == np.asarray(r.nodata, data.dtype),
+                            np.nan, data)
+        return data, r
     if ":" in source and not source.endswith(".npy"):
         fp, key = source.rsplit(":", 1)
         with np.load(base / fp) as z:
-            return np.asarray(z[key])
-    return np.load(base / source)
+            return np.asarray(z[key]), None
+    return np.load(base / source), None
+
+
+def _load_source(source: str, base: Path) -> np.ndarray:
+    return _load_source_ex(source, base)[0]
 
 
 def validate_spec(spec: Dict[str, Any]) -> List[str]:
@@ -136,6 +165,7 @@ def build_cube(spec: Dict[str, Any], base_dir: str | Path = ".",
         a[:] = np.ones((h, w), np.uint8)
 
     stats_all: Dict[str, Dict] = {}
+    grid_raster = None  # first GeoTIFF source: alignment anchor + attr
     for g in spec.get("groups", []):
         kind = g["kind"]
         category = g.get("category", "data")
@@ -144,7 +174,16 @@ def build_cube(spec: Dict[str, Any], base_dir: str | Path = ".",
                    if dtype.kind == "f" else 0)
         top = "annual" if kind == "annual" else "static"
         for b in g.get("bands", []):
-            data = np.asarray(_load_source(b["source"], base))
+            data, rmeta = _load_source_ex(b["source"], base)
+            data = np.asarray(data)
+            if rmeta is not None:
+                if grid_raster is None:
+                    grid_raster = rmeta
+                else:
+                    from forest_tpu.data.raster import assert_aligned
+                    assert_aligned(grid_raster, rmeta,
+                                   names=("first GeoTIFF source",
+                                          b["source"]))
             scale = float(b.get("scale_factor", 1.0))
             offset = float(b.get("add_offset", 0.0))
             if kind == "annual":
@@ -180,6 +219,14 @@ def build_cube(spec: Dict[str, Any], base_dir: str | Path = ".",
                               "statistics": st})
             arr.write_attrs()
             stats_all[path] = st
+
+    # GeoTIFF-derived georeferencing: explicit spec wins, else the first
+    # raster source's transform replaces the placeholder default.
+    if grid_raster is not None and grid_raster.transform is not None \
+            and "geo_transform" not in spec and not append:
+        root.attrs["geo_transform"] = [float(v)
+                                       for v in grid_raster.transform]
+        root.write_attrs()
 
     # sidecars (build_zarr.py:1059-1740 contract)
     write_json(out.with_suffix(".stats.json"), stats_all)
