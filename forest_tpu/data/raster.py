@@ -165,5 +165,52 @@ def read_year_stack(pattern: str | Path, base: str | Path = ".",
     return stack, first
 
 
+def align_fine_to_patches(fine: Raster,
+                          coarse_transform: Sequence[float],
+                          window: Tuple[int, int, int, int],
+                          kshape: Tuple[int, int] = (3, 3),
+                          out_dtype=np.float32) -> np.ndarray:
+    """Align a fine-resolution raster (e.g. 10 m NAIP) onto a coarse-grid
+    window as per-cell patches.
+
+    The patch pre-bake contract of
+    ``/root/reference/utils/raster_ops.py:96-131`` (_read_naip_block):
+    map-project the coarse window ``(y0, y1, x0, x1)`` through
+    ``coarse_transform``, locate it in the fine raster via ITS transform,
+    read boundlessly (outside -> NaN), crop/pad to
+    ``(yblk*krow, xblk*kcol)``, and reshape to
+    ``[yblk, xblk, krow, kcol, band]``.
+    """
+    if fine.transform is None:
+        raise ValueError("fine raster has no geo-transform")
+    y0, y1, x0, x1 = window
+    krow, kcol = kshape
+    yblk, xblk = y1 - y0, x1 - x0
+    cx0, cdx, cy0, cdy = [float(v) for v in coarse_transform]
+    fx0, fdx, fy0, fdy = fine.transform
+    left = cx0 + x0 * cdx
+    top = cy0 + y0 * cdy
+    c0 = int(round((left - fx0) / fdx))
+    r0 = int(round((top - fy0) / fdy))
+    eh, ew = yblk * krow, xblk * kcol
+
+    data = fine.data
+    if data.ndim == 2:
+        data = data[..., None]
+    bands = data.shape[-1]
+    buf = np.full((eh, ew, bands), np.nan, out_dtype)
+    rs, re = max(r0, 0), min(r0 + eh, data.shape[0])
+    cs, ce = max(c0, 0), min(c0 + ew, data.shape[1])
+    if rs < re and cs < ce:
+        src = np.asarray(data[rs:re, cs:ce], out_dtype)
+        if fine.nodata is not None:
+            src = np.where(src == np.asarray(fine.nodata, src.dtype),
+                           np.nan, src)
+        buf[rs - r0:re - r0, cs - c0:ce - c0] = src
+    # (yblk, krow, xblk, kcol, B) -> (yblk, xblk, krow, kcol, B)
+    out = buf.reshape(yblk, krow, xblk, kcol, bands)
+    return np.transpose(out, (0, 2, 1, 3, 4))
+
+
 __all__ = ["Raster", "read_geotiff", "write_geotiff", "assert_aligned",
-           "read_year_stack"]
+           "read_year_stack", "align_fine_to_patches"]

@@ -92,6 +92,41 @@ class TestReadWrite:
             rio.read_year_stack("nope_*.tif", tmp_path)
 
 
+class TestFineToPatches:
+    def test_naip_style_3x3_prebake(self):
+        """10m-in-30m alignment: each coarse cell's patch holds exactly its
+        nine nested fine pixels (reference _read_naip_block reshape)."""
+        h30, w30, k = 4, 5, 3
+        fine_vals = np.arange(h30 * k * w30 * k,
+                              dtype=np.float32).reshape(h30 * k, w30 * k)
+        fine = rio.Raster(
+            data=fine_vals,
+            transform=(GT[0], GT[1] / k, GT[2], GT[3] / k), nodata=None)
+        out = rio.align_fine_to_patches(fine, GT, (1, 3, 2, 5))
+        assert out.shape == (2, 3, 3, 3, 1)
+        # cell (1, 2) of the coarse grid = fine rows 3:6, cols 6:9
+        np.testing.assert_array_equal(out[0, 0, :, :, 0],
+                                      fine_vals[3:6, 6:9])
+        np.testing.assert_array_equal(out[1, 2, :, :, 0],
+                                      fine_vals[6:9, 12:15])
+
+    def test_boundless_fill_and_nodata(self):
+        h30, w30, k = 2, 2, 3
+        fine_vals = np.ones((h30 * k, w30 * k), np.float32)
+        fine_vals[0, 0] = -1.0
+        fine = rio.Raster(
+            data=fine_vals,
+            transform=(GT[0], GT[1] / k, GT[2], GT[3] / k), nodata=-1)
+        # window extends one coarse cell past the raster on each side
+        out = rio.align_fine_to_patches(fine, GT, (-1, 2, -1, 2))
+        assert out.shape == (3, 3, 3, 3, 1)
+        assert np.isnan(out[0, :, :, :, 0]).all()   # boundless row
+        assert np.isnan(out[:, 0, :, :, 0]).all()   # boundless col
+        assert np.isnan(out[1, 1, 0, 0, 0])         # nodata -> NaN
+        assert out[1, 1, 1, 1, 0] == 1.0
+        assert out[2, 2, 2, 2, 0] == 1.0
+
+
 class TestBuilderGeotiffIngestion:
     def test_build_cube_from_tifs(self, tmp_path):
         """Static tif + per-year tif glob -> cube; GeoTIFF nodata becomes
