@@ -31,13 +31,40 @@ WARMUP, ITERS = 3, 20
 # the section budget is already spent so one bad compile can't push the
 # scored bench past the driver's patience.
 QUANTIZE_BUDGET_S = 150.0
+# Per-section subprocess budgets. Every TPU section runs in its OWN child
+# process, strictly sequentially, and the parent never opens a relay
+# session: an idle parent session starves children (measured: the xla
+# quantize child compiles in ~60 s alone but exceeded 180 s with the
+# parent's session open), and an uninterruptible relay compile can
+# otherwise block the whole bench past the driver's patience with NO JSON
+# emitted. A killed child costs its budget and the bench degrades
+# gracefully (xla fallback for the headline; -1 sentinel only if every
+# kernel dies).
+SECTION_BUDGET_S = {"pipeline": 240.0, "pallas": 240.0, "xla": 150.0}
+FRL_BUDGET_S = 420.0
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_tpu_quantize():
+def _run_child(args, timeout):
+    """Run ``python bench.py <args>`` with a hard timeout; relay [bench]
+    stderr lines through; return the child's one-line JSON."""
+    import subprocess
+
+    p = subprocess.run([sys.executable, __file__, *args],
+                       capture_output=True, text=True, timeout=timeout)
+    for ln in p.stderr.splitlines():
+        if ln.startswith("[bench]"):
+            log(ln)
+    if p.returncode != 0:
+        raise RuntimeError(f"child {args} failed (rc={p.returncode}): "
+                           f"{p.stderr.strip().splitlines()[-1:]}")
+    return json.loads(p.stdout.strip().splitlines()[-1])
+
+
+def _measure_quantize_kernel(use_pallas: bool) -> float:
     """Full fused quantize -- the BASELINE.json hot-core contract: codebook
     L2 distances, argmin assignment, one-hot gather (quantized vectors), and
     the EMA sufficient statistics (per-code counts + vector sums). The
@@ -58,47 +85,64 @@ def bench_tpu_quantize():
     x = jnp.asarray(r.normal(size=(n, D)).astype(np.float32))
     cb0 = jnp.asarray(r.normal(size=(K, D)).astype(np.float32))
 
+    def body(i, cb):
+        idx, q, counts, sums = vq.vq_core(x, cb, use_pallas=use_pallas)
+        return cb + 1e-12 * (jnp.sum(idx).astype(jnp.float32)
+                             + jnp.sum(counts) + q[0, 0]
+                             + sums[0, 0])
+
+    run = jax.jit(lambda cb: jax.lax.fori_loop(0, ITERS, body, cb))
+    t0 = time.perf_counter()
+    jax.block_until_ready(run(cb0))
+    log(f"[bench] compile {time.perf_counter() - t0:.1f}s")
+    out = cb0
+    for _ in range(WARMUP):
+        out = run(out)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    reps = 3
+    # Chain the carry across reps too so successive dispatches can never
+    # overlap or be deduplicated.
+    for _ in range(reps):
+        out = run(out)
+    jax.block_until_ready(out)
+    return ((time.perf_counter() - t0) / (reps * ITERS)
+            / N_PATCHES * 1e6)
+
+
+def bench_tpu_quantize():
+    """Measure both kernels, each in its own sequential subprocess (see
+    SECTION_BUDGET_S): an uninterruptible relay compile can only cost its
+    budget window, and the XLA path is the fallback headline when the
+    Pallas child dies. The cross-check is skipped once the section has a
+    result and has already overspent QUANTIZE_BUDGET_S."""
+    import subprocess
+
     results = {}
     skipped = []
     t_section = time.perf_counter()
-    for name, up in [("pallas", True), ("xla", False)]:
-        if results and time.perf_counter() - t_section > QUANTIZE_BUDGET_S:
-            log(f"[bench] skipping {name} cross-check: "
-                f"{time.perf_counter() - t_section:.0f}s in quantize "
-                f"section > {QUANTIZE_BUDGET_S:.0f}s budget")
+    for name in ("pallas", "xla"):
+        spent = time.perf_counter() - t_section
+        if results and spent > QUANTIZE_BUDGET_S:
+            log(f"[bench] skipping {name} cross-check: {spent:.0f}s in "
+                f"quantize section > {QUANTIZE_BUDGET_S:.0f}s budget")
             skipped.append(name)
             continue
         try:
-            def body(i, cb, _up=up):
-                idx, q, counts, sums = vq.vq_core(x, cb, use_pallas=_up)
-                return cb + 1e-12 * (jnp.sum(idx).astype(jnp.float32)
-                                     + jnp.sum(counts) + q[0, 0]
-                                     + sums[0, 0])
-
-            run = jax.jit(lambda cb: jax.lax.fori_loop(0, ITERS, body, cb))
-            t0 = time.perf_counter()
-            jax.block_until_ready(run(cb0))
-            log(f"[bench] {name} compile {time.perf_counter() - t0:.1f}s")
-            out = cb0
-            for _ in range(WARMUP):
-                out = run(out)
-            jax.block_until_ready(out)
-            t0 = time.perf_counter()
-            reps = 3
-            # Chain the carry across reps too so successive dispatches can
-            # never overlap or be deduplicated.
-            for _ in range(reps):
-                out = run(out)
-            jax.block_until_ready(out)
-            us_per_patch = ((time.perf_counter() - t0) / (reps * ITERS)
-                            / N_PATCHES * 1e6)
-            log(f"[bench] {name}: {us_per_patch:.3f} us/patch "
-                f"(chained x{ITERS}, {reps} reps)")
-            results[name] = us_per_patch
+            val = _run_child(["--quantize-kernel", name],
+                             SECTION_BUDGET_S[name])
+            results[name] = float(val["us_per_patch"])
+            log(f"[bench] {name}: {results[name]:.3f} us/patch "
+                f"(chained x{ITERS}, 3 reps, subprocess)")
+        except subprocess.TimeoutExpired:
+            log(f"[bench] {name} child exceeded "
+                f"{SECTION_BUDGET_S[name]:.0f}s (degraded relay?) "
+                "-- killed")
+            skipped.append(name)
         except Exception as e:  # pragma: no cover
             log(f"[bench] {name} failed: {type(e).__name__}: {e}")
     if not results:
-        return None, {}
+        return None, {"quantize_skipped": ",".join(skipped)}
     best = min(results.items(), key=lambda kv: kv[1])
     extra = {f"quantize_{k}_us": round(v, 3) for k, v in results.items()}
     # Per-call numbers for the full fused contract (the headline win case:
@@ -275,24 +319,23 @@ def bench_pipeline(tmpdir: str):
 
 def bench_frl_step(iters: int = 10):
     """Production-scale FRL train step (B=12, 256^2, bf16 smoothing, fused
-    Pallas kernel). Returns (ms_per_batch, speedup_vs_A40_reference)."""
-    import importlib.util
-    import io
+    Pallas kernel), in a subprocess with a hard timeout so a hung relay
+    compile cannot stall the scored bench (healthy compile ~35 s; the
+    budget covers a slow one). Returns (ms_per_batch, speedup_vs_A40)."""
     import pathlib
-    from contextlib import redirect_stdout
+    import subprocess
 
-    spec = importlib.util.spec_from_file_location(
-        "bench_frl_step",
-        pathlib.Path(__file__).parent / "scripts" / "bench_frl_step.py")
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    frl_main = mod.main
-
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        frl_main(["--bf16-smoothing", "--iters", str(iters)])
-    out = buf.getvalue()
+    script = pathlib.Path(__file__).parent / "scripts" / "bench_frl_step.py"
+    p = subprocess.run(
+        [sys.executable, str(script), "--bf16-smoothing",
+         "--iters", str(iters)],
+        capture_output=True, text=True, timeout=FRL_BUDGET_S)
+    out = p.stdout
     log(out.strip())
+    if p.returncode != 0:
+        raise RuntimeError(
+            f"frl bench child failed (rc={p.returncode}): "
+            f"{p.stderr.strip().splitlines()[-1:]}")
     for line in out.splitlines():
         if line.startswith("steady step:"):
             ms = float(line.split("steady step:")[1].split("ms/batch")[0])
@@ -326,21 +369,39 @@ def probe_dispatch_latency():
     return round(us, 1)
 
 
-def main():
+def _pipeline_child() -> None:
+    """Child mode (--section pipeline): relay-health probe + the pipeline
+    component/e2e rates, printed as one JSON line."""
     import tempfile
 
     import jax
 
-    log(f"[bench] backend: {jax.default_backend()} devices: {jax.devices()}")
+    from forest_tpu.utils.jaxcache import enable_persistent_cache
+    enable_persistent_cache()
+    log(f"[bench] backend: {jax.default_backend()} "
+        f"devices: {jax.devices()}")
+    extra = {"dispatch_latency_us": probe_dispatch_latency()}
+    with tempfile.TemporaryDirectory() as td:
+        extra.update(bench_pipeline(td))
+    print(json.dumps(extra))
+
+
+def main():
+    import subprocess
+
     extra = {}
     # Pipeline FIRST: its numbers are relay-health-sensitive (the round-1
     # driver run measured 83k samples/s in a process whose first compile
     # took 230 s, vs 669k standalone), so measure it before the quantize
-    # section's potentially-long compiles can degrade the session.
-    extra["dispatch_latency_us"] = probe_dispatch_latency()
+    # section's potentially-long compiles can degrade the relay. Each TPU
+    # section is its own child process; the parent NEVER opens a relay
+    # session (an idle parent session starves children -- header note).
     try:
-        with tempfile.TemporaryDirectory() as td:
-            extra.update(bench_pipeline(td))
+        extra.update(_run_child(["--section", "pipeline"],
+                                SECTION_BUDGET_S["pipeline"]))
+    except subprocess.TimeoutExpired:
+        log(f"[bench] pipeline child exceeded "
+            f"{SECTION_BUDGET_S['pipeline']:.0f}s -- killed")
     except Exception as e:  # pipeline bench is best-effort
         log(f"[bench] pipeline bench failed: {type(e).__name__}: {e}")
 
@@ -350,7 +411,8 @@ def main():
         print(json.dumps({
             "metric": "vq_quantize_us_per_32x32_patch", "value": -1.0,
             "unit": "us", "vs_baseline": 0.0,
-            "extra": {"error": "both quantize kernels failed", **extra}}))
+            "extra": {"error": "both quantize kernels failed/timed out",
+                      **per_kernel, **extra}}))
         return
     name, tpu_us = best
     torch_us = bench_torch_cpu_quantize()
@@ -370,5 +432,19 @@ def main():
     }))
 
 
+def _quantize_child(kernel: str) -> None:
+    """Child mode (--quantize-kernel): measure ONE kernel, print a one-line
+    JSON; the parent enforces the wall-clock budget by killing us."""
+    from forest_tpu.utils.jaxcache import enable_persistent_cache
+    enable_persistent_cache()
+    us = _measure_quantize_kernel(use_pallas=(kernel == "pallas"))
+    print(json.dumps({"us_per_patch": us}))
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--quantize-kernel":
+        _quantize_child(sys.argv[2])
+    elif len(sys.argv) >= 3 and sys.argv[1:3] == ["--section", "pipeline"]:
+        _pipeline_child()
+    else:
+        main()

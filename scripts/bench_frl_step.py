@@ -32,6 +32,9 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    from forest_tpu.utils.jaxcache import enable_persistent_cache
+    enable_persistent_cache()  # relay compile insurance (utils/jaxcache)
+
     from forest_tpu.data.bindings import parse_bindings
     from forest_tpu.data.cube_v2 import synthetic_bindings
     from forest_tpu.data.feature_builder import FeatureBuilder
