@@ -40,7 +40,8 @@ QUANTIZE_BUDGET_S = 150.0
 # emitted. A killed child costs its budget and the bench degrades
 # gracefully (xla fallback for the headline; -1 sentinel only if every
 # kernel dies).
-SECTION_BUDGET_S = {"pipeline": 240.0, "pallas": 240.0, "xla": 150.0}
+SECTION_BUDGET_S = {"probe": 90.0, "pipeline": 360.0,
+                    "pallas": 240.0, "xla": 150.0}
 FRL_BUDGET_S = 420.0
 
 
@@ -141,8 +142,9 @@ def bench_tpu_quantize():
             skipped.append(name)
         except Exception as e:  # pragma: no cover
             log(f"[bench] {name} failed: {type(e).__name__}: {e}")
+            skipped.append(name)
     if not results:
-        return None, {"quantize_skipped": ",".join(skipped)}
+        return None, {"quantize_skipped": ",".join(skipped) or "all"}
     best = min(results.items(), key=lambda kv: kv[1])
     extra = {f"quantize_{k}_us": round(v, 3) for k, v in results.items()}
     # Per-call numbers for the full fused contract (the headline win case:
@@ -369,18 +371,27 @@ def probe_dispatch_latency():
     return round(us, 1)
 
 
-def _pipeline_child() -> None:
-    """Child mode (--section pipeline): relay-health probe + the pipeline
-    component/e2e rates, printed as one JSON line."""
-    import tempfile
-
+def _probe_child() -> None:
+    """Child mode (--section probe): the relay-health probe runs in its
+    OWN tiny child so it still lands in the scored extra when the longer
+    pipeline child times out (the probe is what makes a slow pipeline
+    number attributable to relay state)."""
     import jax
 
     from forest_tpu.utils.jaxcache import enable_persistent_cache
     enable_persistent_cache()
     log(f"[bench] backend: {jax.default_backend()} "
         f"devices: {jax.devices()}")
-    extra = {"dispatch_latency_us": probe_dispatch_latency()}
+    print(json.dumps({"dispatch_latency_us": probe_dispatch_latency()}))
+
+
+def _pipeline_child() -> None:
+    """Child mode (--section pipeline): pipeline component/e2e rates."""
+    import tempfile
+
+    from forest_tpu.utils.jaxcache import enable_persistent_cache
+    enable_persistent_cache()
+    extra = {}
     with tempfile.TemporaryDirectory() as td:
         extra.update(bench_pipeline(td))
     print(json.dumps(extra))
@@ -396,14 +407,23 @@ def main():
     # section's potentially-long compiles can degrade the relay. Each TPU
     # section is its own child process; the parent NEVER opens a relay
     # session (an idle parent session starves children -- header note).
-    try:
-        extra.update(_run_child(["--section", "pipeline"],
-                                SECTION_BUDGET_S["pipeline"]))
-    except subprocess.TimeoutExpired:
-        log(f"[bench] pipeline child exceeded "
-            f"{SECTION_BUDGET_S['pipeline']:.0f}s -- killed")
-    except Exception as e:  # pipeline bench is best-effort
-        log(f"[bench] pipeline bench failed: {type(e).__name__}: {e}")
+    timed_out = []
+    for section in ("probe", "pipeline"):
+        try:
+            extra.update(_run_child(["--section", section],
+                                    SECTION_BUDGET_S[section]))
+        except subprocess.TimeoutExpired:
+            log(f"[bench] {section} child exceeded "
+                f"{SECTION_BUDGET_S[section]:.0f}s -- killed")
+            timed_out.append(section)
+        except Exception as e:  # probe/pipeline are best-effort
+            log(f"[bench] {section} bench failed: {type(e).__name__}: {e}")
+            timed_out.append(section)
+    if timed_out:
+        # A probe timeout means even backend init / an x+1 compile hung:
+        # the relay itself is down or fully degraded -- make that
+        # attribution explicit in the scored artifact.
+        extra["sections_timed_out"] = ",".join(timed_out)
 
     best, per_kernel = bench_tpu_quantize()
     if best is None:
@@ -422,6 +442,7 @@ def main():
         extra.update(frl_step_ms=round(ms, 1), frl_vs_a40_ref=round(x_ref, 2))
     except Exception as e:  # best-effort
         log(f"[bench] frl step bench failed: {type(e).__name__}: {e}")
+        extra["frl_step_error"] = type(e).__name__
 
     print(json.dumps({
         "metric": "vq_quantize_us_per_32x32_patch",
@@ -446,5 +467,7 @@ if __name__ == "__main__":
         _quantize_child(sys.argv[2])
     elif len(sys.argv) >= 3 and sys.argv[1:3] == ["--section", "pipeline"]:
         _pipeline_child()
+    elif len(sys.argv) >= 3 and sys.argv[1:3] == ["--section", "probe"]:
+        _probe_child()
     else:
         main()

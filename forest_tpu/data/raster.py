@@ -143,21 +143,23 @@ def assert_aligned(a: Raster, b: Raster, *, atol: float = 1e-6,
 
 
 def read_year_stack(pattern: str | Path, base: str | Path = ".",
-                    expect_t: Optional[int] = None) -> Tuple[np.ndarray,
-                                                             Raster]:
-    """Glob per-year GeoTIFFs (sorted) -> ([T, H, W] float32 with nodata
-    as NaN, first Raster for the grid). The reference builds annual stacks
-    from per-year COG exports the same way."""
+                    expect_t: Optional[int] = None, *,
+                    masked: bool = True) -> Tuple[np.ndarray, Raster]:
+    """Glob per-year GeoTIFFs (sorted) -> ([T, H, W], first Raster for the
+    grid). ``masked=True`` returns float32 with nodata as NaN; the cube
+    builder passes ``masked=False`` and maps nodata by the TARGET band
+    dtype instead (an integer band cannot hold NaN). The reference builds
+    annual stacks from per-year COG exports the same way."""
     paths = sorted(_glob.glob(str(Path(base) / str(pattern))))
     if not paths:
         raise FileNotFoundError(f"no rasters match {pattern!r} under "
                                 f"{base}")
     first = read_geotiff(paths[0])
-    layers = [first.masked()]
+    layers = [first.masked() if masked else first.data]
     for p in paths[1:]:
         r = read_geotiff(p)
         assert_aligned(first, r, names=(paths[0], p))
-        layers.append(r.masked())
+        layers.append(r.masked() if masked else r.data)
     stack = np.stack(layers, axis=0)
     if expect_t is not None and stack.shape[0] != expect_t:
         raise ValueError(f"{pattern!r}: {stack.shape[0]} rasters found, "

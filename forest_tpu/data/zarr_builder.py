@@ -60,16 +60,14 @@ def _load_source_ex(source: str, base: Path):
         raise ValueError("'zeros'/'ones' need explicit shape via spatial")
     low = source.lower()
     if low.endswith((".tif", ".tiff")):
+        # Raw values; GDAL_NODATA handling happens in build_cube where the
+        # TARGET band dtype is known (NaN for float bands, the band's
+        # fill_value for integer bands).
         from forest_tpu.data import raster as rio
         if "*" in source or "?" in source:
-            stack, first = rio.read_year_stack(source, base)
-            return stack, first
+            return rio.read_year_stack(source, base, masked=False)
         r = rio.read_geotiff(base / source)
-        data = r.data
-        if r.nodata is not None and np.dtype(data.dtype).kind == "f":
-            data = np.where(data == np.asarray(r.nodata, data.dtype),
-                            np.nan, data)
-        return data, r
+        return r.data, r
     if ":" in source and not source.endswith(".npy"):
         fp, key = source.rsplit(":", 1)
         with np.load(base / fp) as z:
@@ -145,7 +143,8 @@ def build_cube(spec: Dict[str, Any], base_dir: str | Path = ".",
     years = list(range(int(t_cfg.get("start", 0)),
                        int(t_cfg.get("end", -1)) + 1))
 
-    if append and (out / ".zgroup").exists():
+    created_fresh = not (append and (out / ".zgroup").exists())
+    if not created_fresh:
         root = zl.ZarrGroup(out)
     else:
         root = zl.create_group(out)
@@ -184,6 +183,21 @@ def build_cube(spec: Dict[str, Any], base_dir: str | Path = ".",
                     assert_aligned(grid_raster, rmeta,
                                    names=("first GeoTIFF source",
                                           b["source"]))
+                if rmeta.nodata is not None:
+                    # Map the raster's nodata sentinel by TARGET dtype:
+                    # NaN for float bands (the cube fill contract), the
+                    # band's fill_value for integer bands -- regardless of
+                    # the SOURCE dtype (an int source feeding a float band
+                    # must not leak the sentinel into data/stats).
+                    sentinel = np.asarray(rmeta.nodata, data.dtype) \
+                        if np.dtype(data.dtype).kind != "f" \
+                        else np.asarray(rmeta.nodata, np.float64)
+                    hit = data == sentinel
+                    if dtype.kind == "f":
+                        data = np.where(hit, np.nan,
+                                        data.astype(np.float64))
+                    else:
+                        data = np.where(hit, fv, data)
             scale = float(b.get("scale_factor", 1.0))
             offset = float(b.get("add_offset", 0.0))
             if kind == "annual":
@@ -221,9 +235,11 @@ def build_cube(spec: Dict[str, Any], base_dir: str | Path = ".",
             stats_all[path] = st
 
     # GeoTIFF-derived georeferencing: explicit spec wins, else the first
-    # raster source's transform replaces the placeholder default.
+    # raster source's transform replaces the placeholder default on any
+    # cube CREATED by this invocation (--append onto an existing cube
+    # keeps its attrs).
     if grid_raster is not None and grid_raster.transform is not None \
-            and "geo_transform" not in spec and not append:
+            and "geo_transform" not in spec and created_fresh:
         root.attrs["geo_transform"] = [float(v)
                                        for v in grid_raster.transform]
         root.write_attrs()

@@ -22,9 +22,11 @@ def build_step_config(bindings: BindingsConfig,
     losses = bindings.losses or {}
     # Accept both this repo's model_input keys and the reference YAML's
     # (model.type_encoder_feature / model.phase_encoder_feature) so
-    # reference training configs port without edits.
-    mi = (training_cfg.get("model_input")
-          or training_cfg.get("model") or {})
+    # reference training configs port without edits. Merged PER KEY
+    # (model_input wins) -- parse_training_config performs the same merge,
+    # so the CLI path and direct build_step_config calls agree.
+    mi = {**(training_cfg.get("model") or {}),
+          **(training_cfg.get("model_input") or {})}
 
     sp = losses.get("infonce_type_spatial", {})
     kw.update(

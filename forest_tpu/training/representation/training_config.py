@@ -96,6 +96,9 @@ class TrainingConfiguration:
     loss_weights: Dict[str, float] = field(default_factory=dict)
     step: Dict[str, Any] = field(default_factory=dict)
     sampling_strategy: str = "grid-plus-supplement"
+    # model-input feature names (repo model_input.* keys or the reference
+    # YAML's model.type_encoder_feature / model.phase_encoder_feature)
+    model_input: Dict[str, Any] = field(default_factory=dict)
     # reference-depth in-graph diagnostics (distribution stats, tau sweeps,
     # leakage ridge); the reference collects the analogous stats every step
     diagnostics: bool = True
@@ -124,6 +127,7 @@ class TrainingConfiguration:
             "step": self.step,
             "curriculum": self.curriculum,
             "sampling_strategy": self.sampling_strategy,
+            "model_input": self.model_input,
         }
 
 
@@ -192,6 +196,10 @@ def parse_training_config(path_or_dict) -> TrainingConfiguration:
         step=raw.get("step", {}) or {},
         sampling_strategy=raw.get("sampling_strategy",
                                   "grid-plus-supplement"),
+        # merge per-key: repo model_input keys win over the reference
+        # YAML's model section (both may appear in a partially-ported cfg)
+        model_input={**(raw.get("model", {}) or {}),
+                     **(raw.get("model_input", {}) or {})},
         diagnostics=bool(tr.get("diagnostics",
                                 raw.get("diagnostics", True))),
         validation=(tr.get("validation", {}) or {}),

@@ -116,13 +116,34 @@ class TestConfigBuilderAliases:
                           "phase_encoder_feature": "my_phase_feat"}})
         assert cfg.type_feature == "my_type_feat"
         assert cfg.phase_feature == "my_phase_feat"
-        # repo-native names win when both present
+        # repo-native names win when both present -- PER KEY: a
+        # model_input section must not hide the model section's other keys
         cfg2 = cb.build_step_config(
-            b, {"model_input": {"type_feature": "native"}})
+            b, {"model_input": {"type_feature": "native"},
+                "model": {"phase_encoder_feature": "ref_phase"}})
         assert cfg2.type_feature == "native"
+        assert cfg2.phase_feature == "ref_phase"
         # bindings losses feature still overrides the model alias
         b2 = BindingsConfig(losses={"phase_neighborhood":
                                     {"feature": "from_losses"}})
         cfg3 = cb.build_step_config(
             b2, {"model": {"phase_encoder_feature": "my_phase_feat"}})
         assert cfg3.phase_feature == "from_losses"
+
+    def test_aliases_reach_the_cli_path(self):
+        """Regression: parse_training_config used to DROP the model /
+        model_input sections, so the aliases never reached
+        build_step_config through the real training entry point."""
+        from forest_tpu.data.bindings import BindingsConfig
+        from forest_tpu.training.representation import config_builders as cb
+        from forest_tpu.training.representation.training_config import (
+            parse_training_config)
+        cfg = parse_training_config({
+            "model": {"type_encoder_feature": "ref_type",
+                      "phase_encoder_feature": "ref_phase"},
+            "model_input": {"type_feature": "native_type"},
+        })
+        step = cb.build_step_config(BindingsConfig(),
+                                    cfg.as_builder_dict())
+        assert step.type_feature == "native_type"   # repo key wins per-key
+        assert step.phase_feature == "ref_phase"    # ref key falls through

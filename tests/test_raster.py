@@ -176,6 +176,44 @@ class TestBuilderGeotiffIngestion:
         rc = map_to_pixel([GT[0] + 7 * GT[1]], [GT[2] + 3 * GT[3]], gt)
         assert (rc[0] == [3, 7]).all()
 
+    def test_nodata_keyed_on_target_dtype(self, tmp_path):
+        """An INTEGER source raster feeding a FLOAT cube band must map its
+        GDAL_NODATA sentinel to NaN (regression: the sentinel leaked into
+        the stored data + stats); a float glob feeding an INTEGER band maps
+        it to the band's fill_value instead of casting NaN to garbage."""
+        from forest_tpu.data import zarr_builder as zb
+        from forest_tpu.data import zarrlite as zl
+        u = np.arange(16, dtype=np.uint16).reshape(4, 4) + 10
+        u[0, 0] = 65535
+        rio.write_geotiff(tmp_path / "elev.tif", u, transform=GT,
+                          nodata=65535)
+        for y in (2020, 2021):
+            f = np.full((4, 4), 0.5, np.float32)
+            f[1, 1] = -9.0
+            rio.write_geotiff(tmp_path / f"code_{y}.tif", f,
+                              transform=GT, nodata=-9)
+        spec = {"output": "cube.zarr",
+                "spatial": {"height": 4, "width": 4, "chunk_y": 4,
+                            "chunk_x": 4},
+                "time": {"start": 2020, "end": 2021},
+                "groups": [
+                    {"name": "topo", "kind": "static", "dtype": "float32",
+                     "bands": [{"name": "elev", "source": "elev.tif"}]},
+                    {"name": "codes", "kind": "annual", "dtype": "int16",
+                     "fill_value": -1,
+                     "bands": [{"name": "code",
+                                "source": "code_*.tif"}]}]}
+        zb.build_cube(spec, tmp_path)
+        root = zl.open_zarr(tmp_path / "cube.zarr")
+        elev = np.asarray(root["static/topo/data/elev"][:, :])
+        assert np.isnan(elev[0, 0])               # sentinel -> NaN
+        assert elev[1, 1] == 15.0                 # real values intact
+        st = root["static/topo/data/elev"].attrs["statistics"]
+        assert st["max"] < 65535                  # stats sentinel-free
+        code = np.asarray(root["annual/codes/data/code"][:, :, :])
+        assert code[0, 1, 1] == -1                # sentinel -> fill_value
+        assert code[1, 0, 0] == 0                 # 0.5 cast to int16
+
     def test_misaligned_tif_rejected(self, tmp_path):
         from forest_tpu.data import zarr_builder as zb
         rio.write_geotiff(tmp_path / "a.tif",
