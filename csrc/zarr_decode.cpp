@@ -114,15 +114,15 @@ long ftpu_decode_file(const char* path, void* dst, size_t dst_cap,
 
 // Decode n chunk files in parallel. `paths` are NUL-terminated strings;
 // chunk i is written at dst + offsets[i] with capacity caps[i]. `results[i]`
-// receives the per-chunk return code (as ftpu_decode_file). `missing_ok`:
-// chunks whose file is absent get result -1 and their buffer is left
-// untouched (the caller pre-fills with the fill value).
+// receives the per-chunk return code (as ftpu_decode_file: byte count, or
+// -1 read failure / absent file, -2 blosc unavailable, -3 decompress
+// failure, -4 dst too small, -5 truncated or lying blosc header, -6 caught
+// C++ exception). Absent files leave their buffer region untouched (the
+// caller pre-fills with the fill value).
 // Returns the number of successfully decoded chunks.
 long ftpu_decode_files(const char** paths, long n, uint8_t* dst,
                        const size_t* offsets, const size_t* caps,
-                       long* results, int mode, int nthreads,
-                       int missing_ok) {
-  (void)missing_ok;
+                       long* results, int mode, int nthreads) {
   if (nthreads < 1) nthreads = 1;
   std::atomic<long> next(0);
   std::atomic<long> ok_count(0);
@@ -141,14 +141,24 @@ long ftpu_decode_files(const char** paths, long n, uint8_t* dst,
     worker();
   } else {
     std::vector<std::thread> pool;
-    int t = static_cast<int>(n < nthreads ? n : nthreads);
-    pool.reserve(static_cast<size_t>(t));
-    for (int i = 0; i < t; ++i) pool.emplace_back(worker);
+    try {
+      int t = static_cast<int>(n < nthreads ? n : nthreads);
+      pool.reserve(static_cast<size_t>(t));
+      for (int i = 0; i < t; ++i) pool.emplace_back(worker);
+    } catch (...) {
+      // Thread/allocation exhaustion (e.g. pthread_create EAGAIN under
+      // many concurrent loaders) must not unwind through the extern "C"
+      // boundary or destroy a joinable thread -- both std::terminate the
+      // whole Python process. The shared atomic cursor makes finishing
+      // the remaining chunks inline safe: each index is decoded exactly
+      // once regardless of how many pool threads actually started.
+      worker();
+    }
     for (auto& th : pool) th.join();
   }
   return ok_count.load();
 }
 
-int ftpu_loader_version() { return 1; }
+int ftpu_loader_version() { return 2; }
 
 }  // extern "C"

@@ -35,6 +35,28 @@ class PrefetchLoader:
         self.num_workers = max(1, int(num_workers))
         self.prefetch = max(1, int(prefetch))
         self.device_put = device_put
+        self._active: list = []   # (stop, pool, thread) per live iteration
+        self._active_lock = threading.Lock()
+
+    def close(self) -> None:
+        """Stop the feeder thread and worker pool of every live iteration
+        NOW. Escape hatch for consumers that abandon an iterator or hold a
+        traceback referencing it: generator finalization otherwise runs
+        only at GC, keeping prefetch+num_workers decoded batches pinned
+        and the feeder running in the meantime."""
+        with self._active_lock:
+            active, self._active = self._active, []
+        for stop, pool, th in active:
+            stop.set()
+            pool.shutdown(wait=False, cancel_futures=True)
+        for _, _, th in active:
+            th.join(timeout=5.0)
+
+    def __enter__(self) -> "PrefetchLoader":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
     def __iter__(self) -> Iterator[Any]:
         pool = ThreadPoolExecutor(max_workers=self.num_workers)
@@ -78,6 +100,9 @@ class PrefetchLoader:
                             break
 
         th = threading.Thread(target=feeder, daemon=True)
+        entry = (stop, pool, th)
+        with self._active_lock:
+            self._active.append(entry)
         th.start()
         try:
             while True:
@@ -93,6 +118,9 @@ class PrefetchLoader:
         finally:
             stop.set()
             pool.shutdown(wait=False, cancel_futures=True)
+            with self._active_lock:
+                if entry in self._active:
+                    self._active.remove(entry)
 
 
 def make_device_put(sharding=None, keep_host_keys=("years",)):

@@ -5,9 +5,9 @@ needed -- plain C ABI + ctypes). Falls back cleanly when compilation or
 dlopen fails: callers check :func:`available` and use the pure-Python path.
 
 API surface:
-- decode_chunks(paths, chunk_nbytes, dtype, chunk_shape, fill, nthreads)
-  -> [n, *chunk_shape] array, decoding all chunk files in parallel native
-  threads (missing files produce fill-valued chunks).
+- decode_chunks(paths, chunk_shape, dtype, fill_value=0, compressed=True,
+  nthreads=None) -> [n, *chunk_shape] array, decoding all chunk files in
+  parallel native threads (None/missing paths produce fill-valued chunks).
 """
 from __future__ import annotations
 
@@ -30,7 +30,6 @@ _tried = False
 
 
 def _build() -> bool:
-    _BUILD_DIR.mkdir(parents=True, exist_ok=True)
     # Compile to a unique temp name and atomically rename: concurrent
     # builders (pytest-xdist, multi-host launch) must never cache a
     # half-written .so with a fresh mtime.
@@ -38,11 +37,15 @@ def _build() -> bool:
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
            "-o", str(tmp), str(_SRC), "-ldl", "-pthread"]
     try:
+        _BUILD_DIR.mkdir(parents=True, exist_ok=True)
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         os.replace(tmp, _LIB_PATH)
         return True
     except Exception:
-        tmp.unlink(missing_ok=True)
+        try:
+            tmp.unlink(missing_ok=True)
+        except OSError:
+            pass
         return False
 
 
@@ -52,11 +55,18 @@ def _load():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not _LIB_PATH.exists() or \
-                _LIB_PATH.stat().st_mtime < _SRC.stat().st_mtime:
-            if not _build():
-                return None
         try:
+            # "Falls back cleanly" covers filesystem surprises too: a
+            # prebuilt .so without the source tree (non-editable install)
+            # is used as-is; any OSError here means unavailable, never an
+            # exception out of available().
+            have_lib = _LIB_PATH.exists()
+            src_newer = (have_lib and _SRC.exists()
+                         and _LIB_PATH.stat().st_mtime
+                         < _SRC.stat().st_mtime)
+            if not have_lib or src_newer:
+                if not _SRC.exists() or not _build():
+                    return None
             lib = ctypes.CDLL(str(_LIB_PATH))
         except OSError:
             return None
@@ -67,7 +77,7 @@ def _load():
             ctypes.POINTER(ctypes.c_size_t),
             ctypes.POINTER(ctypes.c_size_t),
             ctypes.POINTER(ctypes.c_long),
-            ctypes.c_int, ctypes.c_int, ctypes.c_int]
+            ctypes.c_int, ctypes.c_int]
         lib.ftpu_loader_version.restype = ctypes.c_int
         _lib = lib
         return _lib
@@ -116,7 +126,7 @@ def decode_chunks(paths: Sequence[Optional[str]], chunk_shape, dtype,
     ok = lib.ftpu_decode_files(
         c_paths, len(real),
         buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        offsets, caps, results, 0 if compressed else 1, int(nthreads), 1)
+        offsets, caps, results, 0 if compressed else 1, int(nthreads))
     for k, (i, p) in enumerate(real):
         # Missing files never reach the C call (filtered above), so ANY
         # negative code here -- including -1 -- is a genuine failure;

@@ -239,6 +239,28 @@ class TestVQVAEDataset:
             n += 1
         assert n == len(s)
 
+    def test_prefetch_loader_close_stops_feeder(self, cube_and_schema):
+        """close() tears down an ABANDONED iteration immediately instead of
+        waiting for generator GC (which otherwise keeps the feeder running
+        and prefetch+num_workers decoded batches pinned)."""
+        import itertools
+        import threading
+        zp, sp = cube_and_schema
+        ds = VQVAEDataset(zp, sp, split="train", block_size=(1, 1))
+        endless = itertools.chain.from_iterable(
+            ChunkBatchSampler(ds.xy_by_chunk, 32, seed=e)
+            for e in range(10_000))
+        before = threading.active_count()
+        with PrefetchLoader(ds, endless, num_workers=2,
+                            prefetch=2) as loader:
+            it = iter(loader)
+            next(it)                       # iteration live, then abandoned
+            assert loader._active          # feeder registered
+        # context exit -> close(): feeder joined, registry drained
+        assert not loader._active
+        assert threading.active_count() <= before + 2  # pool threads idle
+        loader.close()                     # idempotent
+
 
 class TestDerivedStatsPipeline:
     """DerivedStatsComputer/loader (reference derived_statistics_computer
