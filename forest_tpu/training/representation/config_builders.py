@@ -8,7 +8,7 @@ explicit default so partial configs work; losses declared in the bindings
 from __future__ import annotations
 
 from dataclasses import fields
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 from forest_tpu.data.anchor_sampling import AnchorSampler, build_anchor_sampler
 from forest_tpu.data.bindings import BindingsConfig
@@ -16,10 +16,82 @@ from forest_tpu.training.representation.step import (DEFAULT_WEIGHTS,
                                                      StepConfig)
 
 
+def _feat(ref):
+    """'features.x' channel references -> bare feature name 'x'."""
+    if isinstance(ref, str) and ref.startswith("features."):
+        return ref.split(".", 1)[1]
+    return ref
+
+
+def normalize_reference_losses(losses: Dict[str, Dict]) -> Dict[str, Dict]:
+    """Map the reference bindings' NESTED loss schema onto this repo's
+    flattened keys so frl_binding_v1.yaml ports without edits.
+
+    The reference nests pair parameters under strategy blocks and names
+    two losses differently (frl_binding_v1.yaml: knn/negative params under
+    positive_strategy.selection / negative_strategy.selection, phase
+    params under pair_strategy/pair_weights, ``soft_neighborhood_phase``
+    for this repo's ``phase_neighborhood`` and ``soft_neighborhood_evt``
+    for ``evt_soft_neighborhood``, ``confusion_matrix_path`` for
+    ``confusion_csv``). Repo-style entries pass through untouched; the
+    reference form is detected by its nested blocks, and flattened keys
+    already present always win (setdefault)."""
+    out = dict(losses or {})
+
+    def lift(name, entry, pairs):
+        e = dict(entry)
+        for k, v in pairs:
+            if v is not None:
+                e.setdefault(k, v)
+        out[name] = e
+
+    sp = out.get("infonce_type_spatial")
+    if isinstance(sp, dict) and "positive_strategy" in sp:
+        pos = (sp.get("positive_strategy") or {}).get("selection") or {}
+        neg = (sp.get("negative_strategy") or {}).get("selection") or {}
+        wgt = sp.get("spectral_weighting") or {}
+        lift("infonce_type_spatial", sp, (
+            ("knn_k", pos.get("k")),
+            ("knn_max_radius", pos.get("max_distance")),
+            ("neg_min_distance", neg.get("min_distance")),
+            ("neg_max_distance", neg.get("max_distance")),
+            ("neg_per_anchor", neg.get("n_per_anchor")),
+            ("spectral_sigma", wgt.get("tau")),
+            ("min_pair_weight", wgt.get("min_weight")),
+            ("feature", _feat(wgt.get("feature")))))
+    spec = out.get("infonce_type_spectral")
+    if isinstance(spec, dict) and "positive_strategy" in spec:
+        pos = (spec.get("positive_strategy") or {}).get("selection") or {}
+        lift("infonce_type_spectral", spec, (
+            ("knn_k", pos.get("k")),
+            ("pos_min_spatial", pos.get("min_distance")),
+            ("chunk_size", spec.get("spectral_knn_chunk_size"))))
+    ph = out.get("soft_neighborhood_phase")
+    if isinstance(ph, dict) and "phase_neighborhood" not in out:
+        pstrat = ph.get("pair_strategy") or {}
+        ov = pstrat.get("ysfc_overlap") or {}
+        pw = ph.get("pair_weights") or {}
+        lift("phase_neighborhood", ph, (
+            ("k", (pstrat.get("type_similarity") or {}).get("k")),
+            ("min_overlap", ov.get("min_overlap")),
+            ("ysfc_source", ov.get("channel")),
+            ("min_pairs", pstrat.get("min_pairs")),
+            ("sigma", pw.get("sigma")),
+            ("self_weight", ph.get("self_similarity_weight")),
+            ("cross_weight", ph.get("cross_pixel_weight")),
+            ("proj_rank", ph.get("phase_type_proj_rank")),
+            ("proj_neighbors", ph.get("phase_type_proj_neighbors"))))
+    evt = out.get("soft_neighborhood_evt")
+    if isinstance(evt, dict) and "evt_soft_neighborhood" not in out:
+        lift("evt_soft_neighborhood", evt, (
+            ("confusion_csv", evt.get("confusion_matrix_path")),))
+    return out
+
+
 def build_step_config(bindings: BindingsConfig,
                       training_cfg: Dict[str, Any]) -> StepConfig:
     kw: Dict[str, Any] = {}
-    losses = bindings.losses or {}
+    losses = normalize_reference_losses(bindings.losses or {})
     # Accept both this repo's model_input keys and the reference YAML's
     # (model.type_encoder_feature / model.phase_encoder_feature) so
     # reference training configs port without edits. Merged PER KEY
@@ -37,6 +109,7 @@ def build_step_config(bindings: BindingsConfig,
         neg_max_distance=sp.get("neg_max_distance"),
         neg_per_anchor=sp.get("neg_per_anchor", 4),
         spectral_sigma=sp.get("spectral_sigma", 2.0),
+        min_pair_weight=sp.get("min_pair_weight", 0.05),
         temperature=sp.get("temperature", 0.2),
         similarity=sp.get("similarity", "l2"),
     )
@@ -53,7 +126,24 @@ def build_step_config(bindings: BindingsConfig,
         phase_sigma=ph.get("sigma", 5.0),
         phase_tau_ref=ph.get("tau_ref", 0.1),
         phase_tau_learned=ph.get("tau_learned", 0.1),
+        phase_self_weight=ph.get("self_weight", 1.0),
+        phase_cross_weight=ph.get("cross_weight", 1.0),
+        xb_phase_pca_dim=ph.get("proj_rank", 8),
+        xb_phase_knn_k=ph.get("proj_neighbors", 20),
         num_ysfc_classes=ph.get("num_ysfc_classes", 64),
+    )
+    spec = losses.get("infonce_type_spectral", {})
+    kw.update(
+        xb_knn_k=spec.get("knn_k", 10),
+        xb_chunk_size=spec.get("chunk_size", 128),
+        xb_pos_min_spatial=spec.get("pos_min_spatial", 4.0),
+        xb_temperature=spec.get("temperature", 0.2),
+    )
+    vcr = losses.get("variance_covariance_type", {})
+    kw.update(
+        vcr_std_target=vcr.get("variance_target", 1.0),
+        vcr_variance_weight=vcr.get("variance_weight", 1.0),
+        vcr_covariance_weight=vcr.get("covariance_weight", 1.0),
     )
     spread = losses.get("phase_spread_ranking", {})
     kw.update(
@@ -95,8 +185,37 @@ def build_step_config(bindings: BindingsConfig,
     return StepConfig(**cleaned)
 
 
-def build_loss_weights(training_cfg: Dict[str, Any]) -> Dict[str, float]:
+# bindings loss name (reference or repo) -> DEFAULT_WEIGHTS key
+_LOSS_WEIGHT_KEY = {
+    "infonce_type_spatial": "spatial_infonce",
+    "infonce_type_spectral": "spectral_infonce",
+    "variance_covariance_type": "vicreg_type",
+    "variance_covariance_phase": "vicreg_phase",
+    "soft_neighborhood_phase": "phase_neighborhood",
+    "phase_neighborhood": "phase_neighborhood",
+    "phase_spread_ranking": "phase_spread",
+    "phase_recovery_discrimination": "recovery_disc",
+    "soft_neighborhood_evt": "evt",
+    "evt_soft_neighborhood": "evt",
+}
+
+
+def build_loss_weights(training_cfg: Dict[str, Any],
+                       bindings: Optional[BindingsConfig] = None
+                       ) -> Dict[str, float]:
+    """Defaults < per-loss ``weight`` fields in the bindings (where the
+    reference carries them, frl_binding_v1.yaml) < the training YAML's
+    loss_weights section."""
     w = dict(DEFAULT_WEIGHTS)
+    if bindings is not None:
+        for name, spec in (bindings.losses or {}).items():
+            key = _LOSS_WEIGHT_KEY.get(name)
+            if key and isinstance(spec, dict) and "weight" in spec:
+                w[key] = float(spec["weight"])
+        ph = (bindings.losses or {}).get("soft_neighborhood_phase") or \
+            (bindings.losses or {}).get("phase_neighborhood") or {}
+        if "phase_type_leakage_weight" in ph:
+            w["type_leakage"] = float(ph["phase_type_leakage_weight"])
     w.update(training_cfg.get("loss_weights", {}) or {})
     return w
 
@@ -110,14 +229,32 @@ def build_sampler(bindings: BindingsConfig,
                                  "jitter": {"radius": 4}})
 
 
-def build_curricula(training_cfg: Dict[str, Any]) -> Dict[str, Any]:
+def build_curricula(training_cfg: Dict[str, Any],
+                    bindings: Optional[BindingsConfig] = None
+                    ) -> Dict[str, Any]:
+    """Training-YAML curriculum keys win; absent ones fall back to the
+    reference's placement: per-loss ``curriculum: {start_epoch,
+    ramp_epochs}`` blocks inside the bindings phase losses
+    (frl_binding_v1.yaml) drive the phase gate."""
     cur = training_cfg.get("curriculum", {}) or {}
+    phase_start, phase_ramp = 0, 1
+    if bindings is not None:
+        starts, ramps = [], []
+        for name in ("soft_neighborhood_phase", "phase_neighborhood",
+                     "phase_spread_ranking",
+                     "phase_recovery_discrimination"):
+            c = ((bindings.losses or {}).get(name) or {}).get("curriculum")
+            if isinstance(c, dict):
+                starts.append(int(c.get("start_epoch", 0)))
+                ramps.append(int(c.get("ramp_epochs", 1)))
+        if starts:
+            phase_start, phase_ramp = min(starts), max(ramps)
     return {
         "input_dropout": cur.get("input_dropout", 0.0),
         "smoothing_freeze_until": cur.get("smoothing_freeze_until", 0),
         "smoothing_ramp_epochs": cur.get("smoothing_ramp_epochs", 1),
-        "phase_start_epoch": cur.get("phase_start_epoch", 0),
-        "phase_ramp_epochs": cur.get("phase_ramp_epochs", 1),
+        "phase_start_epoch": cur.get("phase_start_epoch", phase_start),
+        "phase_ramp_epochs": cur.get("phase_ramp_epochs", phase_ramp),
         "phase_ramped_losses": cur.get(
             "phase_ramped_losses",
             ["phase_neighborhood", "phase_spread", "recovery_disc",

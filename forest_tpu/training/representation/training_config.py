@@ -131,6 +131,18 @@ class TrainingConfiguration:
         }
 
 
+def _smoothing_curriculum(raw: Dict[str, Any]) -> Dict[str, Any]:
+    ssc = raw.get("spatial_smoothing_curriculum") or {}
+    if not ssc or not ssc.get("enabled", True):
+        return {}
+    out: Dict[str, Any] = {}
+    if "freeze_until_epoch" in ssc:
+        out["smoothing_freeze_until"] = int(ssc["freeze_until_epoch"])
+    if "ramp_epochs" in ssc:
+        out["smoothing_ramp_epochs"] = int(ssc["ramp_epochs"])
+    return out
+
+
 def parse_training_config(path_or_dict) -> TrainingConfiguration:
     if isinstance(path_or_dict, (str, Path)):
         raw = yaml.safe_load(Path(path_or_dict).read_text()) or {}
@@ -191,7 +203,11 @@ def parse_training_config(path_or_dict) -> TrainingConfiguration:
             split_block_size=tuple(sd.get("split_block_size", (4, 4))),
             min_aoi=sd.get("min_aoi", 0.3),
             debug_window=tuple(dbg) if dbg else None),
-        curriculum=raw.get("curriculum", {}) or {},
+        # reference YAMLs carry the smoothing curriculum in a top-level
+        # spatial_smoothing_curriculum section (frl_training_v1.yaml:102);
+        # explicit curriculum keys win over it
+        curriculum={**_smoothing_curriculum(raw),
+                    **(raw.get("curriculum", {}) or {})},
         loss_weights=raw.get("loss_weights", {}) or {},
         step=raw.get("step", {}) or {},
         sampling_strategy=raw.get("sampling_strategy",

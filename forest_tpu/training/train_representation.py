@@ -105,8 +105,8 @@ def setup(cfg: TrainingConfiguration,
     log.info("model params: %.3f M", n_params / 1e6)
 
     sampler = cb.build_sampler(bindings, builder_dict)
-    weights = cb.build_loss_weights(builder_dict)
-    curricula = cb.build_curricula(builder_dict)
+    weights = cb.build_loss_weights(builder_dict, bindings)
+    curricula = cb.build_curricula(builder_dict, bindings)
 
     evt_tables = None
     if step_cfg.evt_enabled:
