@@ -225,6 +225,80 @@ def _parse_feature_channels(spec: Any) -> Dict[str, FeatureChannelSpec]:
     return out
 
 
+def _feat(ref):
+    """'features.x' channel references -> bare feature name 'x'."""
+    if isinstance(ref, str) and ref.startswith("features."):
+        return ref.split(".", 1)[1]
+    return ref
+
+
+def normalize_reference_losses(losses: Dict[str, Dict]) -> Dict[str, Dict]:
+    """Map the reference bindings' NESTED loss schema onto this repo's
+    flattened keys, applied ONCE at parse time so every consumer of
+    ``BindingsConfig.losses`` sees one schema.
+
+    The reference nests pair parameters under strategy blocks and names
+    two losses differently
+    (/root/reference/frl/config/frl_binding_v1.yaml:240-520): knn/negative
+    params under positive_strategy.selection / negative_strategy.selection,
+    phase params under pair_strategy / pair_weights,
+    ``soft_neighborhood_phase`` for this repo's ``phase_neighborhood``,
+    ``soft_neighborhood_evt`` for ``evt_soft_neighborhood``, and
+    ``confusion_matrix_path`` for ``confusion_csv``. Repo-style entries
+    pass through untouched; the reference form is detected by its nested
+    blocks, and flattened keys already present always win (setdefault)."""
+    out = dict(losses or {})
+
+    def lift(name, entry, pairs):
+        e = dict(entry)
+        for k, v in pairs:
+            if v is not None:
+                e.setdefault(k, v)
+        out[name] = e
+
+    sp = out.get("infonce_type_spatial")
+    if isinstance(sp, dict) and "positive_strategy" in sp:
+        pos = (sp.get("positive_strategy") or {}).get("selection") or {}
+        neg = (sp.get("negative_strategy") or {}).get("selection") or {}
+        wgt = sp.get("spectral_weighting") or {}
+        lift("infonce_type_spatial", sp, (
+            ("knn_k", pos.get("k")),
+            ("knn_max_radius", pos.get("max_distance")),
+            ("neg_min_distance", neg.get("min_distance")),
+            ("neg_max_distance", neg.get("max_distance")),
+            ("neg_per_anchor", neg.get("n_per_anchor")),
+            ("spectral_sigma", wgt.get("tau")),
+            ("min_pair_weight", wgt.get("min_weight")),
+            ("feature", _feat(wgt.get("feature")))))
+    spec = out.get("infonce_type_spectral")
+    if isinstance(spec, dict) and "positive_strategy" in spec:
+        pos = (spec.get("positive_strategy") or {}).get("selection") or {}
+        lift("infonce_type_spectral", spec, (
+            ("knn_k", pos.get("k")),
+            ("pos_min_spatial", pos.get("min_distance")),
+            ("chunk_size", spec.get("spectral_knn_chunk_size"))))
+    ph = out.get("soft_neighborhood_phase")
+    if isinstance(ph, dict) and "phase_neighborhood" not in out:
+        pstrat = ph.get("pair_strategy") or {}
+        ov = pstrat.get("ysfc_overlap") or {}
+        pw = ph.get("pair_weights") or {}
+        lift("phase_neighborhood", ph, (
+            ("k", (pstrat.get("type_similarity") or {}).get("k")),
+            ("min_overlap", ov.get("min_overlap")),
+            ("ysfc_source", ov.get("channel")),
+            ("min_pairs", pstrat.get("min_pairs")),
+            ("sigma", pw.get("sigma")),
+            ("self_weight", ph.get("self_similarity_weight")),
+            ("cross_weight", ph.get("cross_pixel_weight")),
+            ("proj_rank", ph.get("phase_type_proj_rank")),
+            ("proj_neighbors", ph.get("phase_type_proj_neighbors"))))
+    evt = out.get("soft_neighborhood_evt")
+    if isinstance(evt, dict) and "evt_soft_neighborhood" not in out:
+        lift("evt_soft_neighborhood", evt, (
+            ("confusion_csv", evt.get("confusion_matrix_path")),))
+    return out
+
+
 def parse_bindings(path_or_dict: Any) -> BindingsConfig:
     if isinstance(path_or_dict, (str, Path)):
         raw = yaml.safe_load(_expand_env(Path(path_or_dict).read_text()))
@@ -278,11 +352,11 @@ def parse_bindings(path_or_dict: Any) -> BindingsConfig:
 
     cfg.sampling_strategies = dict(raw.get("sampling-strategy")
                                    or raw.get("sampling_strategy") or {})
-    cfg.losses = dict(raw.get("losses") or {})
+    cfg.losses = normalize_reference_losses(dict(raw.get("losses") or {}))
     return cfg
 
 
 __all__ = ["BindingsConfig", "DatasetGroupConfig", "ChannelConfig",
            "FeatureConfig", "FeatureChannelSpec", "CovarianceConfig",
            "NormalizationPresetConfig", "StatsConfig", "TimeWindowConfig",
-           "OkIf", "parse_bindings"]
+           "OkIf", "parse_bindings", "normalize_reference_losses"]

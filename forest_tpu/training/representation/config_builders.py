@@ -11,86 +11,18 @@ from dataclasses import fields
 from typing import Any, Dict, Optional, Tuple
 
 from forest_tpu.data.anchor_sampling import AnchorSampler, build_anchor_sampler
-from forest_tpu.data.bindings import BindingsConfig
+from forest_tpu.data.bindings import (BindingsConfig,
+                                      normalize_reference_losses)
 from forest_tpu.training.representation.step import (DEFAULT_WEIGHTS,
                                                      StepConfig)
-
-
-def _feat(ref):
-    """'features.x' channel references -> bare feature name 'x'."""
-    if isinstance(ref, str) and ref.startswith("features."):
-        return ref.split(".", 1)[1]
-    return ref
-
-
-def normalize_reference_losses(losses: Dict[str, Dict]) -> Dict[str, Dict]:
-    """Map the reference bindings' NESTED loss schema onto this repo's
-    flattened keys so frl_binding_v1.yaml ports without edits.
-
-    The reference nests pair parameters under strategy blocks and names
-    two losses differently (frl_binding_v1.yaml: knn/negative params under
-    positive_strategy.selection / negative_strategy.selection, phase
-    params under pair_strategy/pair_weights, ``soft_neighborhood_phase``
-    for this repo's ``phase_neighborhood`` and ``soft_neighborhood_evt``
-    for ``evt_soft_neighborhood``, ``confusion_matrix_path`` for
-    ``confusion_csv``). Repo-style entries pass through untouched; the
-    reference form is detected by its nested blocks, and flattened keys
-    already present always win (setdefault)."""
-    out = dict(losses or {})
-
-    def lift(name, entry, pairs):
-        e = dict(entry)
-        for k, v in pairs:
-            if v is not None:
-                e.setdefault(k, v)
-        out[name] = e
-
-    sp = out.get("infonce_type_spatial")
-    if isinstance(sp, dict) and "positive_strategy" in sp:
-        pos = (sp.get("positive_strategy") or {}).get("selection") or {}
-        neg = (sp.get("negative_strategy") or {}).get("selection") or {}
-        wgt = sp.get("spectral_weighting") or {}
-        lift("infonce_type_spatial", sp, (
-            ("knn_k", pos.get("k")),
-            ("knn_max_radius", pos.get("max_distance")),
-            ("neg_min_distance", neg.get("min_distance")),
-            ("neg_max_distance", neg.get("max_distance")),
-            ("neg_per_anchor", neg.get("n_per_anchor")),
-            ("spectral_sigma", wgt.get("tau")),
-            ("min_pair_weight", wgt.get("min_weight")),
-            ("feature", _feat(wgt.get("feature")))))
-    spec = out.get("infonce_type_spectral")
-    if isinstance(spec, dict) and "positive_strategy" in spec:
-        pos = (spec.get("positive_strategy") or {}).get("selection") or {}
-        lift("infonce_type_spectral", spec, (
-            ("knn_k", pos.get("k")),
-            ("pos_min_spatial", pos.get("min_distance")),
-            ("chunk_size", spec.get("spectral_knn_chunk_size"))))
-    ph = out.get("soft_neighborhood_phase")
-    if isinstance(ph, dict) and "phase_neighborhood" not in out:
-        pstrat = ph.get("pair_strategy") or {}
-        ov = pstrat.get("ysfc_overlap") or {}
-        pw = ph.get("pair_weights") or {}
-        lift("phase_neighborhood", ph, (
-            ("k", (pstrat.get("type_similarity") or {}).get("k")),
-            ("min_overlap", ov.get("min_overlap")),
-            ("ysfc_source", ov.get("channel")),
-            ("min_pairs", pstrat.get("min_pairs")),
-            ("sigma", pw.get("sigma")),
-            ("self_weight", ph.get("self_similarity_weight")),
-            ("cross_weight", ph.get("cross_pixel_weight")),
-            ("proj_rank", ph.get("phase_type_proj_rank")),
-            ("proj_neighbors", ph.get("phase_type_proj_neighbors"))))
-    evt = out.get("soft_neighborhood_evt")
-    if isinstance(evt, dict) and "evt_soft_neighborhood" not in out:
-        lift("evt_soft_neighborhood", evt, (
-            ("confusion_csv", evt.get("confusion_matrix_path")),))
-    return out
 
 
 def build_step_config(bindings: BindingsConfig,
                       training_cfg: Dict[str, Any]) -> StepConfig:
     kw: Dict[str, Any] = {}
+    # parse_bindings applies bindings.normalize_reference_losses, so the
+    # losses dict here is always in this repo's flattened schema; re-apply
+    # defensively for hand-built BindingsConfig objects (tests, tools).
     losses = normalize_reference_losses(bindings.losses or {})
     # Accept both this repo's model_input keys and the reference YAML's
     # (model.type_encoder_feature / model.phase_encoder_feature) so
@@ -163,7 +95,14 @@ def build_step_config(bindings: BindingsConfig,
         rd_high_ysfc_min=rd.get("high_ysfc_min", 5.0),
     )
     evt = losses.get("evt_soft_neighborhood", {})
-    if evt:
+    # Enablement respects the effective weight: the reference ships its
+    # EVT block with weight 0.0 ("EVT loss disabled"), and enabling it
+    # anyway would build the confusion-matrix tables (whose CSV path may
+    # not exist for a ported user) and compute a loss multiplied by zero.
+    # The training YAML's loss_weights.evt overrides the bindings weight.
+    tw = (training_cfg.get("loss_weights") or {}).get("evt")
+    evt_w = tw if tw is not None else evt.get("weight", 1.0)
+    if evt and float(evt_w) != 0.0:
         kw.update(evt_enabled=True,
                   evt_feature=evt.get("feature", "static_categorical.evt"),
                   evt_tau_ref=evt.get("tau_ref", 0.5),
@@ -204,7 +143,8 @@ def build_loss_weights(training_cfg: Dict[str, Any],
                        bindings: Optional[BindingsConfig] = None
                        ) -> Dict[str, float]:
     """Defaults < per-loss ``weight`` fields in the bindings (where the
-    reference carries them, frl_binding_v1.yaml) < the training YAML's
+    reference carries them,
+    /root/reference/frl/config/frl_binding_v1.yaml) < the training YAML's
     loss_weights section."""
     w = dict(DEFAULT_WEIGHTS)
     if bindings is not None:
@@ -235,20 +175,34 @@ def build_curricula(training_cfg: Dict[str, Any],
     """Training-YAML curriculum keys win; absent ones fall back to the
     reference's placement: per-loss ``curriculum: {start_epoch,
     ramp_epochs}`` blocks inside the bindings phase losses
-    (frl_binding_v1.yaml) drive the phase gate."""
+    (/root/reference/frl/config/frl_binding_v1.yaml:300-360) drive the
+    phase gate."""
     cur = training_cfg.get("curriculum", {}) or {}
     phase_start, phase_ramp = 0, 1
     if bindings is not None:
-        starts, ramps = [], []
-        for name in ("soft_neighborhood_phase", "phase_neighborhood",
-                     "phase_spread_ranking",
+        blocks = []
+        for name in ("phase_neighborhood", "phase_spread_ranking",
                      "phase_recovery_discrimination"):
             c = ((bindings.losses or {}).get(name) or {}).get("curriculum")
             if isinstance(c, dict):
-                starts.append(int(c.get("start_epoch", 0)))
-                ramps.append(int(c.get("ramp_epochs", 1)))
-        if starts:
-            phase_start, phase_ramp = min(starts), max(ramps)
+                blocks.append((int(c.get("start_epoch", 0)),
+                               int(c.get("ramp_epochs", 1)), name))
+        if blocks:
+            # This repo gates all phase losses together; take the EARLIEST
+            # block (start and ramp from the SAME loss) and warn when the
+            # per-loss schedules disagree -- a single gate cannot honor
+            # divergent starts (reference semantics: per-loss gates).
+            blocks.sort()
+            phase_start, phase_ramp, _ = blocks[0]
+            if len({(s, r) for s, r, _ in blocks}) > 1:
+                import warnings
+                warnings.warn(
+                    "bindings declare divergent per-loss phase curricula "
+                    f"{[(n, s, r) for s, r, n in blocks]}; this repo's "
+                    "single phase gate uses the earliest "
+                    f"(start={phase_start}, ramp={phase_ramp}) -- set "
+                    "training curriculum.phase_start_epoch explicitly to "
+                    "override", stacklevel=2)
     return {
         "input_dropout": cur.get("input_dropout", 0.0),
         "smoothing_freeze_until": cur.get("smoothing_freeze_until", 0),

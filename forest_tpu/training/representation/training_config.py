@@ -204,7 +204,8 @@ def parse_training_config(path_or_dict) -> TrainingConfiguration:
             min_aoi=sd.get("min_aoi", 0.3),
             debug_window=tuple(dbg) if dbg else None),
         # reference YAMLs carry the smoothing curriculum in a top-level
-        # spatial_smoothing_curriculum section (frl_training_v1.yaml:102);
+        # spatial_smoothing_curriculum section
+        # (/root/reference/frl/config/frl_training_v1.yaml:102-105);
         # explicit curriculum keys win over it
         curriculum={**_smoothing_curriculum(raw),
                     **(raw.get("curriculum", {}) or {})},

@@ -7,7 +7,6 @@ assert the load-bearing fields land -- the strongest possible check that
 the config surface is compatible, using the configs as data (nothing is
 copied into this repo). Skipped when the reference checkout is absent.
 """
-import os
 from pathlib import Path
 
 import pytest
@@ -64,7 +63,8 @@ class TestReferenceConfigCompat:
         assert sc.phase_sigma == 5.0
         assert sc.xb_phase_pca_dim == 8 and sc.xb_phase_knn_k == 20
         assert sc.xb_knn_k == 16 and sc.xb_temperature == 0.5
-        assert sc.evt_enabled and sc.evt_tau_learned == 2.0
+        # EVT block ships with weight 0.0 ("disabled") -> NOT enabled
+        assert not sc.evt_enabled
         # per-loss bindings weights reach the weights dict
         w = cb.build_loss_weights(d, b)
         assert w["spatial_infonce"] == 0.5
