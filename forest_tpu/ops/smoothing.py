@@ -36,13 +36,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from forest_tpu.ops._util import LANE as _LANE
+from forest_tpu.ops._util import on_tpu as _on_tpu
+from forest_tpu.ops._util import round_up as _round_up
+
 Array = jax.Array
-
-_LANE = 128
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def _direction_bank() -> np.ndarray:
@@ -427,13 +425,6 @@ def _bank_mix_bwd(nd, dc, interpret, res, g):
 _bank_mix_pallas.defvjp(_bank_mix_fwd, _bank_mix_bwd)
 
 
-def _on_tpu() -> bool:
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:  # pragma: no cover
-        return False
-
-
 def bank_mix(x: Array, a_w: Array, b_w: Array, *, num_directions: int = 4,
              coarse_dilation: int = 3, use_pallas: Optional[bool] = None,
              interpret: bool = False) -> Array:
@@ -445,6 +436,15 @@ def bank_mix(x: Array, a_w: Array, b_w: Array, *, num_directions: int = 4,
     if use_pallas is None:
         use_pallas = _on_tpu()
     if use_pallas or interpret:
+        # Halo rows come from the adjacent row TILES, so the dilation is
+        # bounded by the backward kernel's halved row tile: beyond it the
+        # halo window silently truncates (forward) or the backward fails
+        # at trace time with an opaque broadcast error.
+        if coarse_dilation > _TH // 2:
+            raise ValueError(
+                f"coarse_dilation={coarse_dilation} exceeds the Pallas "
+                f"kernel's halo capacity ({_TH // 2} = row tile / 2); use "
+                "use_pallas=False for larger dilations")
         return _bank_mix_pallas(x, a_w, b_w, num_directions, coarse_dilation,
                                 interpret)
     return bank_mix_xla(x, a_w, b_w, num_directions=num_directions,

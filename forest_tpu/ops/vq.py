@@ -32,13 +32,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from forest_tpu.ops._util import LANE as _LANE
+from forest_tpu.ops._util import on_tpu as _on_tpu
+from forest_tpu.ops._util import round_up as _round_up
+
 Array = jax.Array
-
-_LANE = 128
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 # ---------------------------------------------------------------------------
@@ -59,8 +57,21 @@ def vq_distances_xla(x: Array, codebook: Array) -> Array:
     return x2 - 2.0 * xc + c2[None, :]
 
 
+def _sanitize_dist(d: Array) -> Array:
+    """NaN distances -> +inf on EVERY path, so both backends agree:
+
+    - a NaN INPUT row NaNs the whole row -> all-inf -> argmin 0 (the
+      containment index; unchanged behavior);
+    - a NaN CODEBOOK row NaNs only its column -> that code is simply never
+      assigned (it decays dead and is reseedable) instead of the paths
+      diverging (XLA's raw argmin would pick the NaN code, the Pallas
+      kernels' comparison-based argmin would pick 0 -- a silent
+      bit-parity break that also hides codebook corruption)."""
+    return jnp.where(jnp.isnan(d), jnp.float32(jnp.inf), d)
+
+
 def _vq_core_xla(x: Array, codebook: Array) -> Tuple[Array, Array, Array, Array]:
-    d = vq_distances_xla(x, codebook)
+    d = _sanitize_dist(vq_distances_xla(x, codebook))
     idx = jnp.argmin(d, axis=-1).astype(jnp.int32)  # lowest-index tie-break
     onehot = jax.nn.one_hot(idx, codebook.shape[0], dtype=jnp.float32)
     q = jnp.dot(onehot, codebook.astype(jnp.float32),
@@ -95,6 +106,10 @@ def _vq_kernel(x_ref, c_ref, c2_ref, idx_ref, q_ref, counts_ref, sums_ref,
         x, c, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     dist = c2_ref[...] - 2.0 * xc  # c2 is [1, K], broadcasts over rows
+    # NaN -> +inf: identical to _sanitize_dist on the XLA path, so NaN
+    # input rows land on index 0 and NaN codebook rows are never assigned
+    # on EITHER backend.
+    dist = jnp.where(jnp.isnan(dist), jnp.float32(jnp.inf), dist)
 
     k = dist.shape[1]
     # Deterministic lowest-index argmin on the VPU.
@@ -102,9 +117,8 @@ def _vq_kernel(x_ref, c_ref, c2_ref, idx_ref, q_ref, counts_ref, sums_ref,
     col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, dimension=1)
     big = jnp.int32(k)
     idx = jnp.min(jnp.where(dist <= min_d, col, big), axis=1)  # [T]
-    # All-NaN distance rows satisfy no comparison -> idx == k; clamp to 0
-    # to match jnp.argmin's NaN-row convention on the XLA path (the
-    # sentinel must never leak as an out-of-range code index).
+    # Backstop: the sanitize above makes min_d finite-or-inf, so some
+    # column always satisfies <=; never leak k as an index regardless.
     idx = jnp.where(idx >= k, 0, idx)
     idx_ref[...] = idx[:, None]
 
@@ -209,11 +223,13 @@ def _vq_assign_kernel(x_ref, c_ref, c2_ref, idx_ref, *, mxu_bf16: bool):
         c, x, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     dist = c2_ref[...] - 2.0 * xc                      # c2 [K, 1] broadcasts
+    # NaN -> +inf (same convention as _sanitize_dist / _vq_kernel).
+    dist = jnp.where(jnp.isnan(dist), jnp.float32(jnp.inf), dist)
     min_d = jnp.min(dist, axis=0, keepdims=True)       # [1, T]
     row = jax.lax.broadcasted_iota(jnp.int32, dist.shape, dimension=0)
     idx = jnp.min(jnp.where(dist <= min_d, row, jnp.int32(dist.shape[0])),
                   axis=0, keepdims=True)               # [1, T]
-    # all-NaN rows: match jnp.argmin's convention (index 0), never leak k
+    # backstop only; the sanitize above keeps the comparison satisfiable
     idx = jnp.where(idx >= jnp.int32(dist.shape[0]), 0, idx)
     idx_ref[...] = idx
 
@@ -257,13 +273,6 @@ def _vq_assign_pallas(x: Array, codebook: Array, *, tile_n: int = 2048,
     return idx[0, :n]
 
 
-def _on_tpu() -> bool:
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:  # pragma: no cover
-        return False
-
-
 def vq_core(x: Array, codebook: Array, *, use_pallas: Optional[bool] = None,
             interpret: bool = False) -> Tuple[Array, Array, Array, Array]:
     """Fused assignment pass: (indices [N], quantized [N,D], counts [K], sums [K,D]).
@@ -289,12 +298,28 @@ def vq_assign(x: Array, codebook: Array, *, use_pallas: Optional[bool] = None,
     CLAUDE.md parity gate); pass ``mxu_bf16=True`` to opt into XLA-DEFAULT
     -precision bf16 distances (near-ties may flip) for extra speed.
     """
+    known = {"mxu_bf16", "tile_n"}
+    bad = set(kw) - known
+    if bad:
+        raise TypeError(f"vq_assign got unexpected kwargs {sorted(bad)}; "
+                        f"accepted: {sorted(known)}")
     if use_pallas is None:
         use_pallas = _on_tpu()
     if use_pallas or interpret:
         return _vq_assign_pallas(x, codebook, interpret=interpret, **kw)
-    d = vq_distances_xla(x, codebook)
-    return jnp.argmin(d, axis=-1).astype(jnp.int32)
+    # XLA fallback honors the same numerics knobs instead of silently
+    # dropping them: mxu_bf16 rounds the matmul operands to bf16 with f32
+    # accumulation, matching the kernel's cast.
+    if kw.get("mxu_bf16"):
+        x32 = x.astype(jnp.float32)
+        c32 = codebook.astype(jnp.float32)
+        xc = jnp.dot(x32.astype(jnp.bfloat16), c32.astype(jnp.bfloat16).T,
+                     preferred_element_type=jnp.float32)
+        d = (jnp.sum(x32 * x32, -1, keepdims=True) - 2.0 * xc
+             + jnp.sum(c32 * c32, -1)[None, :])
+    else:
+        d = vq_distances_xla(x, codebook)
+    return jnp.argmin(_sanitize_dist(d), axis=-1).astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -377,7 +402,24 @@ class VQStats(NamedTuple):
     code_usage: Array     # [K] cumulative (non-EMA) assignment counts
 
     @staticmethod
-    def init(num_codes: int, code_dim: int, dtype=jnp.float32) -> "VQStats":
+    def init(num_codes: int, code_dim: int, dtype=jnp.float32,
+             codebook: Optional[Array] = None) -> "VQStats":
+        """``codebook`` given (the production path, vqvae_step
+        init_train_state): seed cluster_size=1 and cluster_sum=codebook so
+        a never-assigned code's EMA ratio stays EXACTLY its init vector
+        (size and sum decay at the same rate) instead of collapsing to the
+        zero vector on the first update -- zero-init made every unassigned
+        code row 0/smoothed = 0 after batch 1, and identical zero rows
+        dead-lock under the lowest-index tie-break (permanent capacity
+        loss unless reseeding runs). Without a codebook the legacy
+        zero-init is kept for callers that fold stats from scratch."""
+        if codebook is not None:
+            # copy=True: the stats leaf must not ALIAS the params leaf --
+            # a shared buffer donated twice (donate_argnums on the train
+            # state) is an XLA execution error.
+            return VQStats(jnp.ones((num_codes,), dtype),
+                           jnp.array(codebook, dtype=dtype, copy=True),
+                           jnp.zeros((num_codes,), dtype))
         return VQStats(jnp.zeros((num_codes,), dtype),
                        jnp.zeros((num_codes, code_dim), dtype),
                        jnp.zeros((num_codes,), dtype))

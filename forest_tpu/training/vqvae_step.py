@@ -62,7 +62,10 @@ def init_train_state(model: VQVAE, optimizer: optax.GradientTransformation,
     return VQVAETrainState(
         params=params,
         opt_state=optimizer.init(params),
-        vq_stats=vq_ops.VQStats.init(model.codebook_size, model.emb_dim),
+        # codebook-seeded EMA state: unassigned codes keep their init
+        # vectors instead of zero-collapsing on the first update
+        vq_stats=vq_ops.VQStats.init(model.codebook_size, model.emb_dim,
+                                     codebook=params["codebook"]),
         step=jnp.zeros((), jnp.int32),
     )
 

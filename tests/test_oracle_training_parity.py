@@ -74,8 +74,9 @@ class TorchOracle:
         self.torch = torch
         self.p = {k: torch.nn.Parameter(torch.from_numpy(v.copy()))
                   for k, v in flatten_params(flax_params).items()}
-        self.cluster_size = torch.zeros(K)
-        self.cluster_sum = torch.zeros(K, EMB)
+        # mirrors VQStats.init(codebook=...): size ones, sum = codebook
+        self.cluster_size = torch.ones(K)
+        self.cluster_sum = self.p["codebook"].detach().clone()
         others = [v for k, v in self.p.items() if k != "codebook"]
         self.opt = torch.optim.AdamW(
             [{"params": others, "weight_decay": WD},

@@ -125,3 +125,20 @@ class TestModuleIntegration:
             channels=48, use_pallas=False).apply(p, x, min_gate=0.2)
         np.testing.assert_array_equal(np.asarray(out_auto),
                                       np.asarray(out_xla))
+
+
+class TestDilationValidation:
+    def test_oversized_coarse_dilation_rejected(self):
+        """Halo capacity bound: dilations beyond row-tile/2 used to run the
+        FORWARD silently (truncated halo) and crash the BACKWARD at trace
+        time with an opaque broadcast error."""
+        import pytest as _pytest
+        from forest_tpu.ops.smoothing import bank_mix
+        x = jnp.zeros((1, 32, 32, 8), jnp.float32)
+        a = jnp.full((1, 32, 32, 8, 2), 0.125, jnp.float32)
+        b = jnp.full((1, 32, 32, 8, 2), 0.5, jnp.float32)
+        with _pytest.raises(ValueError, match="coarse_dilation"):
+            bank_mix(x, a, b, coarse_dilation=9, interpret=True)
+        # the XLA path has no such bound
+        out = bank_mix(x, a, b, coarse_dilation=9, use_pallas=False)
+        assert out.shape == x.shape

@@ -189,3 +189,77 @@ class TestPerplexity:
     def test_single_code_is_one(self):
         c = jnp.zeros((16,)).at[3].set(100.0)
         assert float(vq.perplexity_from_counts(c)) == pytest.approx(1.0)
+
+
+class TestNanCodebookConvention:
+    def test_nan_code_never_assigned_both_paths(self):
+        x, cb = _rand(n=64, d=8, k=4)
+        cb = cb.at[2, 3].set(jnp.nan)
+        ix = vq.vq_core(x, cb, use_pallas=False)[0]
+        ip = vq._vq_core_pallas(x, cb, tile_n=256, interpret=True)[0]
+        np.testing.assert_array_equal(np.asarray(ix), np.asarray(ip))
+        assert not np.any(np.asarray(ix) == 2)  # NaN code is unassignable
+        ia = vq.vq_assign(x, cb, use_pallas=False)
+        np.testing.assert_array_equal(np.asarray(ia), np.asarray(ix))
+        iap = vq._vq_assign_pallas(x, cb, tile_n=256, interpret=True)
+        np.testing.assert_array_equal(np.asarray(iap), np.asarray(ix))
+
+    def test_nan_input_row_still_index_zero(self):
+        x, cb = _rand(n=16, d=8, k=4)
+        x = x.at[3].set(jnp.nan)
+        ix = vq.vq_core(x, cb, use_pallas=False)[0]
+        ip = vq._vq_core_pallas(x, cb, tile_n=256, interpret=True)[0]
+        np.testing.assert_array_equal(np.asarray(ix), np.asarray(ip))
+        assert int(ix[3]) == 0
+
+
+class TestVqAssignKwargs:
+    def test_unknown_kwarg_rejected_on_every_path(self):
+        x, cb = _rand(n=8, d=8, k=4)
+        import pytest as _pytest
+        with _pytest.raises(TypeError, match="unexpected"):
+            vq.vq_assign(x, cb, use_pallas=False, mxu_bf1=True)
+
+    def test_mxu_bf16_honored_on_xla_path(self):
+        x, cb = _rand(n=64, d=8, k=4)
+        i_b = vq.vq_assign(x, cb, use_pallas=False, mxu_bf16=True)
+        i_f = vq.vq_assign(x, cb, use_pallas=False)
+        # bf16 rounding may flip near-ties but must stay a valid assignment
+        assert np.asarray(i_b).shape == np.asarray(i_f).shape
+        assert np.all((np.asarray(i_b) >= 0) & (np.asarray(i_b) < 4))
+        # on well-separated data the assignments agree exactly
+        far = jnp.concatenate([cb[k][None] + 0.01 for k in range(4)])
+        np.testing.assert_array_equal(
+            np.asarray(vq.vq_assign(far, cb, use_pallas=False,
+                                    mxu_bf16=True)),
+            np.arange(4))
+
+
+class TestCodebookSeededEmaInit:
+    def test_unassigned_codes_keep_init_exactly(self):
+        """Ratio invariance: with size=1/sum=codebook seeding, a code that
+        never receives assignments keeps its init vector bit-exactly
+        through EMA updates (regression: zero-init collapsed every
+        unassigned code to the zero vector on the FIRST update, and
+        identical zero rows dead-lock under lowest-index tie-break)."""
+        rng = np.random.default_rng(3)
+        cb = jnp.asarray(rng.normal(size=(4, 8)).astype(np.float32))
+        stats = vq.VQStats.init(4, 8, codebook=cb)
+        # all samples sit on code 0
+        x = jnp.broadcast_to(cb[0], (32, 8)) + 0.01
+        r = vq.quantize_ema(x, cb, use_pallas=False)
+        assert float(r.counts[0]) == 32 and float(r.counts[2]) == 0
+        new_cb = cb
+        for _ in range(5):
+            stats, new_cb = vq.ema_codebook_update(stats, new_cb, r.counts,
+                                                   r.sums)
+        got = np.asarray(new_cb)
+        # assigned code moved toward the data
+        assert np.linalg.norm(got[0] - np.asarray(cb[0])) > 0
+        # unassigned codes: ratio sum/size == init codebook (up to the
+        # Laplace smoothing factor, identical across these codes)
+        for k in (1, 2, 3):
+            scale = got[k] / np.asarray(cb[k])
+            np.testing.assert_allclose(scale, scale[0], rtol=1e-5)
+            assert np.all(np.abs(scale - 1.0) < 0.05)  # near-invariant
+        assert not np.any(np.all(got == 0.0, axis=1))  # nobody zeroed
