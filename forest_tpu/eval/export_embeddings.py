@@ -39,6 +39,16 @@ def export_embeddings(encode_type_fn, dataset, out_path: str | Path,
 
     h, w = dataset.height, dataset.width
     p = dataset.patch_size
+    # Never write into an existing cube: zarrlite only rewrites metadata,
+    # so stale chunk files from a previous run (possibly under a DIFFERENT
+    # chunk grid) would read back as valid embeddings. Re-exports must
+    # remove or rename the old output first.
+    out_path = Path(out_path)
+    if (out_path / ".zgroup").exists():
+        raise FileExistsError(
+            f"{out_path} already holds a zarr group; remove it (or pick a "
+            "new --out) before re-exporting -- stale chunks from an old "
+            "run would silently mix into the new embedding cube")
     root = zl.create_group(out_path)
     root.attrs["source_cube"] = str(dataset.bindings.zarr_path)
     root.attrs["z_type_dim"] = int(z_dim)
@@ -62,6 +72,10 @@ def export_embeddings(encode_type_fn, dataset, out_path: str | Path,
         # Thread-pool prefetch overlaps host decode of batch i+1 with device
         # compute of batch i and zarr writeback of batch i-1 (the host-bound
         # export fix: decode, compute, and IO run concurrently).
+        # close() in the finally below: an exception mid-export must tear
+        # the feeder/pool down NOW, not at generator GC -- in-flight
+        # load_batch futures would otherwise race the _current_indices
+        # restore and pin decoded batches.
         loader = PrefetchLoader(dataset, iter(batches), num_workers=2,
                                 prefetch=2)
         # Writer thread: the device->host transfer rides a slow relay link
@@ -91,6 +105,7 @@ def export_embeddings(encode_type_fn, dataset, out_path: str | Path,
                 futures.popleft().result()
         finally:
             writer.shutdown(wait=False, cancel_futures=True)
+            loader.close()
     finally:
         dataset._current_indices = saved
     return root

@@ -28,13 +28,20 @@ Array = jax.Array
 
 
 class StreamingRidge:
-    """Accumulate sufficient statistics for ridge regression with bias."""
+    """Accumulate sufficient statistics for ridge regression with bias.
 
-    def __init__(self, in_dim: int, out_dim: int):
+    ``f64_blocks=True`` computes each block's Gram product on the HOST in
+    float64 (matching the reference's ``Xaug.astype(np.float64)`` before
+    ``Xaug.T @ Xaug``, fit_phase_linear_probe.py:668-675); the default
+    keeps the fast device f32 per-block product with float64 cross-block
+    accumulation."""
+
+    def __init__(self, in_dim: int, out_dim: int, f64_blocks: bool = False):
         d = in_dim + 1  # bias column
         self.xtx = np.zeros((d, d), np.float64)
         self.xty = np.zeros((d, out_dim), np.float64)
         self.n = 0
+        self.f64_blocks = f64_blocks
 
         @jax.jit
         def _acc(x, y, valid):
@@ -52,6 +59,17 @@ class StreamingRidge:
     def update(self, x: Array, y: Array,
                valid: Optional[Array] = None) -> None:
         """x [N, D]; y [N, K]; valid [N]."""
+        if self.f64_blocks:
+            x = np.asarray(x, np.float64)
+            y = np.asarray(y, np.float64)
+            if valid is None:
+                valid = np.isfinite(y).all(1) & np.isfinite(x).all(1)
+            v = np.asarray(valid, bool)
+            xb = np.concatenate([x, np.ones((x.shape[0], 1))], axis=1)[v]
+            self.xtx += xb.T @ xb
+            self.xty += xb.T @ y[v]
+            self.n += int(v.sum())
+            return
         if valid is None:
             valid = jnp.all(jnp.isfinite(y), axis=1) \
                 & jnp.all(jnp.isfinite(x), axis=1)

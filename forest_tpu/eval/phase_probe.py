@@ -103,21 +103,69 @@ class PhaseProbePreprocessor:
                    np.asarray(pca) if pca is not None else None)
 
 
+def make_probe_mask_fn(fb, type_feature: str = "type_encoder_input",
+                       phase_feature: str = "phase_ccdc",
+                       static_masks: Tuple[str, ...] = ("static_mask.aoi",
+                                                        "static_mask.forest")
+                       ):
+    """Per-anchor validity beyond the target mask: the reference probe
+    ANDs the encoder-input mask, the phase-input mask (all T), and the
+    aoi/forest masks (fit_phase_linear_probe.py:146-165) so the ridge
+    never fits on out-of-AOI, non-forest, or masked-input pixels (whose
+    feature-builder outputs are zero-filled garbage). Missing mask
+    channels are skipped."""
+    refs = []
+    for ref in static_masks:
+        g, c = ref.split(".")
+        if g in fb.bindings.dataset:
+            try:
+                refs.append((g, fb.bindings.dataset[g].channel_index(c)))
+            except (KeyError, ValueError):
+                pass
+
+    @jax.jit
+    def mask(batch, coords):
+        def one(groups):
+            ok = jnp.ones((coords.shape[0],), bool)
+            for g, ci in refs:
+                grid = groups[g][..., ci]
+                ok = ok & (grid[coords[:, 0], coords[:, 1]] > 0)
+            _, mt = fb.build_feature_at_locations(type_feature, groups,
+                                                  coords)
+            ok = ok & mt.reshape(coords.shape[0], -1).all(-1)
+            _, mp = fb.build_feature_at_locations(phase_feature, groups,
+                                                  coords)
+            return ok & mp.reshape(coords.shape[0], -1).all(-1)
+
+        return jax.vmap(one, in_axes=({k: 0 for k in batch},))(
+            {k: v for k, v in batch.items()})
+
+    return mask
+
+
 def iter_phase_blocks(encode_type_fn: Callable, encode_phase_fn: Callable,
                       ds, anchor_stride: int, halo: int, batch_size: int,
-                      max_batches: Optional[int]
+                      max_batches: Optional[int],
+                      mask_fn: Optional[Callable] = None,
+                      keep_groups: Optional[set] = None
                       ) -> Iterator[Tuple[np.ndarray, np.ndarray,
                                           np.ndarray, np.ndarray]]:
     """Yield (zt [B,A,dt], zp [B,A,T,dp], y [B,A,T,C], valid [B,A,T]).
 
     Anchors on a strided grid excluding a ``halo`` border (the reference's
     _halo_mask :87-98 keeps probe pixels away from boundary padding).
+    ``mask_fn(batch, coords) -> [B, A] bool`` ANDs into the target-mask
+    validity (see :func:`make_probe_mask_fn`); ``keep_groups`` restricts
+    the device transfer to the groups the probe needs (the relay H2D link
+    is the documented bottleneck).
     """
     n = len(ds)
     count = 0
     for i in range(0, n, batch_size):
         idx = list(range(i, min(i + batch_size, n)))
-        batch = {k: jnp.asarray(v) for k, v in ds.load_batch(idx).items()}
+        batch = {k: jnp.asarray(v) for k, v in ds.load_batch(idx).items()
+                 if not k.startswith("__")
+                 and (keep_groups is None or k in keep_groups)}
         zt = encode_type_fn(batch)                      # [B, H, W, dt]
         h, w = zt.shape[1:3]
         rr, cc = jnp.meshgrid(
@@ -127,8 +175,11 @@ def iter_phase_blocks(encode_type_fn: Callable, encode_phase_fn: Callable,
         zp, ta, tm = encode_phase_fn(batch, coords)     # [B,A,T,dp], tgt
         zt_a = jax.vmap(lambda z, c: z[c[:, 0], c[:, 1]],
                         in_axes=(0, None))(zt, coords)  # [B, A, dt]
-        yield (np.asarray(zt_a), np.asarray(zp), np.asarray(ta),
-               np.asarray(tm).all(-1))
+        valid = np.asarray(tm).all(-1)
+        if mask_fn is not None:
+            anchor_ok = np.asarray(mask_fn(batch, coords))   # [B, A]
+            valid = valid & anchor_ok[:, :, None]
+        yield (np.asarray(zt_a), np.asarray(zp), np.asarray(ta), valid)
         count += 1
         if max_batches and count >= max_batches:
             break
@@ -148,15 +199,19 @@ def fit_phase_probe(encode_type_fn: Callable, encode_phase_fn: Callable,
                     interaction_pca_k: int = 20,
                     ridge_lambda: float = 1e-3, anchor_stride: int = 4,
                     halo: int = 8, batch_size: int = 2,
-                    max_batches: Optional[int] = None
+                    max_batches: Optional[int] = None,
+                    mask_fn: Optional[Callable] = None,
+                    keep_groups: Optional[set] = None
                     ) -> Tuple[np.ndarray, PhaseProbePreprocessor]:
     """Two-pass streaming ridge (:573-697). Returns (W [D_out+1, C],
-    preprocessor); W's last row is the bias."""
+    preprocessor); W's last row is the bias. Normal equations accumulate
+    in float64 on the host (the reference's f64 Gram contract)."""
 
     def blocks():
         return iter_phase_blocks(encode_type_fn, encode_phase_fn, ds_train,
                                  anchor_stride, halo, batch_size,
-                                 max_batches)
+                                 max_batches, mask_fn=mask_fn,
+                                 keep_groups=keep_groups)
 
     # ---- pass 1: column stats + interaction PCA (:403-571) --------------
     sum_x = sum_x2 = sum_ii = None
@@ -206,8 +261,9 @@ def fit_phase_probe(encode_type_fn: Callable, encode_phase_fn: Callable,
         x = pre.transform(build_design_matrix(zt_f, zp_f, design))
         y_f = y.reshape(-1, y.shape[-1])[valid.reshape(-1)]
         if ridge is None:
-            ridge = StreamingRidge(x.shape[1], y_f.shape[1])
-        ridge.update(jnp.asarray(x, jnp.float32), jnp.asarray(y_f))
+            ridge = StreamingRidge(x.shape[1], y_f.shape[1],
+                                   f64_blocks=True)
+        ridge.update(x, y_f)
     w = ridge.solve(ridge_lambda)
     return w, pre
 
@@ -290,6 +346,11 @@ def _spearman_rho2(pred: np.ndarray, y: np.ndarray) -> float:
     return rho * rho
 
 
+def _nanmean(d: Dict[str, float]) -> float:
+    vals = np.asarray(list(d.values()), np.float64)
+    return float(np.nanmean(vals)) if vals.size else float("nan")
+
+
 def _scale_metrics(sse, sum_y, sum_y2, n, names, suffix=""):
     out_mse, out_r2 = {}, {}
     for c, name in enumerate(names):
@@ -300,12 +361,13 @@ def _scale_metrics(sse, sum_y, sum_y2, n, names, suffix=""):
         out_mse[name] = sse[c] / n[c]
         out_r2[name] = 1.0 - sse[c] / ss_tot
     tot_n = float(n.sum())
-    tot_ss = max(float((sum_y2 - sum_y ** 2 / np.maximum(n, 1)).sum()),
-                 1e-12)
+    # Totals are the MEAN OF PER-CHANNEL values (the reference's
+    # definition, fit_phase_linear_probe.py:1054-1069), not pooled sums --
+    # pooled totals let a high-variance channel dominate arbitrarily.
     return {f"mse_per_channel{suffix}": out_mse,
             f"r2_per_channel{suffix}": out_r2,
             f"mse_total{suffix}": float(sse.sum()) / max(tot_n, 1.0),
-            f"r2_total{suffix}": 1.0 - float(sse.sum()) / tot_ss}
+            f"r2_total{suffix}": _nanmean(out_r2)}
 
 
 def evaluate_phase_probe(encode_type_fn: Callable,
@@ -314,7 +376,9 @@ def evaluate_phase_probe(encode_type_fn: Callable,
                          target_feature: str, *, anchor_stride: int = 4,
                          halo: int = 8, batch_size: int = 2,
                          max_batches: Optional[int] = None,
-                         rng_seed: int = 0) -> Dict:
+                         rng_seed: int = 0,
+                         mask_fn: Optional[Callable] = None,
+                         keep_groups: Optional[set] = None) -> Dict:
     """Streamed evaluation (:787-1076): per-channel + total MSE / R^2 /
     Spearman rho^2 in normalized and original scales, temporal
     (within-pixel) R^2, and the within-pixel variance fraction."""
@@ -340,7 +404,8 @@ def evaluate_phase_probe(encode_type_fn: Callable,
 
     for zt, zp, y, valid in iter_phase_blocks(
             encode_type_fn, encode_phase_fn, ds, anchor_stride, halo,
-            batch_size, max_batches):
+            batch_size, max_batches, mask_fn=mask_fn,
+            keep_groups=keep_groups):
         b, a, t, _ = zp.shape
         zt_f, zp_f, m = _flatten_rows(zt, zp, valid)
         if zt_f.shape[0] == 0:
@@ -404,15 +469,14 @@ def evaluate_phase_probe(encode_type_fn: Callable,
         per = {nm: (1.0 - sse_t[c] / max(ss_t[c], 1e-12)) if ss_t[c] > 0
                else float("nan") for c, nm in enumerate(names)}
         out[f"r2_temporal_per_channel{suffix}"] = per
-        out[f"r2_temporal_total{suffix}"] = \
-            1.0 - float(sse_t.sum()) / max(float(ss_t.sum()), 1e-12)
+        out[f"r2_temporal_total{suffix}"] = _nanmean(per)
     ss_tot = np.maximum(acc["sum_y2"] - acc["sum_y"] ** 2
                         / np.maximum(n_obs, 1.0), 1e-12)
     out["variance_fraction_temporal"] = {
         nm: float(acc["ss_t"][c] / ss_tot[c])
         for c, nm in enumerate(names)}
     out["variance_fraction_temporal_total"] = \
-        float(acc["ss_t"].sum() / ss_tot.sum())
+        _nanmean(out["variance_fraction_temporal"])
     for suffix, off in (("", 0), ("_original", 1)):
         per = {}
         for c, nm in enumerate(names):
@@ -420,6 +484,7 @@ def evaluate_phase_probe(encode_type_fn: Callable,
             buf = r.sample() if r.n_seen else np.zeros((0, 2))
             per[nm] = _spearman_rho2(buf[:, 0], buf[:, 1])
         out[f"spearman_rho2_per_channel{suffix}"] = per
+        out[f"spearman_rho2_total{suffix}"] = _nanmean(per)
     return out
 
 
@@ -442,7 +507,8 @@ def format_phase_probe_report(m: Dict, prefix: str = "") -> str:
     lines.append(
         f"  {'TOTAL':<22s} {m['r2_total']:>8.4f} "
         f"{m['r2_total_original']:>8.4f} {m['r2_temporal_total']:>8.4f} "
-        f"{'':>8} {m['mse_total']:>10.4g} "
+        f"{m.get('spearman_rho2_total', float('nan')):>8.4f} "
+        f"{m['mse_total']:>10.4g} "
         f"{100 * m['variance_fraction_temporal_total']:>6.1f}%")
     return "\n".join(lines)
 
@@ -467,7 +533,12 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=main.__doc__)
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--bindings", required=True)
-    ap.add_argument("--target-feature", default="phase_ccdc")
+    ap.add_argument("--target-feature", default=None,
+                    help="defaults to the phase loss's neighborhood_target "
+                         "feature from the bindings (the reference's "
+                         "PHASE_TARGET_FEATURE contract); falls back to "
+                         "the phase INPUT feature with a warning, which "
+                         "measures reconstruction, not prediction")
     ap.add_argument("--patch-size", type=int, default=256)
     ap.add_argument("--split-block-size", type=int, nargs=2, default=(4, 4))
     ap.add_argument("--batch-size", type=int, default=2)
@@ -485,7 +556,28 @@ def main(argv=None):
     fb = FeatureBuilder(bindings)
     model, params = frozen.load_frozen_model(a.checkpoint)
     enc_t, enc_p, _ = frozen.make_encode_fns(model, params, fb)
+    type_feature = getattr(model, "type_feature", "type_encoder_input")
+    phase_feature = getattr(model, "phase_feature", "phase_ccdc")
+    target_feature = a.target_feature
+    if target_feature is None:
+        ph = (bindings.losses or {}).get("phase_neighborhood") or {}
+        nt = ph.get("neighborhood_target")
+        if isinstance(nt, str):
+            target_feature = nt.split(".", 1)[1] \
+                if nt.startswith("features.") else nt
+        if target_feature is None or target_feature not in bindings.features:
+            target_feature = phase_feature
+            import sys
+            print(f"[phase_probe] warning: no phase neighborhood_target in "
+                  f"the bindings; probing against the phase INPUT feature "
+                  f"{target_feature!r} measures reconstruction, not "
+                  "prediction (pass --target-feature to override)",
+                  file=sys.stderr)
+    a.target_feature = target_feature
     targets = frozen.make_phase_target_fn(fb, a.target_feature)
+    mask_fn = make_probe_mask_fn(fb, type_feature, phase_feature)
+    keep = set(bindings.groups_for_features(
+        [type_feature, phase_feature, a.target_feature])) | {"static_mask"}
 
     def enc_phase_fn(batch, coords):
         zp = enc_p(batch, coords)
@@ -503,12 +595,14 @@ def main(argv=None):
         enc_t, enc_phase_fn, ds["train"], design=a.design,
         interaction_pca_k=a.interaction_pca_k,
         ridge_lambda=a.ridge_lambda, anchor_stride=a.anchor_stride,
-        halo=a.halo, batch_size=a.batch_size, max_batches=mb)
+        halo=a.halo, batch_size=a.batch_size, max_batches=mb,
+        mask_fn=mask_fn, keep_groups=keep)
     for split in ("train", "val"):
         metrics = evaluate_phase_probe(
             enc_t, enc_phase_fn, ds[split], w, pre, fb, a.target_feature,
             anchor_stride=a.anchor_stride, halo=a.halo,
-            batch_size=a.batch_size, max_batches=mb)
+            batch_size=a.batch_size, max_batches=mb,
+            mask_fn=mask_fn, keep_groups=keep)
         print(format_phase_probe_report(metrics, split))
     if a.output:
         Path(a.output).write_text(json.dumps(
