@@ -39,17 +39,33 @@ def pair_similarity(a: Array, b: Array, kind: str = "l2",
     raise ValueError(f"unknown similarity {kind!r}")
 
 
+# eps added INSIDE the per-anchor log, in the shared-max shifted space
+# (reference contrastive.py:203-206): saturates a hard anchor's loss near
+# log_all - log(eps) ~ 18.4 nats and zeroes the vanished positive's
+# gradient, instead of growing unboundedly (~87 nats at the f32 floor).
+_LSE_EPS = 1e-8
+
+
 def segment_logsumexp(logits: Array, segment_ids: Array, num_segments: int,
-                      valid: Array) -> Tuple[Array, Array]:
-    """Masked per-segment logsumexp. Returns (lse [S], has_any [S] bool)."""
+                      valid: Array,
+                      shift: Optional[Array] = None
+                      ) -> Tuple[Array, Array]:
+    """Masked per-segment logsumexp with the reference's in-log eps.
+
+    ``shift``: optional per-segment max to use (so the positive-subset sum
+    shares the ALL-pairs shift, reference :178-206). Returns
+    (lse [S], has_any [S] bool)."""
     logits = jnp.where(valid, logits, _NEG)
-    seg_max = jax.ops.segment_max(logits, segment_ids, num_segments)
-    has_any = seg_max > _NEG / 2
-    seg_max_safe = jnp.where(has_any, seg_max, 0.0)
-    shifted = jnp.exp(jnp.where(valid, logits - seg_max_safe[segment_ids], _NEG))
+    seg_max = jax.ops.segment_max(logits, segment_ids, num_segments) \
+        if shift is None else shift
+    has_any = jax.ops.segment_max(
+        valid.astype(jnp.int32), segment_ids, num_segments) > 0
+    seg_max_safe = jnp.where(seg_max > _NEG / 2, seg_max, 0.0)
+    shifted = jnp.exp(jnp.where(valid, logits - seg_max_safe[segment_ids],
+                                _NEG))
     shifted = jnp.where(valid, shifted, 0.0)
     seg_sum = jax.ops.segment_sum(shifted, segment_ids, num_segments)
-    lse = jnp.log(jnp.maximum(seg_sum, 1e-38)) + seg_max_safe
+    lse = jnp.log(seg_sum + _LSE_EPS) + seg_max_safe
     return lse, has_any
 
 
@@ -57,7 +73,7 @@ def contrastive_loss(z_anchor: Array, z_other: Array, anchor_ids: Array,
                      is_positive: Array, num_anchors: int,
                      weights: Optional[Array] = None,
                      pair_valid: Optional[Array] = None,
-                     similarity: str = "l2", temperature: float = 0.2
+                     similarity: str = "l2", temperature: float = 0.07
                      ) -> Tuple[Array, dict]:
     """Weighted anchor-grouped InfoNCE.
 
@@ -78,10 +94,14 @@ def contrastive_loss(z_anchor: Array, z_other: Array, anchor_ids: Array,
     logits = sim / temperature + logw
 
     pos_valid = pair_valid & is_positive
+    # positives share the ALL-pairs per-anchor max (reference :178-206),
+    # so the in-log eps saturates hard anchors consistently
+    all_max = jax.ops.segment_max(jnp.where(pair_valid, logits, _NEG),
+                                  anchor_ids, num_anchors)
     lse_all, has_all = segment_logsumexp(logits, anchor_ids, num_anchors,
-                                         pair_valid)
+                                         pair_valid, shift=all_max)
     lse_pos, has_pos = segment_logsumexp(logits, anchor_ids, num_anchors,
-                                         pos_valid)
+                                         pos_valid, shift=all_max)
     per_anchor = lse_all - lse_pos
     anchor_ok = has_pos & has_all
     denom = jnp.maximum(jnp.sum(anchor_ok.astype(jnp.float32)), 1.0)
@@ -101,7 +121,7 @@ def contrastive_loss_grouped(z_anchor: Array, z_other: Array,
                              is_positive: Array,
                              weights: Optional[Array] = None,
                              pair_valid: Optional[Array] = None,
-                             similarity: str = "l2", temperature: float = 0.2
+                             similarity: str = "l2", temperature: float = 0.07
                              ) -> Tuple[Array, dict]:
     """Anchor-grouped InfoNCE over a REGULAR [S, K] pair layout.
 
@@ -125,14 +145,19 @@ def contrastive_loss_grouped(z_anchor: Array, z_other: Array,
     logw = jnp.log(jnp.maximum(weights.astype(jnp.float32), 1e-12))
     logits = sim / temperature + logw
 
+    # shared ALL-pairs shift + in-log eps (reference :178-206; see
+    # segment_logsumexp)
+    all_max = jnp.max(jnp.where(pair_valid, logits, _NEG), axis=1)  # [S]
+    m_safe = jnp.where(all_max > _NEG / 2, all_max, 0.0)
+
     def masked_lse(valid):
+        # pre-mask BEFORE exp: exp of a raw invalid logit can overflow
+        # when the shared shift is large-negative, and where() does not
+        # stop inf/NaN from poisoning the backward pass
         x = jnp.where(valid, logits, _NEG)
-        m = jnp.max(x, axis=1)                               # [S]
-        has = m > _NEG / 2
-        m_safe = jnp.where(has, m, 0.0)
         e = jnp.where(valid, jnp.exp(x - m_safe[:, None]), 0.0)
-        lse = jnp.log(jnp.maximum(jnp.sum(e, axis=1), 1e-38)) + m_safe
-        return lse, has
+        lse = jnp.log(jnp.sum(e, axis=1) + _LSE_EPS) + m_safe
+        return lse, valid.any(axis=1)
 
     pos_valid = pair_valid & is_positive
     lse_all, has_all = masked_lse(pair_valid)

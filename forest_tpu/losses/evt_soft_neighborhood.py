@@ -138,15 +138,20 @@ def evt_soft_neighborhood_loss(
     :meth:`EvtDiffusionMetric.lookup`; ``similarity`` the metric's [K, K]
     table; ``evt_codes`` raw codes (for the same-code exclusion).
     """
+    from forest_tpu.losses.soft_neighborhood import pairwise_sq_distances
+
     n = embeddings.shape[0]
-    sim = similarity[metric_idx[:, None], metric_idx[None, :]]  # [N, N]
+    # Pair->table hop as one-hot MXU matmuls, not an [N, N] 2-level int
+    # gather (TPU lowers those to serial loops -- CLAUDE.md perf rule;
+    # this sits inside the jitted FRL step when EVT is enabled).
+    k_codes = similarity.shape[0]
+    onehot = jax.nn.one_hot(metric_idx, k_codes, dtype=jnp.float32)  # [N,K]
+    sim = onehot @ (similarity.astype(jnp.float32) @ onehot.T)       # [N,N]
     vv = anchor_valid[:, None] & anchor_valid[None, :]
     sim = jnp.where(vv, sim, 0.0)
     d_ref = 1.0 - sim
 
-    e = embeddings.astype(jnp.float32)
-    e2 = jnp.sum(e * e, axis=1)
-    d2 = jnp.maximum(e2[:, None] - 2.0 * e @ e.T + e2[None, :], 0.0)
+    d2 = pairwise_sq_distances(embeddings.astype(jnp.float32))
     d_learned = jnp.sqrt(d2 + 1e-12)
 
     same_code = evt_codes[:, None] == evt_codes[None, :]

@@ -94,8 +94,11 @@ def phase_triplet_loss(embeddings_t0: Array, embeddings_t1: Array,
         "n_small": jnp.sum(~is_large & valid).astype(jnp.int32),
         "n_pixels_valid": jnp.sum((case != 3).astype(jnp.int32)),
         "n_pixels_skipped": jnp.sum((case == 3).astype(jnp.int32)),
-        "frac_satisfied": jnp.sum((violation < 0) & valid)
-        / jnp.maximum(k, 1),
+        # zero valid constraints -> vacuously ALL satisfied (reference
+        # triplet_phase.py:295 K==0 early-return reports 1.0)
+        "frac_satisfied": jnp.where(
+            k > 0, jnp.sum((violation < 0) & valid) / jnp.maximum(k, 1),
+            1.0),
     }
     return loss, stats
 

@@ -42,7 +42,7 @@ def build_step_config(bindings: BindingsConfig,
         neg_per_anchor=sp.get("neg_per_anchor", 4),
         spectral_sigma=sp.get("spectral_sigma", 2.0),
         min_pair_weight=sp.get("min_pair_weight", 0.05),
-        temperature=sp.get("temperature", 0.2),
+        temperature=sp.get("temperature", 0.07),
         similarity=sp.get("similarity", "l2"),
     )
     ph = losses.get("phase_neighborhood", {})
@@ -69,7 +69,9 @@ def build_step_config(bindings: BindingsConfig,
         xb_knn_k=spec.get("knn_k", 10),
         xb_chunk_size=spec.get("chunk_size", 128),
         xb_pos_min_spatial=spec.get("pos_min_spatial", 4.0),
-        xb_temperature=spec.get("temperature", 0.2),
+        xb_temperature=spec.get("temperature", 0.07),
+        xb_neg_tau=spec.get("spectral_neg_tau", 1.0),
+        xb_neg_min_weight=spec.get("spectral_neg_min_weight", 0.05),
     )
     vcr = losses.get("variance_covariance_type", {})
     kw.update(

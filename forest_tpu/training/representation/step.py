@@ -71,7 +71,8 @@ class StepConfig:
     neg_per_anchor: int = 4
     spectral_sigma: float = 2.0
     min_pair_weight: float = 0.05
-    temperature: float = 0.2
+    # 0.07: the reference's default when a config omits it
+    temperature: float = 0.07
     similarity: str = "l2"
     # VICReg
     vcr_std_target: float = 1.0
@@ -103,7 +104,13 @@ class StepConfig:
     xb_chunk_size: int = 128
     xb_pos_min_spatial: float = 4.0
     xb_neg_per_anchor: int = 4
-    xb_temperature: float = 0.2
+    # negative weighting 1-exp(-d/tau) floored at min_weight -- the
+    # reference's DEDICATED spectral knobs (step.py:747-748, defaults
+    # spectral_neg_tau=1.0 / spectral_neg_min_weight=0.05), distinct from
+    # the SPATIAL loss's spectral_weighting tau/min_weight
+    xb_neg_tau: float = 1.0
+    xb_neg_min_weight: float = 0.05
+    xb_temperature: float = 0.07
     # cross-batch phase (type-local spectral baseline)
     xb_phase_pca_dim: int = 8
     xb_phase_knn_k: int = 20
@@ -477,8 +484,8 @@ def make_process_batch(model, feature_builder: FeatureBuilder,
                                 axis=-1)
         # Reference contract (step.py:770-793): mutual-kNN positives are
         # UNWEIGHTED; negatives get clip(1 - exp(-d/sigma), min_w, 1).
-        w_neg = jnp.clip(1.0 - jnp.exp(-d_neg / cfg.spectral_sigma),
-                         cfg.min_pair_weight, 1.0)
+        w_neg = jnp.clip(1.0 - jnp.exp(-d_neg / cfg.xb_neg_tau),
+                         cfg.xb_neg_min_weight, 1.0)
 
         kp = knn_idx.shape[1]
         xb_idx = jnp.concatenate([knn_idx, neg_j], axis=1)   # [N, kp+nk]

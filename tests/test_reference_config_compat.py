@@ -63,6 +63,7 @@ class TestReferenceConfigCompat:
         assert sc.phase_sigma == 5.0
         assert sc.xb_phase_pca_dim == 8 and sc.xb_phase_knn_k == 20
         assert sc.xb_knn_k == 16 and sc.xb_temperature == 0.5
+        assert sc.xb_neg_tau == 1.0 and sc.xb_neg_min_weight == 0.05
         # EVT block ships with weight 0.0 ("disabled") -> NOT enabled
         assert not sc.evt_enabled
         # per-loss bindings weights reach the weights dict
