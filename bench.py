@@ -43,6 +43,13 @@ QUANTIZE_BUDGET_S = 150.0
 SECTION_BUDGET_S = {"probe": 90.0, "pipeline": 360.0,
                     "pallas": 240.0, "xla": 150.0}
 FRL_BUDGET_S = 420.0
+# Relay stalls are often transient (r2: the whole driver window was dead,
+# but same-evening sessions recover within minutes). Failed sections get ONE
+# retry after a cooldown -- highest-value first (quantize headline, then frl,
+# then probe/pipeline) -- bounded by a global wall-clock budget so the bench
+# always emits its JSON line inside the driver's patience.
+GLOBAL_BUDGET_S = 1800.0
+RETRY_COOLDOWN_S = 45.0
 
 
 def log(*a):
@@ -111,7 +118,7 @@ def _measure_quantize_kernel(use_pallas: bool) -> float:
             / N_PATCHES * 1e6)
 
 
-def bench_tpu_quantize():
+def bench_tpu_quantize(kernels=("pallas", "xla")):
     """Measure both kernels, each in its own sequential subprocess (see
     SECTION_BUDGET_S): an uninterruptible relay compile can only cost its
     budget window, and the XLA path is the fallback headline when the
@@ -122,7 +129,7 @@ def bench_tpu_quantize():
     results = {}
     skipped = []
     t_section = time.perf_counter()
-    for name in ("pallas", "xla"):
+    for name in kernels:
         spent = time.perf_counter() - t_section
         if results and spent > QUANTIZE_BUDGET_S:
             log(f"[bench] skipping {name} cross-check: {spent:.0f}s in "
@@ -400,6 +407,22 @@ def _pipeline_child() -> None:
 def main():
     import subprocess
 
+    t_start = time.perf_counter()
+
+    def budget_left():
+        return GLOBAL_BUDGET_S - (time.perf_counter() - t_start)
+
+    def try_section(section):
+        try:
+            return _run_child(["--section", section],
+                              SECTION_BUDGET_S[section])
+        except subprocess.TimeoutExpired:
+            log(f"[bench] {section} child exceeded "
+                f"{SECTION_BUDGET_S[section]:.0f}s -- killed")
+        except Exception as e:  # probe/pipeline are best-effort
+            log(f"[bench] {section} bench failed: {type(e).__name__}: {e}")
+        return None
+
     extra = {}
     # Pipeline FIRST: its numbers are relay-health-sensitive (the round-1
     # driver run measured 83k samples/s in a process whose first compile
@@ -407,42 +430,72 @@ def main():
     # section's potentially-long compiles can degrade the relay. Each TPU
     # section is its own child process; the parent NEVER opens a relay
     # session (an idle parent session starves children -- header note).
-    timed_out = []
+    failed = []
     for section in ("probe", "pipeline"):
-        try:
-            extra.update(_run_child(["--section", section],
-                                    SECTION_BUDGET_S[section]))
-        except subprocess.TimeoutExpired:
-            log(f"[bench] {section} child exceeded "
-                f"{SECTION_BUDGET_S[section]:.0f}s -- killed")
-            timed_out.append(section)
-        except Exception as e:  # probe/pipeline are best-effort
-            log(f"[bench] {section} bench failed: {type(e).__name__}: {e}")
-            timed_out.append(section)
-    if timed_out:
-        # A probe timeout means even backend init / an x+1 compile hung:
-        # the relay itself is down or fully degraded -- make that
-        # attribution explicit in the scored artifact.
-        extra["sections_timed_out"] = ",".join(timed_out)
+        out = try_section(section)
+        if out is None:
+            failed.append(section)
+        else:
+            extra.update(out)
 
     best, per_kernel = bench_tpu_quantize()
+    if best is None and budget_left() > (SECTION_BUDGET_S["pallas"]
+                                         + RETRY_COOLDOWN_S):
+        # The headline metric gets the first retry slot: without it the
+        # whole bench scores -1 (r2). A transient relay stall often clears
+        # within a minute.
+        log(f"[bench] quantize failed -- cooldown {RETRY_COOLDOWN_S:.0f}s "
+            "then one retry (pallas only)")
+        time.sleep(RETRY_COOLDOWN_S)
+        best, retry_kernel = bench_tpu_quantize(kernels=("pallas",))
+        per_kernel = {**per_kernel, **retry_kernel,
+                      "quantize_retried": "pallas"}
     if best is None:
         # The driver contract is ONE JSON line no matter what.
         print(json.dumps({
             "metric": "vq_quantize_us_per_32x32_patch", "value": -1.0,
             "unit": "us", "vs_baseline": 0.0,
             "extra": {"error": "both quantize kernels failed/timed out",
-                      **per_kernel, **extra}}))
+                      **per_kernel, **extra,
+                      "sections_timed_out": ",".join(failed) or "none"}}))
         return
     name, tpu_us = best
     torch_us = bench_torch_cpu_quantize()
     extra = {"kernel": name, **per_kernel, **extra}
-    try:
-        ms, x_ref = bench_frl_step()
-        extra.update(frl_step_ms=round(ms, 1), frl_vs_a40_ref=round(x_ref, 2))
-    except Exception as e:  # best-effort
-        log(f"[bench] frl step bench failed: {type(e).__name__}: {e}")
-        extra["frl_step_error"] = type(e).__name__
+
+    for attempt in range(2):
+        if "frl_step_ms" in extra or budget_left() < FRL_BUDGET_S:
+            break
+        try:
+            ms, x_ref = bench_frl_step()
+            extra.pop("frl_step_error", None)
+            extra.update(frl_step_ms=round(ms, 1),
+                         frl_vs_a40_ref=round(x_ref, 2))
+        except Exception as e:  # best-effort
+            log(f"[bench] frl step bench failed (attempt {attempt + 1}): "
+                f"{type(e).__name__}: {e}")
+            extra["frl_step_error"] = type(e).__name__
+            if attempt == 0 and budget_left() > (FRL_BUDGET_S
+                                                 + RETRY_COOLDOWN_S):
+                time.sleep(RETRY_COOLDOWN_S)
+
+    # Last: one retry each for failed probe/pipeline sections, lowest value
+    # first priority-wise but only with leftover budget.
+    still_failed = []
+    for section in failed:
+        if budget_left() > SECTION_BUDGET_S[section] + RETRY_COOLDOWN_S:
+            log(f"[bench] retrying {section} after cooldown")
+            time.sleep(RETRY_COOLDOWN_S)
+            out = try_section(section)
+            if out is not None:
+                extra.update(out)
+                continue
+        still_failed.append(section)
+    if still_failed:
+        # A probe timeout means even backend init / an x+1 compile hung:
+        # the relay itself is down or fully degraded -- make that
+        # attribution explicit in the scored artifact.
+        extra["sections_timed_out"] = ",".join(still_failed)
 
     print(json.dumps({
         "metric": "vq_quantize_us_per_32x32_patch",
@@ -463,6 +516,14 @@ def _quantize_child(kernel: str) -> None:
 
 
 if __name__ == "__main__":
+    # The axon sitecustomize pins the platform regardless of JAX_PLATFORMS
+    # (env vars alone are ignored -- CLAUDE.md); jax.config is the only
+    # override that works. Lets CI run bench sections on CPU.
+    _plat = __import__("os").environ.get("FOREST_TPU_BENCH_PLATFORM")
+    if _plat:
+        import jax
+
+        jax.config.update("jax_platforms", _plat)
     if len(sys.argv) >= 3 and sys.argv[1] == "--quantize-kernel":
         _quantize_child(sys.argv[2])
     elif len(sys.argv) >= 3 and sys.argv[1:3] == ["--section", "pipeline"]:
