@@ -102,12 +102,19 @@ def host_to_device_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def train(cfg: Dict[str, Any]) -> Dict[str, Any]:
+    from forest_tpu.parallel import hosts
+
     t_setup = time.perf_counter()
+    # Multi-host: each process ingests a disjoint chunk shard feeding one
+    # global mesh (SURVEY §6.8). Call hosts.initialize() (or set the
+    # FOREST_TPU_COORDINATOR/... env) BEFORE train(); main() does.
+    n_proc, proc_id = hosts.process_shard()
     run_dir = Path(cfg["run_dir"])
     run_dir.mkdir(parents=True, exist_ok=True)
-    (run_dir / "config.json").write_text(json.dumps(
-        {k: str(v) if isinstance(v, Path) else v for k, v in cfg.items()},
-        indent=1, default=str))
+    if hosts.is_primary():
+        (run_dir / "config.json").write_text(json.dumps(
+            {k: str(v) if isinstance(v, Path) else v for k, v in cfg.items()},
+            indent=1, default=str))
 
     # 1. schema (exposure-aware vocab collapse)
     schema_path = run_dir / "schema.json"
@@ -146,7 +153,8 @@ def train(cfg: Dict[str, Any]) -> Dict[str, Any]:
 
     sampler0 = ChunkBatchSampler(ds_tr.xy_by_chunk, cfg["batch_size"],
                                  drop_last=cfg["drop_last"],
-                                 seed=cfg["seed"])
+                                 seed=cfg["seed"],
+                                 num_shards=n_proc, shard_id=proc_id)
     example = host_to_device_batch(ds_tr.load_batch(next(iter(sampler0))))
     state = vqvae_step.init_train_state(model, opt, example,
                                         jax.random.key(cfg["seed"]))
@@ -163,10 +171,20 @@ def train(cfg: Dict[str, Any]) -> Dict[str, Any]:
         from forest_tpu.parallel import make_dp_train_step, make_mesh
         from forest_tpu.parallel.mesh import shard_batch_pytree
         mesh = make_mesh(n_dev)
-        log.info("data-parallel over %d devices", n_dev)
+        log.info("data-parallel over %d devices (%d processes)",
+                 n_dev, n_proc)
         train_step = make_dp_train_step(model, opt, mesh,
                                         class_weights=class_weights)
-        _shard = shard_batch_pytree
+        if n_proc > 1:
+            # Per-process batches are this host's slice of the global
+            # batch; assemble global dim-0-sharded arrays. The replicated
+            # initial state must also become a global array before the
+            # first (donating) step.
+            _shard = hosts.global_batch_from_local
+            state = hosts.replicate_pytree(
+                jax.tree.map(np.asarray, state), mesh)
+        else:
+            _shard = shard_batch_pytree
     else:
         train_step = jax.jit(vqvae_step.make_train_step(model, opt,
                                                         class_weights),
@@ -182,6 +200,9 @@ def train(cfg: Dict[str, Any]) -> Dict[str, Any]:
     resumed = ckpt.maybe_resume(state)
     if resumed is not None and not cfg.get("no_resume"):
         state, meta = resumed
+        if n_proc > 1 and mesh is not None:
+            state = hosts.replicate_pytree(
+                jax.tree.map(np.asarray, state), mesh)
         start_epoch = int(meta.get("epoch", -1)) + 1
         log.info("auto-resumed from epoch %d", start_epoch - 1)
 
@@ -197,7 +218,8 @@ def train(cfg: Dict[str, Any]) -> Dict[str, Any]:
         sampler = ChunkBatchSampler(
             ds_tr.xy_by_chunk, cfg["batch_size"],
             drop_last=cfg["drop_last"],
-            replacement_within_chunk=True, seed=cfg["seed"] + epoch)
+            replacement_within_chunk=True, seed=cfg["seed"] + epoch,
+            num_shards=n_proc, shard_id=proc_id)
         loader = PrefetchLoader(ds_tr, sampler,
                                 num_workers=cfg["num_workers"])
         t0 = time.perf_counter()
@@ -231,14 +253,17 @@ def train(cfg: Dict[str, Any]) -> Dict[str, Any]:
         # validation
         va_sampler = ChunkBatchSampler(ds_va.xy_by_chunk, cfg["batch_size"],
                                        drop_last=True, seed=0,
-                                       replacement_within_chunk=True)
+                                       replacement_within_chunk=True,
+                                       num_shards=n_proc, shard_id=proc_id)
         va_agg: Dict[str, float] = {}
         nv = 0
         w = {k: jnp.float32(v) for k, v in annealer(global_step).items()}
         for batch in PrefetchLoader(ds_va, va_sampler,
                                     num_workers=cfg["num_workers"]):
-            m = jax.device_get(
-                eval_step(state.params, host_to_device_batch(batch), w))
+            vb = host_to_device_batch(batch)
+            if _shard is not None:
+                vb = _shard(vb, mesh)
+            m = jax.device_get(eval_step(state.params, vb, w))
             for k, v in m.items():
                 va_agg[k] = va_agg.get(k, 0.0) + float(v)
             nv += 1
@@ -259,11 +284,17 @@ def train(cfg: Dict[str, Any]) -> Dict[str, Any]:
             val_metrics.get("val/loss_total", float("nan")),
             train_metrics.get("train/perplexity", float("nan")),
             metrics["steps_per_s"], wait_t, step_t)
-        ckpt.save(epoch, state, metrics, extra_meta)
+        if hosts.is_primary():
+            # msgpack checkpoints gather to host; the state is replicated,
+            # so one writer suffices (Orbax manager is the shard-local
+            # multi-writer alternative -- orbax_checkpointing.py).
+            ckpt.save(epoch, state, metrics, extra_meta)
+        hosts.sync()
         if max_steps and global_step >= max_steps:
             break
 
-    (run_dir / "history.json").write_text(json.dumps(history, indent=1))
+    if hosts.is_primary():
+        (run_dir / "history.json").write_text(json.dumps(history, indent=1))
     return {"state": state, "model": model, "history": history,
             "dataset": ds_tr}
 
@@ -289,6 +320,10 @@ def main(argv=None):
         raise SystemExit("--zarr and --run-dir (or config) are required")
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(name)s: %(message)s")
+    # Multi-host: no-op unless FOREST_TPU_COORDINATOR/NUM_PROCESSES/
+    # PROCESS_ID (or a TPU pod environment) configure a process group.
+    from forest_tpu.parallel import hosts
+    hosts.initialize()
     train(cfg)
 
 
