@@ -292,40 +292,65 @@ def make_process_batch(model, feature_builder: FeatureBuilder,
             c, mask, key = args
             _, nbr_p, v_p = sp.spatial_knn_pairs(
                 c, mask, cfg.knn_k, cfg.knn_max_radius)
-            _, nbr_n, v_n = sp.spatial_negative_pairs(
+            pool, pool_ok, sel, sel_ok = sp.spatial_negative_slots(
                 c, mask, key, cfg.neg_min_distance, cfg.neg_max_distance,
                 cfg.neg_per_anchor)
             a_ = c.shape[0]
             return (nbr_p.reshape(a_, -1, 2), v_p.reshape(a_, -1),
-                    nbr_n.reshape(a_, -1, 2), v_n.reshape(a_, -1))
+                    pool, pool_ok, sel, sel_ok)
 
         keys_neg = jax.random.split(k_neg, bsz)
-        nbr_p, v_p, nbr_n, v_n = jax.vmap(one_sample_pairs)(
+        nbr_p, v_p, pool, pool_ok, sel, sel_ok = jax.vmap(one_sample_pairs)(
             (coords, pixel_mask, keys_neg))
         k1 = v_p.shape[-1]
-        nbr = jnp.concatenate([nbr_p, nbr_n], axis=2)      # [B, A, K, 2]
-        k_tot = nbr.shape[2]
+        kn = sel.shape[-1]
+        k_tot = k1 + kn
+        p_pool = pool.shape[1]
         is_pos = jnp.broadcast_to(
             jnp.arange(k_tot) < k1, (bsz, a, k_tot))
-        pv = jnp.concatenate([v_p, v_n], axis=2) & a_valid[:, :, None]
-        nbr_flat = nbr.reshape(bsz, a * k_tot, 2)
-        # Merged anchor+neighbor extraction (see the stage-2 note).
-        all_coords = jnp.concatenate([coords, nbr_flat], axis=1)
+        # Merged extraction (see the stage-2 note): anchors + positive
+        # neighbors + the SHARED negative pool -- not the per-anchor
+        # negative references. The backward of this row-gather is a serial
+        # per-row scatter (~220 ns/row measured), so the A*kn negative rows
+        # (1200/sample at production scale) fold into the pool's p_pool
+        # rows: 2700 -> 2012 scatter rows/sample. Anchors then reach their
+        # negatives through one-hot einsums (backward = MXU matmuls).
+        nbr_p_flat = nbr_p.reshape(bsz, a * k1, 2)
+        all_coords = jnp.concatenate([coords, nbr_p_flat, pool], axis=1)
         z_all = jax.vmap(sp.extract_at_locations)(z_type, all_coords)
         z_a = z_all[:, :a]                                  # [B, A, zt]
-        z_nbr = z_all[:, a:]
+        z_pos = z_all[:, a:a + a * k1].reshape(bsz, a, k1, -1)
+        z_pool = z_all[:, a + a * k1:]                      # [B, P, zt]
         z_a_flat = z_a.reshape(-1, z_a.shape[-1])
+        hp = jax.lax.Precision.HIGHEST
+        oh_sel = jax.nn.one_hot(sel, p_pool, dtype=jnp.float32)  # [B,A,kn,P]
+        z_neg = jnp.einsum("bakp,bpd->bakd", oh_sel, z_pool, precision=hp)
+        z_nbr = jnp.concatenate([z_pos, z_neg], axis=2)     # [B, A, K, zt]
         # Spectral pair weights (step.py:385-399 contract):
         #   positives: clip(exp(-d/sigma), min_w, 1)
         #   negatives: clip(1 - exp(-d/sigma), min_w, 1)
-        spec_nbr, spec_nbr_m = jax.vmap(
+        # One at-locations build over [pos neighbors; pool] (merged for the
+        # same scatter-row reason), negatives selected by the same one-hot.
+        ext_coords = jnp.concatenate([nbr_p_flat, pool], axis=1)
+        spec_ext, spec_ext_m = jax.vmap(
             lambda g, c: fb.build_feature_at_locations(
                 cfg.spectral_feature, g, c),
             in_axes=({k: 0 for k in batch}, 0))(
-                {k: v for k, v in batch.items()}, nbr_flat)
-        spec_nbr = spec_nbr.reshape(bsz, a, k_tot, -1)
-        spec_nbr_m = spec_nbr_m.reshape(bsz, a, k_tot, -1)
-        pv = pv & jnp.any(spec_nbr_m, axis=-1)
+                {k: v for k, v in batch.items()}, ext_coords)
+        spec_pos = spec_ext[:, :a * k1].reshape(bsz, a, k1, -1)
+        spec_pos_ok = jnp.any(
+            spec_ext_m[:, :a * k1].reshape(bsz, a, k1, -1), axis=-1)
+        spec_pool = spec_ext[:, a * k1:]                    # [B, P, C]
+        spec_pool_ok = jnp.any(spec_ext_m[:, a * k1:], axis=-1)  # [B, P]
+        spec_neg = jnp.einsum("bakp,bpc->bakc", oh_sel, spec_pool,
+                              precision=hp)
+        neg_spec_ok = jnp.einsum("bakp,bp->bak", oh_sel,
+                                 spec_pool_ok.astype(jnp.float32),
+                                 precision=hp) > 0.5
+        pv = (jnp.concatenate([v_p & spec_pos_ok,
+                               sel_ok & neg_spec_ok], axis=2)
+              & a_valid[:, :, None])
+        spec_nbr = jnp.concatenate([spec_pos, spec_neg], axis=2)
         d_spec = jnp.linalg.norm(spec_a[:, :, None, :] - spec_nbr, axis=-1)
         e = jnp.exp(-d_spec / cfg.spectral_sigma)
         pw = jnp.clip(jnp.where(is_pos, e, 1.0 - e),
