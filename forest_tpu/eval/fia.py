@@ -704,6 +704,70 @@ def evt_cohesion(evt: np.ndarray, segments: np.ndarray
     return modal / len(evt), single / len(codes)
 
 
+def write_report_tables(out: Dict, report_dir) -> list:
+    """Write the analysis result as CSV + markdown report artifacts.
+
+    The reference ships these as rendered R-notebook tables
+    (fia_removals_stratification.Rmd:320-344 efficiency table with
+    within_sd / RE-vs-auxiliary / ess columns;
+    fia_embedding_evaluation.Rmd section-1 probe table); this produces the
+    equivalent file artifacts from the ported estimators. Returns the
+    written paths.
+    """
+    import csv as _csv
+    import math
+    from pathlib import Path
+
+    d = Path(report_dir)
+    d.mkdir(parents=True, exist_ok=True)
+    analysis = out.get("analysis", "analysis")
+    table = out.get("table")
+    if isinstance(table, dict) and table and all(
+            "within_var" in r for r in table.values()):
+        # removals efficiency table (Rmd:320-344): derive within_sd and
+        # the relative-efficiency column vs the auxiliary (TCC-role)
+        # baseline when present, else vs the units-only baseline.
+        ref_row = table.get("aux_dh") or table.get("baseline") or {}
+        v_ref = float(ref_row.get("within_var", 0.0))
+        rows = [{
+            "stratification": name,
+            "within_var": round(float(r["within_var"]), 4),
+            "within_sd": round(math.sqrt(max(float(r["within_var"]), 0.0)),
+                               4),
+            "pct_of_baseline": round(float(r["pct_of_baseline"]), 1),
+            "re_vs_aux": round(v_ref / max(float(r["within_var"]), 1e-30),
+                               3) if v_ref > 0 else "",
+            "ess": round(float(r["ess"]), 1),
+        } for name, r in table.items()]
+        stem = "removals_efficiency"
+    elif isinstance(table, dict) and table:
+        cols = sorted({c for r in table.values() for c in r})
+        rows = [{"block": name,
+                 **{c: table[name].get(c, "") for c in cols}}
+                for name in table]
+        stem = f"{analysis}_table"
+    else:
+        # single-row strata-comparison summary (hierarchical / hdbscan)
+        rows = [{k: v for k, v in out.items()
+                 if not isinstance(v, (dict, list))}]
+        stem = f"{analysis}_summary"
+
+    cols = list(rows[0])
+    csv_path = d / f"{stem}.csv"
+    with open(csv_path, "w", newline="") as f:
+        w = _csv.DictWriter(f, fieldnames=cols)
+        w.writeheader()
+        w.writerows(rows)
+    md_path = d / f"{stem}.md"
+    fmt = [[str(r[c]) for c in cols] for r in rows]
+    md = ["| " + " | ".join(cols) + " |",
+          "| " + " | ".join("---" for _ in cols) + " |"]
+    md += ["| " + " | ".join(vals) + " |" for vals in fmt]
+    md_path.write_text(f"# {analysis} report ({out.get('n_plots', '?')} "
+                       f"plots)\n\n" + "\n".join(md) + "\n")
+    return [csv_path, md_path]
+
+
 def main(argv=None):
     """CLI over an embeddings CSV (embed_locations output schema:
     z_type_* / z_phase_* columns + a target column): run the requested
@@ -711,6 +775,7 @@ def main(argv=None):
 
     Run: python -m forest_tpu.eval.fia --csv emb.csv --target BALIVE
             --analysis {hierarchical,hdbscan,removals,probe_table}
+            [--report-dir DIR]   # write CSV + markdown table artifacts
     """
     import argparse
     import csv as _csv
@@ -735,6 +800,9 @@ def main(argv=None):
     ap.add_argument("--phase-subdivide-frac", type=float, default=0.25)
     ap.add_argument("--output", default=None,
                     help="optional .npz for stratum labels")
+    ap.add_argument("--report-dir", dest="report_dir", default=None,
+                    help="write CSV + markdown table artifacts here "
+                         "(the Rmd notebooks' rendered tables)")
     a = ap.parse_args(argv)
 
     with open(a.csv) as f:
@@ -823,6 +891,10 @@ def main(argv=None):
 
     if a.output and labels is not None:
         np.savez(a.output, stratum=labels)
+    if a.report_dir:
+        for p in write_report_tables(out, a.report_dir):
+            import sys
+            print(f"[fia] wrote {p}", file=sys.stderr)
     print(json.dumps(out))
 
 
@@ -840,4 +912,4 @@ __all__ = ["post_stratified_estimate", "simple_random_estimate",
            "adjusted_r2", "linear_probe_table", "blockwise_l2_normalize",
            "knn_eval", "tune_phase_weight_and_k", "error_by_strata",
            "response_by_recovery_class", "evt_centroid_segments",
-           "evt_cohesion", "main"]
+           "evt_cohesion", "write_report_tables", "main"]

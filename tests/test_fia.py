@@ -359,6 +359,44 @@ class TestFiaCLI:
         out = json.loads(capsys.readouterr().out)
         assert out["table"]["emb_sup"]["pct_of_baseline"] < 50.0
 
+    def test_report_artifacts(self, rng, tmp_path, capsys):
+        """--report-dir writes the Rmd-equivalent CSV + markdown tables
+        (fia_removals_stratification.Rmd:320-344 efficiency columns)."""
+        import csv
+        import json
+        csv_p = tmp_path / "emb.csv"
+        self._write_csv(csv_p, rng)
+        rep = tmp_path / "report"
+        fia.main(["--csv", str(csv_p), "--target", "BALIVE",
+                  "--analysis", "removals", "--k-strata", "4",
+                  "--report-dir", str(rep)])
+        out = json.loads(capsys.readouterr().out)
+        rows = list(csv.DictReader(open(rep / "removals_efficiency.csv")))
+        assert {r["stratification"] for r in rows} == set(out["table"])
+        base = next(r for r in rows if r["stratification"] == "baseline")
+        assert float(base["pct_of_baseline"]) == 100.0
+        assert float(base["within_sd"]) == pytest.approx(
+            float(base["within_var"]) ** 0.5, rel=1e-3)
+        sup = next(r for r in rows if r["stratification"] == "emb_sup")
+        # supervised embedding strata beat the baseline -> RE > 1
+        assert float(sup["re_vs_aux"]) > 1.0
+        md = (rep / "removals_efficiency.md").read_text()
+        assert "| stratification |" in md and "emb_sup" in md
+
+        # probe-table + summary variants also produce artifacts
+        fia.main(["--csv", str(csv_p), "--target", "BALIVE",
+                  "--analysis", "probe_table", "--report-dir", str(rep)])
+        capsys.readouterr()
+        assert (rep / "probe_table_table.csv").exists()
+        fia.main(["--csv", str(csv_p), "--target", "BALIVE",
+                  "--analysis", "hierarchical", "--k-type", "3",
+                  "--k-strata", "3", "--report-dir", str(rep)])
+        capsys.readouterr()
+        summary = list(csv.DictReader(
+            open(rep / "hierarchical_summary.csv")))
+        assert len(summary) == 1
+        assert float(summary[0]["pct_of_baseline"]) < 30.0
+
 
 class TestEvtTypology:
     """fia_evt_type_clustering.Rmd ports: EVT-centroid Ward segments,
