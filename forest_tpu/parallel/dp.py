@@ -98,4 +98,18 @@ def make_dp_frl_step(process_batch: Callable, optimizer, mesh: Mesh,
     return jax.jit(sm, donate_argnums=(0,) if donate_state else ())
 
 
-__all__ = ["make_dp_train_step", "make_dp_frl_step"]
+def make_dp_frl_eval(process_batch: Callable, mesh: Mesh,
+                     data_axis: str = "data"):
+    """Data-parallel FRL eval step: ``eval(params, batch, rng, weights,
+    curriculum) -> metrics`` with the batch sharded on dim 0; metrics
+    pmean/psum'd inside (shard_map, same Manual-axes requirement as the
+    train step -- the Pallas smoothing kernel must partition per-replica)."""
+    from forest_tpu.training.representation import train_step as ts
+
+    raw = ts.make_eval_step(process_batch, axis_name=data_axis)
+    in_specs = (P(), P(data_axis), P(), P(), P())
+    sm = jax.shard_map(raw, mesh=mesh, in_specs=in_specs, out_specs=P())
+    return jax.jit(sm)
+
+
+__all__ = ["make_dp_train_step", "make_dp_frl_step", "make_dp_frl_eval"]

@@ -25,8 +25,17 @@ def run_epoch(dataset, step_fn: Callable, state_or_params, *,
               curriculum: Dict[str, Any], rng_seed: int,
               train: bool, num_workers: int = 4,
               max_batches: Optional[int] = None,
-              scheduler_step: Optional[Callable] = None):
-    """Returns (state_or_params, mean-metrics dict incl. timing)."""
+              scheduler_step: Optional[Callable] = None,
+              mesh=None):
+    """Returns (state_or_params, mean-metrics dict incl. timing).
+
+    With ``mesh`` set the step is a shard_map DP step (dp.make_dp_frl_*):
+    batches are dim-0-sharded over it. Under multi-process jax every
+    process computes the SAME global batch index lists (deterministic from
+    the dataset + batch_size) but decodes only its own contiguous slice;
+    the slices are assembled into global arrays
+    (hosts.global_batch_from_local), so host IO scales with processes
+    while step semantics stay identical to single-process (SURVEY §6.8)."""
     dataset.on_epoch_start()
     n = len(dataset)
     idx_batches = [list(range(i, min(i + batch_size, n)))
@@ -41,7 +50,24 @@ def run_epoch(dataset, step_fn: Callable, state_or_params, *,
         idx_batches = idx_batches[:max_batches]
         valid_counts = valid_counts[:max_batches]
 
-    loader = PrefetchLoader(dataset, iter(idx_batches),
+    if mesh is not None:
+        from forest_tpu.parallel import hosts
+        from forest_tpu.parallel.mesh import shard_batch_pytree
+        n_proc, proc_id = hosts.process_shard()
+    else:
+        n_proc, proc_id = 1, 0
+    if n_proc > 1:
+        if batch_size % n_proc:
+            raise ValueError(f"batch_size {batch_size} must divide by "
+                             f"{n_proc} processes")
+        local_bs = batch_size // n_proc
+        lo = proc_id * local_bs
+        load_batches = [b[lo:lo + local_bs] for b in idx_batches]
+    else:
+        local_bs, lo = batch_size, 0
+        load_batches = idx_batches
+
+    loader = PrefetchLoader(dataset, iter(load_batches),
                             num_workers=num_workers)
     agg: Dict[str, float] = {}
     n_steps = 0
@@ -53,10 +79,19 @@ def run_epoch(dataset, step_fn: Callable, state_or_params, *,
         wait_t += time.perf_counter() - t_wait
         t_step = time.perf_counter()
         rng = jax.random.key(rng_seed * 100003 + i)
-        db = _to_device_batch(batch)
+        # Global validity mask (identical on every process); each process
+        # carries its own slice alongside its row slice.
         mask = np.zeros((batch_size,), bool)
         mask[:valid_counts[i]] = True
-        db["__sample_valid__"] = jnp.asarray(mask)
+        if n_proc > 1:
+            db = {k: np.asarray(v) for k, v in batch.items()}
+            db["__sample_valid__"] = mask[lo:lo + local_bs]
+            db = hosts.global_batch_from_local(db, mesh)
+        else:
+            db = _to_device_batch(batch)
+            db["__sample_valid__"] = jnp.asarray(mask)
+            if mesh is not None:
+                db = shard_batch_pytree(db, mesh)
         if train:
             state_or_params, m = step_fn(state_or_params, db, rng,
                                          weights, curriculum)

@@ -42,6 +42,9 @@ class RunConfig:
 class HardwareConfig:
     num_workers: int = 8
     prefetch_factor: int = 2
+    # Shard batches over all visible devices (shard_map DP; SURVEY §6.8).
+    # Auto-enabled under multi-process jax regardless of this flag.
+    data_parallel: bool = False
 
 
 @dataclass
@@ -179,7 +182,8 @@ def parse_training_config(path_or_dict) -> TrainingConfiguration:
                 monitor_start_epoch=ck.get("monitor_start_epoch", 0))),
         hardware=HardwareConfig(
             num_workers=hw.get("num_workers", 8),
-            prefetch_factor=hw.get("prefetch_factor", 2)),
+            prefetch_factor=hw.get("prefetch_factor", 2),
+            data_parallel=hw.get("data_parallel", False)),
         epoch=EpochConfig(
             num_epochs=ep.get("num_epochs", 400),
             mode=ep.get("mode", "number"),

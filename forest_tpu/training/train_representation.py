@@ -158,16 +158,41 @@ def setup(cfg: TrainingConfiguration,
     optimizer = ts.make_optimizer(lr_sched, cfg.optimizer.weight_decay,
                                   cfg.optimizer.grad_clip)
     state = ts.init_train_state(params, optimizer)
-    train_step = jax.jit(ts.make_train_step(process, optimizer),
-                         donate_argnums=0)
-    eval_step = jax.jit(ts.make_eval_step(process))
+
+    # DP over all visible devices when enabled (hardware.data_parallel);
+    # multi-process jax (hosts.initialize) forces it -- the global mesh is
+    # the only correct execution there (SURVEY §6.8).
+    from forest_tpu.parallel import hosts
+    n_dev = len(jax.devices())
+    n_proc, _ = hosts.process_shard()
+    mesh = None
+    if (cfg.hardware.data_parallel and n_dev > 1) or n_proc > 1:
+        from forest_tpu.parallel import make_dp_frl_step
+        from forest_tpu.parallel.dp import make_dp_frl_eval
+        if cfg.epoch.batch_size % n_dev:
+            raise ValueError(
+                f"epoch.batch_size {cfg.epoch.batch_size} must divide by "
+                f"{n_dev} devices for data-parallel training")
+        mesh = hosts.global_mesh()
+        log.info("FRL data-parallel over %d devices (%d processes)",
+                 n_dev, n_proc)
+        train_step = make_dp_frl_step(process, optimizer, mesh)
+        eval_step = make_dp_frl_eval(process, mesh)
+        if n_proc > 1:
+            state = hosts.replicate_pytree(
+                jax.tree.map(np.asarray, state), mesh)
+    else:
+        train_step = jax.jit(ts.make_train_step(process, optimizer),
+                             donate_argnums=0)
+        eval_step = jax.jit(ts.make_eval_step(process))
 
     return dict(bindings=bindings, model=model, fb=fb, state=state,
                 train_step=train_step, eval_step=eval_step,
                 ds_train=ds_train, ds_val=ds_val, weights=weights,
                 curricula=curricula, step_cfg=step_cfg,
                 lr_sched=lr_sched, steps_per_epoch=steps_per_epoch,
-                optimizer=optimizer, model_cfg=model_cfg or {})
+                optimizer=optimizer, model_cfg=model_cfg or {},
+                mesh=mesh)
 
 
 def train(cfg: TrainingConfiguration,
@@ -206,10 +231,15 @@ def train(cfg: TrainingConfiguration,
 
     start_epoch = 0
     resumed_run = False
+    from forest_tpu.parallel import hosts
+    n_proc, _ = hosts.process_shard()
     if resume:
         resumed = ckpt.maybe_resume(state)
         if resumed is not None:
             state, meta = resumed
+            if n_proc > 1 and ctx["mesh"] is not None:
+                state = hosts.replicate_pytree(
+                    jax.tree.map(np.asarray, state), ctx["mesh"])
             start_epoch = int(meta.get("epoch", -1)) + 1
             resumed_run = True
             log.info("auto-resumed from epoch %d", start_epoch - 1)
@@ -235,6 +265,9 @@ def train(cfg: TrainingConfiguration,
                     f"model: expected leaf shapes {want} but checkpoint has "
                     f"{got}")
             state = ts.init_train_state(loaded, ctx["optimizer"])
+            if n_proc > 1 and ctx["mesh"] is not None:
+                state = hosts.replicate_pytree(
+                    jax.tree.map(np.asarray, state), ctx["mesh"])
             log.info("warm-started params from %s (fresh optimizer state)",
                      init_from)
 
@@ -280,7 +313,7 @@ def train(cfg: TrainingConfiguration,
                 batch_size=cfg.epoch.batch_size, weights=weights,
                 curriculum=curriculum, rng_seed=cfg.seed + epoch,
                 num_workers=cfg.hardware.num_workers,
-                max_batches=max_batches)
+                max_batches=max_batches, mesh=ctx["mesh"])
 
         val_m = None
         if val_every and epoch % val_every == 0:
@@ -291,14 +324,17 @@ def train(cfg: TrainingConfiguration,
                             "min_gate": jnp.float32(min_gate)},
                 rng_seed=1_000_000 + epoch,
                 num_workers=cfg.hardware.num_workers,
-                max_batches=val_cfg.get("max_batches", max_batches))
+                max_batches=val_cfg.get("max_batches", max_batches),
+                mesh=ctx["mesh"])
 
         lr_now = float(ctx["lr_sched"](int(state.step)))
         log.info("\n%s", epoch_logging.format_epoch_block(
             epoch, train_m, val_m, lr_now))
         metrics = epoch_logging.checkpoint_metrics(train_m, val_m)
         history.append({"epoch": epoch, **metrics})
-        ckpt.save(epoch, state, metrics, extra_meta)
+        if hosts.is_primary():
+            ckpt.save(epoch, state, metrics, extra_meta)
+        hosts.sync()
 
         # early stopping on the monitored metric (SURVEY.md §6.6 config);
         # direction follows the checkpoint monitor mode.
@@ -319,7 +355,8 @@ def train(cfg: TrainingConfiguration,
                              es_bad)
                     break
 
-    (exp_dir / "history.json").write_text(json.dumps(history, indent=1))
+    if hosts.is_primary():
+        (exp_dir / "history.json").write_text(json.dumps(history, indent=1))
     # NOTE: ctx first -- its "state" is the (donated, dead) initial state
     # and must be overwritten by the final one.
     return {**ctx, "state": state, "history": history}
@@ -364,6 +401,10 @@ def main(argv=None):
     mc_path = a.model_config or cfg.model_path
     if mc_path:
         model_cfg = yaml.safe_load(Path(mc_path).read_text())
+    # Multi-host: no-op unless FOREST_TPU_COORDINATOR/NUM_PROCESSES/
+    # PROCESS_ID (or a TPU pod environment) configure a process group.
+    from forest_tpu.parallel import hosts
+    hosts.initialize()
     train(cfg, a.bindings, model_cfg, a.max_batches,
           resume=not a.no_resume, init_from=a.init_from)
 

@@ -89,3 +89,32 @@ class TestTrainRepresentation:
         _, _, _, _, result = trained
         h0 = result["history"][0]
         assert h0["train/gate_mean"] == pytest.approx(1.0, abs=1e-5)
+
+
+class TestTrainRepresentationDataParallel:
+    def test_dp_train_runs_and_is_finite(self, trained):
+        """hardware.data_parallel=True drives the shard_map DP step over
+        the 8-device CPU mesh through the full train() CLI path (loops
+        shard batches; SURVEY §6.8)."""
+        import copy
+        root, cfg, bpath, model_cfg, _ = trained
+        cfg = copy.deepcopy(cfg)
+        cfg.run.experiment_name = "exp_dp"
+        cfg.epoch.num_epochs = 1
+        cfg.epoch.batch_size = 8  # divides the 8-device mesh
+        cfg.hardware.data_parallel = True
+        result = tr.train(cfg, bpath, model_cfg, max_batches=2)
+        h = result["history"][0]
+        assert np.isfinite(h["train/loss_total"])
+        assert np.isfinite(h["val/loss_total"])
+        assert h["train/skipped"] == 0
+
+    def test_dp_batch_size_divisibility_guard(self, trained):
+        import copy
+        root, cfg, bpath, model_cfg, _ = trained
+        cfg = copy.deepcopy(cfg)
+        cfg.run.experiment_name = "exp_dp_bad"
+        cfg.epoch.batch_size = 6  # 8 devices -> indivisible
+        cfg.hardware.data_parallel = True
+        with pytest.raises(ValueError, match="must divide"):
+            tr.train(cfg, bpath, model_cfg, max_batches=1)
