@@ -84,7 +84,9 @@ class FeatureChannelSpec:
     mask: Optional[str] = None        # "group.channel" validity mask
     quality: Optional[str] = None
     norm: str = "identity"
-    transform: Optional[str] = None   # pre-normalization transform
+    # pre-normalization transform: a name or a parameterized dict
+    # ({name: log, epsilon: ...} -- frl_binding_v1.yaml:310)
+    transform: Optional[Any] = None
 
 
 @dataclass

@@ -36,6 +36,120 @@ def create_band(root: zl.ZarrGroup, path: str, shape, chunks, dtype,
     return g.create_array(parts[-1], shape, chunks, dtype, fill_value=fill)
 
 
+def build_cube_for_bindings(bindings, path: str | Path, height: int = 128,
+                            width: int = 128, chunk_yx: int = 64,
+                            seed: int = 0) -> zl.ZarrGroup:
+    """Synthesize a cube containing EVERY source array a bindings config
+    references, shaped for its dataset groups -- so an UNMODIFIED
+    reference bindings YAML (e.g. /root/reference/frl/config/
+    frl_binding_v1.yaml) can drive the full training path end-to-end on
+    synthetic data (the verbatim-config migration demo).
+
+    Field realism follows build_synthetic_v2_cube: latent type blobs +
+    per-pixel disturbance events so ysfc series carry real recovery
+    structure, spectral bands modulated by type + recovery, masks/quality
+    channels passing their ``ok_if`` ~95% of the time, ``fill_value``
+    planted in a small fraction of pixels of channels that declare one.
+
+    ``bindings``: a parsed BindingsConfig (parse with ZARR_ROOT pointing
+    at the target directory) or a dict/path parse_bindings accepts.
+    """
+    from forest_tpu.data.bindings import BindingsConfig, parse_bindings
+
+    if not isinstance(bindings, BindingsConfig):
+        bindings = parse_bindings(bindings)
+    rng = np.random.default_rng(seed)
+
+    tw = bindings.time_window
+    years = (list(range(tw.start, tw.end + 1)) if tw.num_years > 1
+             else list(range(2010, 2025)))
+    explicit_years = {ch.year for g in bindings.dataset.values()
+                      for ch in g.channels if ch.year is not None}
+    years = sorted(set(years) | explicit_years)
+    t = len(years)
+
+    root = zl.create_group(path)
+    root.attrs["time_coords"] = [int(y) for y in years]
+    root.write_attrs()
+    ch2 = (min(chunk_yx, height), min(chunk_yx, width))
+    ch3 = (1,) + ch2
+
+    # Shared latent structure (types + disturbance ages) for realism.
+    f = rng.normal(size=(8, height // 8 + 2, width // 8 + 2))
+    type_map = np.kron(f, np.ones((1, 8, 8)))[:, :height, :width].argmax(0)
+    dist_year = np.where(rng.random((height, width)) < 0.6,
+                         rng.integers(years[0] - 20, years[-1],
+                                      size=(height, width)), -9999)
+    yy = np.asarray(years)[:, None, None]
+    ysfc3 = np.clip(np.where(dist_year[None] > 0, yy - dist_year[None], 30),
+                    0, 40).astype(np.float32)
+    base = rng.uniform(0.3, 0.9, 8)[type_map]
+    rec = 1.0 - np.exp(-ysfc3 / 7.0)
+
+    # source path -> needs time axis? (group temporal OR year/reducer pull)
+    sources: Dict[str, Dict] = {}
+    for g in bindings.dataset.values():
+        for ch in g.channels:
+            if not ch.source:
+                continue
+            ent = sources.setdefault(
+                ch.source, {"temporal": False, "ok_if": None, "fill": None,
+                            "name": ch.name})
+            if g.temporal or ch.year is not None or ch.reducer is not None:
+                ent["temporal"] = True
+            if ch.ok_if is not None:
+                ent["ok_if"] = ch.ok_if
+            if ch.fill_value is not None:
+                ent["fill"] = ch.fill_value
+
+    def synth(src: str, ent: Dict, shape) -> np.ndarray:
+        name = (ent["name"] or "") + " " + src
+        low = name.lower()
+        if ent["ok_if"] is not None:
+            # quality/mask channel: pass ok_if ~95% of the time
+            v = ent["ok_if"].value
+            passing = np.full(shape, float(v), np.float32)
+            failing = float(v) - 1.0 if ent["ok_if"].op in (">=", ">", "==") \
+                else float(v) + 1.0
+            bad = rng.random(shape) < 0.05
+            return np.where(bad, failing, passing).astype(np.float32)
+        if "/mask/" in src or low.endswith("_mask"):
+            m = (rng.random(shape) > 0.03).astype(np.float32)
+            return m
+        if "ysfc" in low:
+            arr = ysfc3 if len(shape) == 3 else ysfc3[-1]
+            return np.broadcast_to(arr, shape).astype(np.float32).copy()
+        if "aoi" in low:
+            a = np.ones(shape, np.float32)
+            a[..., :, :max(width // 16, 1)] = 0.0
+            return a
+        # generic continuous band: type base + recovery + noise, scaled
+        scale = rng.uniform(0.5, 2.0)
+        offset = rng.uniform(-0.2, 0.2)
+        noise = rng.normal(scale=0.05, size=shape)
+        sig = (base * rec + noise) if len(shape) == 3 \
+            else (base * rec[-1] + noise)
+        return (scale * sig + offset).astype(np.float32)
+
+    for src, ent in sorted(sources.items()):
+        shape = (t, height, width) if ent["temporal"] else (height, width)
+        chunks = ch3 if ent["temporal"] else ch2
+        data = synth(src, ent, shape)
+        if ent["fill"] is not None:
+            holes = rng.random(shape) < 0.01
+            data = np.where(holes, np.float32(ent["fill"]), data)
+        arr = create_band(root, src, shape, chunks, np.float32)
+        arr[:] = data
+
+    if "aoi" not in sources:
+        a = root.create_array("aoi", (height, width), ch2, np.uint8,
+                              fill_value=0)
+        aoi = np.ones((height, width), np.uint8)
+        aoi[:, :max(width // 16, 1)] = 0
+        a[:] = aoi
+    return root
+
+
 def build_synthetic_v2_cube(path: str | Path, height: int = 128,
                             width: int = 128,
                             years: Sequence[int] = tuple(range(2010, 2025)),

@@ -141,7 +141,13 @@ class ForestDatasetV2:
         t_cfg = self.num_timesteps
         h, w = win.height, win.width
 
-        if ch.formula == "temporal_position":
+        # temporal-position formula: the reference accepts the literal
+        # expression string ("t / (T - 1)" -- what frl_binding_v1.yaml:103
+        # ships) via substring match (forest_dataset_v2.py:669-693); the
+        # symbolic name is this repo's alias.
+        if ch.formula and (ch.formula == "temporal_position"
+                           or "t / (T - 1)" in ch.formula
+                           or "t/(T-1)" in ch.formula.replace(" ", "")):
             tpos = (np.arange(t_cfg, dtype=np.float32)
                     / max(t_cfg - 1, 1))[:, None, None]
             return np.broadcast_to(tpos, (t_cfg, h, w)).copy()

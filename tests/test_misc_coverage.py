@@ -89,14 +89,27 @@ class TestCheckpointRoundtrip:
 
 class TestTransforms:
     @pytest.mark.parametrize("name,x", [("log", 2.5), ("log1p", 0.7),
-                                        ("sqrt", 4.0), ("neg", -3.0)])
+                                        ("sqrt", 4.0), ("neg", -3.0),
+                                        ("log10", 3.0), ("cbrt", -8.0)])
     def test_inverse_roundtrip(self, name, x):
         t = transforms.get_transform(name)
         assert t.inverse(t.forward(x)) == pytest.approx(x)
 
+    def test_parameterized_log_matches_reference(self):
+        """Reference transforms.py:90-205: log = log(x + epsilon),
+        default epsilon 1.0; dict specs carry an explicit epsilon."""
+        x = np.asarray([0.0, 2.0])
+        out = transforms.apply_transform("log", x)
+        np.testing.assert_allclose(out, np.log(x + 1.0))
+        out = transforms.apply_transform({"name": "log", "epsilon": 0.001},
+                                         x)
+        np.testing.assert_allclose(out, np.log(x + 0.001))
+        t = transforms.get_transform({"name": "log", "epsilon": 0.5})
+        assert t.inverse(t.forward(3.0)) == pytest.approx(3.0)
+
     def test_out_of_domain_nan(self):
         out = transforms.apply_transform("log", np.asarray([-1.0, 1.0]))
-        assert np.isnan(out[0]) and out[1] == 0.0
+        assert np.isnan(out[0]) and out[1] == pytest.approx(np.log(2.0))
 
     def test_unknown_raises(self):
         with pytest.raises(KeyError):

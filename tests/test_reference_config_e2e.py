@@ -1,0 +1,105 @@
+"""Verbatim-reference-config TRAINING gate (VERDICT r2 #6, CPU half).
+
+test_reference_config_compat.py proves the reference's production YAMLs
+PARSE; this proves they TRAIN: a synthetic cube is generated to satisfy
+every source the unmodified ``frl_binding_v1.yaml`` references
+(build_cube_for_bindings), and the full train() path runs with the real
+bindings + model + training YAMLs. Only operational size knobs are touched
+(patch size / batch size / epochs -- this is a 1-core CPU CI box); every
+semantic choice (features, losses, curricula, model architecture,
+normalization, sampling strategy) comes from the reference files verbatim.
+The full-size verbatim run is scripts/demo_reference_configs.py (TPU).
+"""
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REF = Path("/root/reference/frl/config")
+pytestmark = pytest.mark.skipif(not REF.exists(),
+                                reason="reference checkout not present")
+
+
+@pytest.fixture(scope="module")
+def ref_run(tmp_path_factory):
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    root = tmp_path_factory.mktemp("refcfg")
+    os.environ["ZARR_ROOT"] = str(root)
+
+    import yaml
+
+    from forest_tpu.data.bindings import parse_bindings
+    from forest_tpu.data.cube_v2 import build_cube_for_bindings
+    from forest_tpu.training import train_representation as tr
+    from forest_tpu.training.representation.training_config import (
+        parse_training_config)
+
+    bindings = parse_bindings(REF / "frl_binding_v1.yaml")
+    build_cube_for_bindings(bindings, Path(bindings.zarr_path),
+                            height=96, width=96, chunk_yx=32)
+
+    cfg = parse_training_config(str(REF / "frl_training_v1.yaml"))
+    # Operational size knobs ONLY (CI box = 1 CPU core); semantics stay
+    # verbatim-reference.
+    cfg.run.run_root = str(root / "runs")
+    cfg.epoch.num_epochs = 1
+    cfg.epoch.batch_size = 2
+    cfg.epoch.mode = "full"
+    cfg.spatial_domain.patch_size = 32
+    cfg.spatial_domain.split_block_size = (1, 1)
+    cfg.spatial_domain.debug_window = None
+    cfg.hardware.num_workers = 2
+    cfg.scheduler.warmup_epochs = 0
+    cfg.diagnostics = False
+
+    model_cfg = yaml.safe_load((REF / "frl_repr_model_v1.yaml").read_text())
+    result = tr.train(cfg, str(REF / "frl_binding_v1.yaml"), model_cfg,
+                      max_batches=2)
+    return bindings, cfg, result
+
+
+@pytest.mark.slow
+class TestReferenceConfigTraining:
+    def test_trains_finite(self, ref_run):
+        _, _, result = ref_run
+        h = result["history"][0]
+        assert np.isfinite(h["train/loss_total"])
+        assert h["train/skipped"] == 0
+
+    def test_reference_loss_surface_active(self, ref_run):
+        """The verbatim binding names the production loss set; the step
+        must report every corresponding component."""
+        _, _, result = ref_run
+        h = result["history"][0]
+        for k in ("train/loss_spatial_infonce", "train/loss_vicreg_type",
+                  "train/loss_phase_neighborhood",
+                  "train/loss_spectral_infonce"):
+            assert k in h and np.isfinite(h[k]), k
+
+    def test_cube_satisfies_every_binding_source(self, ref_run):
+        bindings, _, _ = ref_run
+        from forest_tpu.data import zarrlite as zl
+        root = zl.ZarrGroup(Path(bindings.zarr_path))
+        missing = []
+        for g in bindings.dataset.values():
+            for ch in g.channels:
+                if ch.source and not (
+                        Path(bindings.zarr_path) / ch.source).exists():
+                    missing.append(ch.source)
+        assert not missing, missing
+
+    def test_checkpoint_written_with_reference_model_arch(self, ref_run):
+        import json
+        _, cfg, _ = ref_run
+        ck = cfg.run.experiment_dir / cfg.run.ckpt_dir
+        meta = json.loads(
+            (ck / "encoder_last.msgpack.json").read_text())
+        # architecture dims straight from frl_repr_model_v1.yaml
+        import yaml
+        ref_model = yaml.safe_load(
+            (REF / "frl_repr_model_v1.yaml").read_text())
+        want_zt = ref_model.get("latents", ref_model).get("z_type_dim")
+        got = meta["model_config"]["model"]["z_type_dim"]
+        assert got == want_zt
