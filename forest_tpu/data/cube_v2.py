@@ -106,13 +106,17 @@ def build_cube_for_bindings(bindings, path: str | Path, height: int = 128,
         name = (ent["name"] or "") + " " + src
         low = name.lower()
         if ent["ok_if"] is not None:
-            # quality/mask channel: pass ok_if ~95% of the time
-            v = ent["ok_if"].value
-            passing = np.full(shape, float(v), np.float32)
-            failing = float(v) - 1.0 if ent["ok_if"].op in (">=", ">", "==") \
-                else float(v) + 1.0
+            # quality/mask channel: pass ok_if ~95% of the time. Pass/fail
+            # values chosen per-op so strict ops ('>'/'<') and '!=' behave
+            # (the threshold value itself FAILS those).
+            v = float(ent["ok_if"].value)
+            pass_val, fail_val = {
+                ">=": (v, v - 1.0), ">": (v + 1.0, v),
+                "<=": (v, v + 1.0), "<": (v - 1.0, v),
+                "==": (v, v + 1.0), "!=": (v + 1.0, v),
+            }[ent["ok_if"].op]
             bad = rng.random(shape) < 0.05
-            return np.where(bad, failing, passing).astype(np.float32)
+            return np.where(bad, fail_val, pass_val).astype(np.float32)
         if "/mask/" in src or low.endswith("_mask"):
             m = (rng.random(shape) > 0.03).astype(np.float32)
             return m

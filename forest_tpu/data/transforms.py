@@ -96,6 +96,13 @@ def get_transform(spec: TransformSpec) -> Transform:
     if name not in _REGISTRY:
         raise KeyError(
             f"unknown transform {name!r}; have {sorted(_REGISTRY) + ['log']}")
+    if params:
+        # reference contract: only 'log' takes parameters
+        # (PARAMETERIZED_TRANSFORMS, transforms.py:95) -- silently dropping
+        # them would build stats/features with a different transform than
+        # the config states.
+        raise ValueError(f"transform {name!r} takes no parameters, "
+                         f"got {params}")
     return _REGISTRY[name]
 
 

@@ -98,6 +98,22 @@ def make_dp_frl_step(process_batch: Callable, optimizer, mesh: Mesh,
     return jax.jit(sm, donate_argnums=(0,) if donate_state else ())
 
 
+def make_dp_eval_step(model: VQVAE, mesh: Mesh,
+                      class_weights: Optional[Dict] = None,
+                      use_pallas: Optional[bool] = None,
+                      data_axis: str = "data"):
+    """Data-parallel VQ-VAE eval: ``eval(params, batch, loss_weights) ->
+    metrics`` with the batch dim-0-sharded. shard_map (Manual axes) for
+    the same reason as the train step: the Pallas VQ kernel under GSPMD
+    auto-sharding gets surrounded with all-gathers (full replication)."""
+    raw = vqvae_step.make_eval_step(model, class_weights,
+                                    use_pallas=use_pallas,
+                                    axis_name=data_axis)
+    in_specs = (P(), P(data_axis), P())
+    sm = jax.shard_map(raw, mesh=mesh, in_specs=in_specs, out_specs=P())
+    return jax.jit(sm)
+
+
 def make_dp_frl_eval(process_batch: Callable, mesh: Mesh,
                      data_axis: str = "data"):
     """Data-parallel FRL eval step: ``eval(params, batch, rng, weights,
@@ -112,4 +128,5 @@ def make_dp_frl_eval(process_batch: Callable, mesh: Mesh,
     return jax.jit(sm)
 
 
-__all__ = ["make_dp_train_step", "make_dp_frl_step", "make_dp_frl_eval"]
+__all__ = ["make_dp_train_step", "make_dp_eval_step", "make_dp_frl_step",
+           "make_dp_frl_eval"]

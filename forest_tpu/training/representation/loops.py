@@ -34,8 +34,14 @@ def run_epoch(dataset, step_fn: Callable, state_or_params, *,
     process computes the SAME global batch index lists (deterministic from
     the dataset + batch_size) but decodes only its own contiguous slice;
     the slices are assembled into global arrays
-    (hosts.global_batch_from_local), so host IO scales with processes
-    while step semantics stay identical to single-process (SURVEY §6.8)."""
+    (hosts.global_batch_from_local), so host IO scales with processes and
+    multi-process execution is identical to single-PROCESS DP over the
+    same mesh (tests/test_multihost.py). Note DP itself keeps PER-REPLICA
+    batch semantics (dp.py header; torch-DDP convention): losses normalize
+    over replica-local valid anchors and gradients pmean with equal
+    replica weight, so a repeat-filled tail batch whose padding lands on
+    some replicas weighs those replicas' (zero) gradients equally -- a
+    deliberate divergence from one-device semantics on tail batches."""
     dataset.on_epoch_start()
     n = len(dataset)
     idx_batches = [list(range(i, min(i + batch_size, n)))

@@ -185,12 +185,40 @@ def train(cfg: Dict[str, Any]) -> Dict[str, Any]:
                 jax.tree.map(np.asarray, state), mesh)
         else:
             _shard = shard_batch_pytree
+        # shard_map eval too: a dim-0-sharded batch through a plain-jit
+        # eval would put the Pallas VQ kernel under GSPMD auto-sharding,
+        # which silently all-gathers to full replication (dp.py header).
+        from forest_tpu.parallel.dp import make_dp_eval_step
+        eval_step = make_dp_eval_step(model, mesh,
+                                      class_weights=class_weights)
     else:
         train_step = jax.jit(vqvae_step.make_train_step(model, opt,
                                                         class_weights),
                              donate_argnums=0)
         _shard = None
-    eval_step = jax.jit(vqvae_step.make_eval_step(model, class_weights))
+        eval_step = jax.jit(vqvae_step.make_eval_step(model, class_weights))
+
+    def min_shard_len(xy_by_chunk, drop_last, replacement=False):
+        """Lockstep cap under multi-process: every process must launch the
+        SAME number of global-collective programs per epoch, but chunk
+        shards are only near-equal in size -- cap at the smallest shard's
+        batch count (deterministically computable by every process)."""
+        if n_proc <= 1:
+            return None
+        cap = min(len(ChunkBatchSampler(
+            xy_by_chunk, cfg["batch_size"], drop_last=drop_last,
+            replacement_within_chunk=replacement,
+            num_shards=n_proc, shard_id=s)) for s in range(n_proc))
+        if cap == 0:
+            raise ValueError(
+                f"a process shard yields 0 batches ({n_proc} processes, "
+                f"{len(xy_by_chunk)} chunks): use fewer processes or a "
+                "bigger/finer-chunked cube")
+        return cap
+
+    tr_cap = min_shard_len(ds_tr.xy_by_chunk, cfg["drop_last"],
+                           replacement=True)
+    va_cap = min_shard_len(ds_va.xy_by_chunk, True, replacement=True)
 
     ckpt = CheckpointManager(run_dir / "ckpt", prefix="ckpt", top_k=1,
                              periodic_every=cfg.get("ckpt_every", 1),
@@ -243,7 +271,9 @@ def train(cfg: Dict[str, Any]) -> Dict[str, Any]:
                 agg[k] = agg.get(k, 0.0) + float(v)
             step_t += time.perf_counter() - t_step
             t_wait = time.perf_counter()
-            if n_steps >= cfg["steps_per_epoch"]:
+            if n_steps >= (min(cfg["steps_per_epoch"], tr_cap)
+                           if tr_cap is not None
+                           else cfg["steps_per_epoch"]):
                 break
             if max_steps and global_step >= max_steps:
                 break
@@ -267,7 +297,8 @@ def train(cfg: Dict[str, Any]) -> Dict[str, Any]:
             for k, v in m.items():
                 va_agg[k] = va_agg.get(k, 0.0) + float(v)
             nv += 1
-            if nv >= cfg.get("val_steps", 20):
+            if nv >= (min(cfg.get("val_steps", 20), va_cap)
+                      if va_cap is not None else cfg.get("val_steps", 20)):
                 break
         val_metrics = {f"val/{k.replace('loss/', 'loss_')}": v / max(nv, 1)
                        for k, v in va_agg.items()}

@@ -166,12 +166,18 @@ def make_train_step(model: VQVAE, optimizer: optax.GradientTransformation,
 
 def make_eval_step(model: VQVAE,
                    class_weights: Optional[Dict[str, Array]] = None,
-                   use_pallas: Optional[bool] = None) -> Callable:
+                   use_pallas: Optional[bool] = None,
+                   axis_name: Optional[str] = None) -> Callable:
+    """With ``axis_name`` set (inside shard_map over the data mesh),
+    per-replica metric means are pmean'd to the global batch mean."""
     cw = class_weights or {}
 
     def eval_step(params, batch, loss_weights):
         out = model.apply({"params": params}, batch, use_pallas=use_pallas)
         _, metrics = vqvae_loss(out, batch, cw, loss_weights)
+        if axis_name is not None:
+            metrics = {k: jax.lax.pmean(v, axis_name)
+                       for k, v in metrics.items()}
         return metrics
 
     return eval_step

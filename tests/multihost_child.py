@@ -84,6 +84,14 @@ def main(pid: int, nproc: int, port: int, outdir: str) -> None:
                           state.params)
     out["param_checksum"] = float(sum(jax.tree.leaves(checks)))
 
+    # --- 3b. FRL loop over the global mesh (loops.run_epoch slicing) -----
+    from frl_tiny import run_tiny_frl_epoch
+    frl_m, frl_checksum = run_tiny_frl_epoch(mesh)
+    out["frl_loss_total"] = float(frl_m["loss_total"])
+    out["frl_skipped"] = int(frl_m["skipped"])
+    out["frl_n_steps"] = int(frl_m["n_steps"])
+    out["frl_param_checksum"] = frl_checksum
+
     # --- 3. Orbax shard-local save/restore round-trip ---------------------
     from forest_tpu.training.orbax_checkpointing import OrbaxCheckpointManager
     mgr = OrbaxCheckpointManager(Path(outdir) / "orbax_ckpt", top_k=2,

@@ -332,6 +332,38 @@ class TestSpatialUtils:
         assert ok.sum() > 0
         assert np.all(d[ok] >= 16.0) and np.all(d[ok] <= 30.0)
 
+    def test_negative_slots_match_pairs_view(self):
+        """spatial_negative_slots is the pool-factorized form the FRL step
+        consumes (one-hot einsums over the pool instead of per-anchor
+        coordinate gathers); materializing pool[sel] must reproduce
+        spatial_negative_pairs exactly on the same key, and slot ids must
+        reference in-pool valid pixels inside the ring."""
+        mask = jnp.ones((64, 64)).at[:, :8].set(0)
+        anchors = jnp.asarray([[32, 32], [10, 10], [50, 20]])
+        key = jax.random.key(3)
+        kw = dict(min_distance=12.0, max_distance=28.0, n_per_anchor=5)
+        pool, pool_ok, sel, sel_ok = sp.spatial_negative_slots(
+            anchors, mask, key, **kw)
+        aidx, nbr, valid = sp.spatial_negative_pairs(anchors, mask, key,
+                                                     **kw)
+        np.testing.assert_array_equal(
+            np.asarray(pool)[np.asarray(sel)].reshape(-1, 2),
+            np.asarray(nbr))
+        np.testing.assert_array_equal(np.asarray(sel_ok).reshape(-1),
+                                      np.asarray(valid))
+        pool_np, sel_np = np.asarray(pool), np.asarray(sel)
+        ok_np = np.asarray(sel_ok)
+        assert ok_np.sum() > 0
+        for i in range(anchors.shape[0]):
+            for j in range(kw["n_per_anchor"]):
+                if not ok_np[i, j]:
+                    continue
+                p = pool_np[sel_np[i, j]]
+                assert np.asarray(pool_ok)[sel_np[i, j]]
+                assert p[1] >= 8  # masked columns never enter the pool
+                dd = np.sqrt(((p - np.asarray(anchors)[i]) ** 2).sum())
+                assert 12.0 <= dd <= 28.0
+
 
 class TestDerivedFeatures:
     def test_temporal_deltas(self, rng):

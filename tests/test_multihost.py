@@ -110,6 +110,26 @@ def test_global_update_matches_single_process(child_results):
                                rtol=1e-5)
 
 
+def test_frl_loop_matches_single_process(child_results):
+    """loops.run_epoch under 2 processes (per-process slices + global
+    validity mask, incl. the repeat-filled tail batch) must match a
+    single-process run over the identical 8-device mesh."""
+    np.testing.assert_allclose(child_results[0]["frl_loss_total"],
+                               child_results[1]["frl_loss_total"],
+                               rtol=1e-6)
+    assert child_results[0]["frl_skipped"] == 0
+    assert child_results[0]["frl_n_steps"] == 2  # 10 samples / batch 8
+
+    from forest_tpu.parallel import make_mesh
+    from frl_tiny import run_tiny_frl_epoch
+
+    m, checksum = run_tiny_frl_epoch(make_mesh(8))
+    np.testing.assert_allclose(child_results[0]["frl_loss_total"],
+                               float(m["loss_total"]), rtol=1e-4)
+    np.testing.assert_allclose(child_results[0]["frl_param_checksum"],
+                               checksum, rtol=1e-4)
+
+
 def test_orbax_roundtrip_shard_local(child_results):
     for r in child_results:
         assert r["orbax_roundtrip_ok"] is True

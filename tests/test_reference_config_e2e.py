@@ -26,6 +26,7 @@ def ref_run(tmp_path_factory):
     import jax
     jax.config.update("jax_platforms", "cpu")
     root = tmp_path_factory.mktemp("refcfg")
+    prev_zarr_root = os.environ.get("ZARR_ROOT")
     os.environ["ZARR_ROOT"] = str(root)
 
     import yaml
@@ -55,9 +56,15 @@ def ref_run(tmp_path_factory):
     cfg.diagnostics = False
 
     model_cfg = yaml.safe_load((REF / "frl_repr_model_v1.yaml").read_text())
-    result = tr.train(cfg, str(REF / "frl_binding_v1.yaml"), model_cfg,
-                      max_batches=2)
-    return bindings, cfg, result
+    try:
+        result = tr.train(cfg, str(REF / "frl_binding_v1.yaml"), model_cfg,
+                          max_batches=2)
+        yield bindings, cfg, result
+    finally:
+        if prev_zarr_root is None:
+            os.environ.pop("ZARR_ROOT", None)
+        else:
+            os.environ["ZARR_ROOT"] = prev_zarr_root
 
 
 @pytest.mark.slow

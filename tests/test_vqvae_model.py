@@ -145,6 +145,38 @@ class TestDataParallel:
                                    np.asarray(s2.params["codebook"]),
                                    rtol=1e-4, atol=1e-5)
 
+    def test_dp_eval_matches_single_device(self, rng):
+        """make_dp_eval_step (shard_map, Manual axes -- the Pallas-safe
+        eval path train_vqvae uses for DP validation) must reproduce the
+        single-device eval metrics on the same batch."""
+        from forest_tpu.parallel import make_mesh
+        from forest_tpu.parallel.dp import make_dp_eval_step
+        from forest_tpu.parallel.mesh import shard_batch_pytree
+
+        model = make_model("ema")
+        batch = make_batch(rng, b=32)
+        opt = vqvae_step.make_optimizer(1e-3)
+        state = vqvae_step.init_train_state(model, opt, batch,
+                                            jax.random.key(0))
+        single = jax.jit(vqvae_step.make_eval_step(model, use_pallas=False))
+        m1 = single(state.params, batch, WEIGHTS)
+
+        mesh = make_mesh(8)
+        dp_eval = make_dp_eval_step(model, mesh, use_pallas=False)
+        m2 = dp_eval(state.params, shard_batch_pytree(batch, mesh), WEIGHTS)
+        # per-sample-mean metrics are exactly pmean-able; nonlinear global
+        # diagnostics (perplexity = exp of the code-usage entropy) are
+        # replica-mean approximations under DP (same convention as the DP
+        # train step's metric pmean) -- compare those loosely.
+        for k in m1:
+            tight = k.startswith("loss/") or k.startswith("acc")
+            # tight metrics: f32 mean over a different partition order
+            # (replica-local means then pmean) -- reduction-order noise
+            # only
+            np.testing.assert_allclose(
+                float(m1[k]), float(m2[k]),
+                rtol=5e-4 if tight else 0.5, err_msg=k)
+
 
 class TestAnnealers:
     def test_constant_and_linear(self):
