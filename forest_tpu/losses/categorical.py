@@ -42,7 +42,10 @@ def categorical_loss(logits: Array, target: Array,
     else:
         w = jnp.ones_like(nll)
     w = jnp.where(valid, w, 0.0)
-    denom = jnp.maximum(jnp.sum(w), 1e-8)
+    # Reference normalization (categorical.py:100-124): per-element
+    # weighted NLL (reduction="none"), then a PLAIN mean over valid
+    # elements -- NOT torch's default divide-by-weight-sum.
+    denom = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
     return jnp.sum(nll * w) / denom
 
 

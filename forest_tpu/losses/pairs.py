@@ -100,23 +100,28 @@ def pairs_mutual_knn(distances: Array, k: int,
 
 
 def pairs_quantile(distances: Array, q: float,
-                   valid_mask: Optional[Array] = None) -> Array:
-    """Adjacency [N, M]: entries below the per-row q-quantile of valid
-    distances (pairs.py:291 contract)."""
+                   valid_mask: Optional[Array] = None,
+                   low: float = 0.0) -> Array:
+    """Adjacency [N, M]: entries in the GLOBAL quantile band [low, q) of
+    valid distances (pairs.py:291-360 contract: one quantile over ALL
+    valid entries -- not per-row -- selecting ``q_low <= d < q_high``)."""
     d = _sanitize(distances, valid_mask)
     finite = jnp.isfinite(d)
-    # Per-row quantile over VALID entries only: invalid -> NaN so
-    # nanquantile ignores them (padding must not inflate the threshold).
+    # Global quantiles over VALID entries only: invalid -> NaN so
+    # nanquantile ignores them (padding must not skew the thresholds).
     dq = jnp.where(finite, d, jnp.nan)
-    thr = jnp.nanquantile(dq, q, axis=1, keepdims=True)
-    return finite & (d <= thr)
+    q_low = jnp.nanquantile(dq, low)
+    q_high = jnp.nanquantile(dq, q)
+    return finite & (d >= q_low) & (d < q_high)
 
 
 def pairs_radius(distances: Array, radius: float,
-                 valid_mask: Optional[Array] = None) -> Array:
-    """Adjacency [N, M]: valid entries within ``radius``."""
+                 valid_mask: Optional[Array] = None,
+                 min_dist: float = 0.0) -> Array:
+    """Adjacency [N, M]: valid entries in the band [min_dist, radius)
+    (pairs.py:368-420 contract: ``min_dist <= d < max_dist``)."""
     d = _sanitize(distances, valid_mask)
-    return jnp.isfinite(d) & (d <= radius)
+    return jnp.isfinite(d) & (d >= min_dist) & (d < radius)
 
 
 def mask_to_pairs(adj: Array, max_pairs: int,
