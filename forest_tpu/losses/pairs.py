@@ -147,46 +147,46 @@ def mask_to_pairs(adj: Array, max_pairs: int,
     return pairs, chosen_valid
 
 
-def apply_spatial_constraint(adj: Array, coords: Array,
+def apply_spatial_constraint(distances: Array, coords: Array,
                              min_spatial: float) -> Array:
-    """Drop pairs whose (row, col) pixel coordinates are closer than
-    ``min_spatial`` (pairs.py:434 contract). coords: [N, 2]."""
+    """Mask FEATURE distances to +inf where pixel coordinates are closer
+    than ``min_spatial`` (pairs.py:434-456 contract). The constraint runs
+    BEFORE pair selection, so kNN falls through to the next-nearest
+    spatially-admissible neighbor and quantile thresholds are computed
+    over the post-constraint distribution. coords: [N, 2]."""
     c = coords.astype(jnp.float32)
     d2 = jnp.sum((c[:, None, :] - c[None, :, :]) ** 2, axis=-1)
-    return adj & (d2 >= min_spatial ** 2)
+    return jnp.where(d2 < min_spatial ** 2, INF, distances)
 
 
 def pairs_with_spatial_constraint(distances: Array, coords: Array,
                                   strategy: str = "knn", k: int = 8,
                                   q: float = 0.1, radius: float = 1.0,
                                   min_spatial: float = 4.0,
-                                  valid_mask: Optional[Array] = None
+                                  valid_mask: Optional[Array] = None,
+                                  q_low: float = 0.0
                                   ) -> Tuple[Array, Array]:
     """Strategy + spatial-exclusion combo (pairs.py:458-528 contract):
-    build candidate pairs by the named strategy over FEATURE distances,
-    then drop pairs whose PIXEL coordinates are closer than
-    ``min_spatial`` (spatially-adjacent pixels are trivial positives).
+    mask spatially-close candidates OUT OF the feature-distance matrix
+    first (trivial spatial neighbors must not occupy neighbor slots or
+    skew quantile thresholds -- reference order of operations), then build
+    pairs by the named strategy.
 
     Returns fixed-size (pairs, valid). For quantile/radius strategies the
     adjacency is converted via :func:`mask_to_pairs` with max_pairs = N*k.
     """
     n = distances.shape[0]
+    d = apply_spatial_constraint(distances, coords, min_spatial)
     if strategy == "knn":
-        pairs, valid = pairs_knn(distances, k, valid_mask)
-    elif strategy == "mutual_knn":
-        pairs, valid = pairs_mutual_knn(distances, k, valid_mask)
-    elif strategy in ("quantile", "radius"):
-        adj = (pairs_quantile(distances, q, valid_mask)
+        return pairs_knn(d, k, valid_mask)
+    if strategy == "mutual_knn":
+        return pairs_mutual_knn(d, k, valid_mask)
+    if strategy in ("quantile", "radius"):
+        adj = (pairs_quantile(d, q, valid_mask, low=q_low)
                if strategy == "quantile"
-               else pairs_radius(distances, radius, valid_mask))
-        adj = apply_spatial_constraint(adj, coords, min_spatial)
+               else pairs_radius(d, radius, valid_mask))
         return mask_to_pairs(adj, max_pairs=n * k)
-    else:
-        raise ValueError(f"unknown pair strategy {strategy!r}")
-    c = coords.astype(jnp.float32)
-    d2 = jnp.sum((c[pairs[:, 0]] - c[pairs[:, 1]]) ** 2, axis=-1)
-    valid = valid & (d2 >= min_spatial ** 2)
-    return pairs, valid
+    raise ValueError(f"unknown pair strategy {strategy!r}")
 
 
 def _chunked_knn_idx(features: Array, k: int, chunk_size: int,

@@ -202,11 +202,11 @@ class TestPairs:
                                       np.isfinite(dd) & (dd <= 0.5))
 
     def test_spatial_constraint(self):
-        adj = jnp.ones((4, 4), bool)
+        d = jnp.ones((4, 4), jnp.float32)
         coords = jnp.asarray([[0, 0], [0, 1], [0, 5], [9, 9]])
-        out = pairs.apply_spatial_constraint(adj, coords, min_spatial=3.0)
-        assert not bool(out[0, 1])  # distance 1 < 3
-        assert bool(out[0, 2])      # distance 5 >= 3
+        out = pairs.apply_spatial_constraint(d, coords, min_spatial=3.0)
+        assert not bool(jnp.isfinite(out[0, 1]))  # distance 1 < 3 -> inf
+        assert bool(jnp.isfinite(out[0, 2]))      # distance 5 >= 3 kept
 
     def test_chunked_matches_dense_mutual(self, rng):
         x = jnp.asarray(rng.normal(size=(50, 6)), jnp.float32)
@@ -472,10 +472,15 @@ class TestSpatialConstraintCombo:
         p, v = pairs.pairs_with_spatial_constraint(
             d, coords, strategy="knn", k=3, min_spatial=8.0)
         c = np.asarray(coords)
+        n_ok = 0
         for (i, j), ok in zip(np.asarray(p), np.asarray(v)):
             if ok:
+                n_ok += 1
                 dist = np.sqrt(((c[i] - c[j]) ** 2).sum())
                 assert dist >= 8.0
+        # constraint-BEFORE-selection (reference order): anchors keep their
+        # k slots by falling through to farther admissible neighbors
+        assert n_ok > 0
 
     def test_quantile_strategy_path(self, rng):
         x = jnp.asarray(rng.normal(size=(12, 3)), jnp.float32)

@@ -43,6 +43,7 @@ def _import_reference():
             "triplet": importlib.import_module("losses.triplet_phase"),
             "phase_nb": importlib.import_module("losses.phase_neighborhood"),
             "pairs": importlib.import_module("losses.pairs"),
+            "evt": importlib.import_module("losses.evt_soft_neighborhood"),
         }
     finally:
         sys.path.remove(str(REF))
@@ -289,3 +290,95 @@ class TestPairsLockstep:
         want_r = {(int(i), int(j)) for i, j in ref_r.numpy()}
         got_r = {(i, j) for i, j in zip(*np.nonzero(adj_r))}
         assert got_r == want_r
+
+    def test_pairs_with_spatial_constraint(self):
+        """Constraint-BEFORE-selection order (pairs.py:458-528): kNN falls
+        through past spatially-excluded neighbors; negative quantiles are
+        computed over the post-constraint distribution."""
+        from forest_tpu.losses.pairs import pairs_with_spatial_constraint
+        rng = np.random.default_rng(12)
+        n = 24
+        feat = self._dist(rng, n=n)
+        coords = rng.integers(0, 40, size=(n, 2)).astype(np.float64)
+        spat = np.sqrt(((coords[:, None] - coords[None, :]) ** 2
+                        ).sum(-1)).astype(np.float32)
+        ref_pos, ref_neg = REFMOD["pairs"].pairs_with_spatial_constraint(
+            _t(feat), _t(spat), positive_strategy="knn", positive_k=4,
+            positive_min_spatial=5.0, negative_quantile_low=0.5,
+            negative_quantile_high=0.75, negative_min_spatial=9.0)
+
+        pos, pos_v = pairs_with_spatial_constraint(
+            jnp.asarray(feat), jnp.asarray(coords), strategy="knn", k=4,
+            min_spatial=5.0)
+        assert (self._our_set(pos, pos_v)
+                == {(int(i), int(j)) for i, j in ref_pos.numpy()})
+
+        neg, neg_v = pairs_with_spatial_constraint(
+            jnp.asarray(feat), jnp.asarray(coords), strategy="quantile",
+            q=0.75, q_low=0.5, k=n, min_spatial=9.0)
+        assert (self._our_set(neg, neg_v)
+                == {(int(i), int(j)) for i, j in ref_neg.numpy()})
+
+
+class TestEvtLockstep:
+    """EVT diffusion metric + soft-neighborhood loss vs the reference
+    (losses/evt_soft_neighborhood.py:46-420), from a fabricated confusion
+    CSV through count/row-sum filtering, diffusion, inverse-frequency
+    weights, and the full weighted KL loss (same-code exclusion)."""
+
+    def _fixture(self, tmp_path, rng):
+        codes = [7001, 7002, 7003, 7004, 7005]
+        m = rng.integers(10, 200, (5, 5)).astype(float)
+        m += np.diag(rng.integers(300, 600, size=5).astype(float))
+        m[4, :] = 2.0  # sparse row -> dropped by min_confusion_samples
+        m[:, 4] = 2.0
+        lines = ["," + ",".join(str(c) for c in codes)]
+        for c, row in zip(codes, m):
+            lines.append(f"{c}," + ",".join(str(v) for v in row))
+        p = tmp_path / "conf.csv"
+        p.write_text("\n".join(lines) + "\n")
+        # 7004 dropped by min_count
+        counts = {7001: 5000, 7002: 800, 7003: 12000, 7004: 50, 7005: 3000}
+        return p, counts
+
+    def test_metric_and_full_loss(self, tmp_path):
+        from forest_tpu.losses.evt_soft_neighborhood import (
+            EvtDiffusionMetric, evt_soft_neighborhood_loss)
+        rng = np.random.default_rng(13)
+        csv_p, counts = self._fixture(tmp_path, rng)
+        kw = dict(min_count=100, min_confusion_samples=30,
+                  diffusion_steps=2, max_weight=10.0)
+        ref_metric = REFMOD["evt"].EvtDiffusionMetric(csv_p, counts, **kw)
+        ours = EvtDiffusionMetric(csv_p, counts, **kw)
+        assert ours.n_codes == ref_metric.n_codes == 3  # 7004+7005 dropped
+        assert set(int(c) for c in ours.codes) == ref_metric.valid_codes
+
+        # anchors: known codes + one dropped + one unknown
+        anchors = np.asarray([7001, 7002, 7003, 7001, 7002, 7003,
+                              7001, 7004, 9999, 7003], np.int64)
+        d_ref_t, valid_t = ref_metric.reference_distances(_t(anchors))
+        w_t = ref_metric.anchor_weights(_t(anchors))
+        idx, valid, w = ours.lookup(anchors)
+        np.testing.assert_array_equal(valid, valid_t.numpy())
+        np.testing.assert_allclose(w, w_t.numpy(), rtol=1e-6)
+        # our d_ref construction (1 - onehot-selected similarity) must
+        # match the reference's gathered distances on valid pairs
+        sim = ours.similarity[np.ix_(idx, idx)]
+        vv = valid[:, None] & valid[None, :]
+        np.testing.assert_allclose(np.where(vv, 1.0 - sim, 1.0),
+                                   d_ref_t.numpy(), rtol=1e-6, atol=1e-6)
+
+        emb = rng.normal(size=(len(anchors), 6)).astype(np.float32)
+        ref_loss, ref_stats = REFMOD["evt"].evt_soft_neighborhood_loss(
+            _t(emb), _t(anchors), ref_metric, tau_ref=0.5, tau_learned=0.5)
+        loss, stats = evt_soft_neighborhood_loss(
+            jnp.asarray(emb), jnp.asarray(idx), jnp.asarray(valid),
+            jnp.asarray(w), jnp.asarray(ours.similarity),
+            jnp.asarray(anchors), tau_ref=0.5, tau_learned=0.5)
+        assert int(stats["n_anchors_valid"]) == int(
+            ref_stats["n_anchors_valid"])
+        assert int(stats["n_rows_active"]) == int(ref_stats["n_rows_active"])
+        np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-4)
+        np.testing.assert_allclose(float(stats["mean_entropy_ref"]),
+                                   float(ref_stats["mean_entropy_ref"]),
+                                   rtol=1e-4)
