@@ -397,8 +397,8 @@ def removals_stratification_report(z_type: np.ndarray, z_all: np.ndarray,
                                    = None,
                                    units: Optional[np.ndarray] = None,
                                    aux: Optional[np.ndarray] = None,
-                                   k_strata: int = 4, seed: int = 1
-                                   ) -> Dict[str, Dict[str, float]]:
+                                   k_strata: int = 4, seed: int = 1,
+                                   return_labels: bool = False):
     """Within-stratum variance comparison for a zero-inflated removals
     target (fia_removals_stratification.Rmd headline table):
 
@@ -419,12 +419,14 @@ def removals_stratification_report(z_type: np.ndarray, z_all: np.ndarray,
     units = np.zeros(len(y), np.int64) if units is None else units
     v_base = pooled_within_variance(y, units)
     rows: Dict[str, Dict[str, float]] = {}
+    labels: Dict[str, np.ndarray] = {}
 
     def add(name, *strata):
         v = pooled_within_variance(y, units, *strata)
         rows[name] = {"within_var": v,
                       "pct_of_baseline": 100.0 * v / max(v_base, 1e-30),
                       "ess": len(y) * v_base / max(v, 1e-30)}
+        labels[name] = strata[0] if strata else units
 
     rows["baseline"] = {"within_var": v_base, "pct_of_baseline": 100.0,
                         "ess": float(len(y))}
@@ -442,6 +444,8 @@ def removals_stratification_report(z_type: np.ndarray, z_all: np.ndarray,
             oof_linear_scores(z_all, np.asarray(transfer_target,
                                                 np.float64), seed=seed),
             k_strata))
+    if return_labels:
+        return rows, labels
     return rows
 
 
@@ -704,6 +708,39 @@ def evt_cohesion(evt: np.ndarray, segments: np.ndarray
     return modal / len(evt), single / len(codes)
 
 
+def write_strata_boxplot(y: np.ndarray, labels_by_method: Dict[str, np.ndarray],
+                         path) -> None:
+    """Removals-by-stratum boxplot sheet: one facet per stratification
+    method, y-axis log1p(removals) shared across facets (the Rmd's
+    strata-boxplot chunk, fia_removals_stratification.Rmd:345-380 -- the
+    response is zero-inflated and right-skewed, so log1p keeps the boxes
+    legible; a method separates removals well when its boxes sit at
+    visibly different levels)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    y = np.asarray(y, np.float64)
+    methods = list(labels_by_method)
+    ncol = min(3, len(methods))
+    nrow = -(-len(methods) // ncol)
+    fig, axes = plt.subplots(nrow, ncol, figsize=(4.2 * ncol, 3.4 * nrow),
+                             squeeze=False, sharey=True)
+    ly = np.log1p(np.maximum(y, 0.0))
+    for ax, name in zip(axes.ravel(), methods):
+        lab = np.asarray(labels_by_method[name])
+        groups = [ly[lab == s] for s in np.unique(lab)]
+        ax.boxplot(groups, showfliers=False)
+        ax.set_title(name, fontsize=9)
+        ax.set_xlabel("stratum", fontsize=8)
+        ax.set_ylabel("log1p(response)", fontsize=8)
+    for ax in axes.ravel()[len(methods):]:
+        ax.axis("off")
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+
+
 def write_report_tables(out: Dict, report_dir) -> list:
     """Write the analysis result as CSV + markdown report artifacts.
 
@@ -876,10 +913,16 @@ def main(argv=None):
                     if a.transfer_target else None)
         aux = (np.asarray([float(r[a.aux_col]) for r in recs])
                if a.aux_col else None)
-        rows = removals_stratification_report(
-            z_type, z_all, y, transfer, units, aux, a.k_strata)
+        rows, strata_labels = removals_stratification_report(
+            z_type, z_all, y, transfer, units, aux, a.k_strata,
+            return_labels=True)
         out["table"] = rows
-        labels = dh_strata(oof_linear_scores(z_all, y), a.k_strata)
+        labels = strata_labels["emb_sup"]
+        if a.report_dir:
+            from pathlib import Path as _P
+            d = _P(a.report_dir)
+            d.mkdir(parents=True, exist_ok=True)
+            write_strata_boxplot(y, strata_labels, d / "strata_boxplot.png")
     else:  # probe_table
         blocks = {"z_type": z_type}
         if z_phase is not None:
@@ -912,4 +955,5 @@ __all__ = ["post_stratified_estimate", "simple_random_estimate",
            "adjusted_r2", "linear_probe_table", "blockwise_l2_normalize",
            "knn_eval", "tune_phase_weight_and_k", "error_by_strata",
            "response_by_recovery_class", "evt_centroid_segments",
-           "evt_cohesion", "write_report_tables", "main"]
+           "evt_cohesion", "write_report_tables", "write_strata_boxplot",
+           "main"]

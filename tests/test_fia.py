@@ -382,6 +382,8 @@ class TestFiaCLI:
         assert float(sup["re_vs_aux"]) > 1.0
         md = (rep / "removals_efficiency.md").read_text()
         assert "| stratification |" in md and "emb_sup" in md
+        # the Rmd's strata-boxplot figure sheet
+        assert (rep / "strata_boxplot.png").stat().st_size > 1000
 
         # probe-table + summary variants also produce artifacts
         fia.main(["--csv", str(csv_p), "--target", "BALIVE",
