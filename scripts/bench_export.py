@@ -9,6 +9,12 @@ Usage: python scripts/bench_export.py [--height 1024] [--patch 256]
 """
 from __future__ import annotations
 
+# Containers can lose the editable install between rounds; make the
+# repo-root import work regardless of pip state.
+import pathlib as _pl
+import sys as _sys
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parents[1]))
+
 import argparse
 import sys
 import tempfile

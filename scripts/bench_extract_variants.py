@@ -17,6 +17,12 @@ Run: python scripts/bench_extract_variants.py [--iters 20]
 """
 from __future__ import annotations
 
+# Containers can lose the editable install between rounds; make the
+# repo-root import work regardless of pip state.
+import pathlib as _pl
+import sys as _sys
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parents[1]))
+
 import argparse
 import sys
 import time

@@ -9,6 +9,12 @@ Run: python scripts/bench_frl_step.py [--batch 12] [--patch 256] [--iters 20]
 """
 from __future__ import annotations
 
+# Containers can lose the editable install between rounds; make the
+# repo-root import work regardless of pip state.
+import pathlib as _pl
+import sys as _sys
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parents[1]))
+
 import argparse
 import time
 

@@ -14,6 +14,12 @@ positives + 1200 pool negatives per sample).
 
 Run (TPU session env): python scripts/bench_scatter_model.py
 """
+
+# Containers can lose the editable install between rounds; make the
+# repo-root import work regardless of pip state.
+import pathlib as _pl
+import sys as _sys
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parents[1]))
 import time
 
 import jax

@@ -6,6 +6,12 @@ production settings of forest_tpu.ops.vq._vq_assign_pallas.
 """
 from __future__ import annotations
 
+# Containers can lose the editable install between rounds; make the
+# repo-root import work regardless of pip state.
+import pathlib as _pl
+import sys as _sys
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parents[1]))
+
 import functools
 import sys
 import time

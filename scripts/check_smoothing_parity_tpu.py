@@ -3,6 +3,12 @@
 Small shapes (fast compiles over the axon relay): forward value + all three
 input gradients, bf16 and fp32. Prints one JSON line per check.
 """
+
+# Containers can lose the editable install between rounds; make the
+# repo-root import work regardless of pip state.
+import pathlib as _pl
+import sys as _sys
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parents[1]))
 import json
 import sys
 

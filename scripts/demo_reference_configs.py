@@ -26,6 +26,9 @@ import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
+# Containers can lose the editable install between rounds; make the
+# repo-root import work regardless of pip state.
+sys.path.insert(0, str(REPO))
 REF = Path("/root/reference/frl/config")
 
 
