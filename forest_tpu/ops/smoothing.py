@@ -348,6 +348,11 @@ def _pallas_fwd_call(xt, at, bt, dims, nd, dc, interpret):
             * (2 * nd) * (2 * d["r"] + 8),
             bytes_accessed=2 * (3 * xt.size + at.size + 2 * bt.size),
             transcendentals=0),
+        # The f32 path's double-buffered halo views of x plus the rank-R
+        # bank block exceed the 16 MB default scoped-vmem budget at
+        # production shapes ([12,256,48,256]: 18.4 MB); v5e has headroom.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(xt, xt, xt, at, bt)
     return out
