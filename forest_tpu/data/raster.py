@@ -5,10 +5,11 @@ The raster-helper role of ``/root/reference/utils/rasterio.py:27-397``
 cube builder) scoped to what this image supports: pixel decode is PIL
 (baked in), and the GeoTIFF georeferencing tags are parsed from the TIFF
 directory directly -- ModelPixelScale (33550) + ModelTiepoint (33922), or
-ModelTransformation (34264), plus GDAL_NODATA (42113). Reprojection is
-OUT of scope (no pyproj/GDAL in the image): every source must already sit
-on the target grid, matching the reference's aligned-COG fast path; the
-builder rejects misaligned sources instead of silently resampling.
+ModelTransformation (34264), plus GDAL_NODATA (42113) and the EPSG code
+from the GeoKeyDirectory (34735). By default every source must already
+sit on the target grid, matching the reference's aligned-COG fast path,
+and the builder rejects misaligned sources; opt-in resampling (and
+WGS84/UTM <-> geographic reprojection) lives in ``data/reproject.py``.
 
 The affine convention matches the cube's ``geo_transform`` attr consumed
 by ``eval/embed_locations.py``: ``[x0, dx, y0, dy]`` with
@@ -27,7 +28,12 @@ import numpy as np
 _MODEL_PIXEL_SCALE = 33550
 _MODEL_TIEPOINT = 33922
 _MODEL_TRANSFORMATION = 34264
+_GEO_KEY_DIRECTORY = 34735
 _GDAL_NODATA = 42113
+# GeoKey ids (GeoTIFF 1.1 spec)
+_GT_MODEL_TYPE = 1024          # 1 = projected, 2 = geographic
+_GEOGRAPHIC_TYPE = 2048        # geographic EPSG (e.g. 4326)
+_PROJECTED_CS_TYPE = 3072      # projected EPSG (e.g. 32610)
 
 
 @dataclass
@@ -36,6 +42,7 @@ class Raster:
     data: np.ndarray
     transform: Optional[Tuple[float, float, float, float]]  # x0, dx, y0, dy
     nodata: Optional[float]
+    epsg: Optional[int] = None  # from GeoKeyDirectory, when present
 
     @property
     def shape(self):
@@ -63,6 +70,25 @@ def _parse_transform(tags) -> Optional[Tuple[float, float, float, float]]:
         i, j, _, x, y, _ = tp
         # tiepoint maps pixel (i, j) -> map (x, y); GeoTIFF y decreases
         return (x - i * sx, sx, y + j * sy, -sy)
+    return None
+
+
+def _parse_epsg(tags) -> Optional[int]:
+    """EPSG code from GeoKeyDirectoryTag (34735): short-array of
+    (KeyID, TIFFTagLocation, Count, Value) entries after a 4-short
+    header; ProjectedCSType (3072) wins over GeographicType (2048)."""
+    if _GEO_KEY_DIRECTORY not in tags:
+        return None
+    d = [int(v) for v in tags[_GEO_KEY_DIRECTORY]]
+    keys = {}
+    for i in range(4, min(len(d), 4 + 4 * d[3]), 4):
+        key_id, loc, _count, value = d[i:i + 4]
+        if loc == 0:  # inline short value
+            keys[key_id] = value
+    for k in (_PROJECTED_CS_TYPE, _GEOGRAPHIC_TYPE):
+        code = keys.get(k)
+        if code and code != 32767:  # 32767 = user-defined
+            return code
     return None
 
 
@@ -97,12 +123,14 @@ def read_geotiff(path: str | Path,
         if transform is not None:
             x0, dx, y0, dy = transform
             transform = (x0 + c0 * dx, dx, y0 + r0 * dy, dy)
-    return Raster(data=data, transform=transform, nodata=nodata)
+    return Raster(data=data, transform=transform, nodata=nodata,
+                  epsg=_parse_epsg(tags))
 
 
 def write_geotiff(path: str | Path, data: np.ndarray,
                   transform: Optional[Sequence[float]] = None,
-                  nodata: Optional[float] = None) -> None:
+                  nodata: Optional[float] = None,
+                  epsg: Optional[int] = None) -> None:
     """Write [H, W] (float32/uint8/uint16/int32) or [H, W, 3] uint8."""
     from PIL import Image, TiffImagePlugin
 
@@ -124,6 +152,14 @@ def write_geotiff(path: str | Path, data: np.ndarray,
         ifd[_GDAL_NODATA] = repr(float(nodata)) if nodata % 1 \
             else str(int(nodata))
         ifd.tagtype[_GDAL_NODATA] = TiffImagePlugin.TiffTags.ASCII
+    if epsg is not None:
+        geographic = 4000 <= int(epsg) <= 4999
+        key = _GEOGRAPHIC_TYPE if geographic else _PROJECTED_CS_TYPE
+        ifd[_GEO_KEY_DIRECTORY] = (
+            1, 1, 0, 2,
+            _GT_MODEL_TYPE, 0, 1, 2 if geographic else 1,
+            key, 0, 1, int(epsg))
+        ifd.tagtype[_GEO_KEY_DIRECTORY] = TiffImagePlugin.TiffTags.SHORT
     im.save(path, tiffinfo=ifd)
 
 

@@ -18,10 +18,13 @@ band source is one of
 - a glob of per-year GeoTIFFs (``ndvi_*.tif``, sorted) stacked to
   [T, H, W] for annual bands.
 
-All GeoTIFF sources must share one grid (``raster.assert_aligned``; there
-is no reprojection backend in this image -- the reference's aligned-COG
-fast path). GEE export provenance (SURVEY.md §2.1) stays upstream of this
-builder in both codebases.
+GeoTIFF sources must share one grid by default (``raster.assert_aligned``,
+the reference's aligned-COG fast path). A band may instead declare
+``resample: nearest|bilinear`` to be regridded onto the cube grid --
+including across WGS84/UTM <-> geographic CRSs via the GeoTIFF's EPSG
+geokey (``data/reproject.py``, the align_to_template contract of
+/root/reference/utils/rasterio.py:158-201). GEE export provenance
+(SURVEY.md §2.1) stays upstream of this builder in both codebases.
 
 Spec YAML:
   output: cube.zarr
@@ -107,6 +110,9 @@ def validate_spec(spec: Dict[str, Any]) -> List[str]:
             if "name" not in b or "source" not in b:
                 problems.append(f"group {g.get('name')}: band needs "
                                 "name+source")
+            if b.get("resample") not in (None, "nearest", "bilinear"):
+                problems.append(f"group {g.get('name')}: bad resample "
+                                f"{b.get('resample')!r} (nearest|bilinear)")
     return problems
 
 
@@ -175,7 +181,35 @@ def build_cube(spec: Dict[str, Any], base_dir: str | Path = ".",
         for b in g.get("bands", []):
             data, rmeta = _load_source_ex(b["source"], base)
             data = np.asarray(data)
-            if rmeta is not None:
+            resample = b.get("resample")
+            if rmeta is not None and resample:
+                # Misaligned source with an explicit resampling mode:
+                # regrid onto the cube grid (reference align_to_template,
+                # utils/rasterio.py:180-201) instead of rejecting. The
+                # target grid is the spec geo_transform or the first
+                # strictly-aligned GeoTIFF's; a resampled source never
+                # anchors the grid itself.
+                from forest_tpu.data import reproject as rpj
+                if rmeta.transform is None:
+                    raise ValueError(f"{b['source']}: resample needs a "
+                                     "geo-transform on the source")
+                tgt_tf = spec.get("geo_transform") or (
+                    grid_raster.transform if grid_raster is not None
+                    else rmeta.transform)
+                dst_epsg = spec.get("epsg") or (
+                    grid_raster.epsg if grid_raster is not None else None)
+                planes = data if data.ndim == 3 else data[None]
+                planes = np.stack([
+                    rpj.align_to_grid(p, rmeta.transform, tgt_tf, (h, w),
+                                      src_epsg=rmeta.epsg,
+                                      dst_epsg=dst_epsg,
+                                      resampling=resample,
+                                      nodata=rmeta.nodata)
+                    for p in planes])
+                data = planes if data.ndim == 3 else planes[0]
+                if dtype.kind != "f":  # NaN cannot live in an int band
+                    data = np.where(np.isnan(data), fv, data)
+            elif rmeta is not None:
                 if grid_raster is None:
                     grid_raster = rmeta
                 else:
