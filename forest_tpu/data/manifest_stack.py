@@ -333,11 +333,19 @@ def compute_feature_metadata(stack: ManifestStack,
     m = np.asarray(mask).astype(bool)
     if m.shape != stack.mask_shape:
         raise ValueError(f"mask {m.shape} != grid {stack.mask_shape}")
+    values = [np.concatenate([stack.read_feature(ti, fi)[m]
+                              for ti in range(len(stack.years))])
+              for fi in range(len(stack.fids))]
+    return _metadata_from_values(stack.fids, stack.kinds, values)
+
+
+def _metadata_from_values(fids: Sequence[str], kinds: Sequence[str],
+                          values: Sequence[np.ndarray]) -> Dict:
+    """Metadata from already-gathered masked per-feature value arrays
+    (lets the cube builder reuse its write-pass reads, 1x IO)."""
     meta: Dict = {"features": []}
-    for fi, (name, kind) in enumerate(zip(stack.fids, stack.kinds)):
-        vals = [stack.read_feature(ti, fi)[m]
-                for ti in range(len(stack.years))]
-        v = np.concatenate(vals) if vals else np.empty((0,), np.float32)
+    for name, kind, v in zip(fids, kinds, values):
+        v = np.asarray(v, np.float64).ravel()
         v = v[np.isfinite(v)]
         if kind == "int":
             if v.size == 0:
@@ -449,19 +457,29 @@ def build_manifest_cube(features_csv: str | Path,
                               chunk_yx=chunk_yx, patch_size=patch_size)
     cont = root["continuous"]
     cat = root["categorical"]
+    # one decode per (year, feature): the write pass also gathers the
+    # masked values the metadata pass needs (manifests decode via PIL on
+    # a 1-core host -- a second full-manifest read would double the build)
+    masked_vals: List[List[np.ndarray]] = [[] for _ in stack.fids]
     for ti in range(len(years)):
         for ci, fi in enumerate(cont_idx):
-            cont[ti, ci] = stack.read_feature(ti, fi)
+            band = stack.read_feature(ti, fi)
+            cont[ti, ci] = band
+            masked_vals[fi].append(band[mask])
         for ci, fi in enumerate(cat_idx):
             band = stack.read_feature(ti, fi)
             codes = np.where(np.isfinite(band),
                              np.round(band), -1).astype(np.int16)
             cat[ti, ci] = codes
+            masked_vals[fi].append(band[mask])
     root["aoi_mask"][:] = mask.astype(np.uint8)
     if naip_data is not None:
         root["naip"][:] = np.asarray(naip_data, np.float32)
 
-    meta = compute_feature_metadata(stack, mask)
+    meta = _metadata_from_values(
+        stack.fids, stack.kinds,
+        [np.concatenate(v) if v else np.empty((0,), np.float32)
+         for v in masked_vals])
     cont_stats = {}
     for f in meta["features"]:
         if f["kind"] == "int":

@@ -79,10 +79,18 @@ def _parse_epsg(tags) -> Optional[int]:
     header; ProjectedCSType (3072) wins over GeographicType (2048)."""
     if _GEO_KEY_DIRECTORY not in tags:
         return None
-    d = [int(v) for v in tags[_GEO_KEY_DIRECTORY]]
+    try:
+        d = [int(v) for v in tags[_GEO_KEY_DIRECTORY]]
+    except (TypeError, ValueError):
+        return None  # malformed tag: behave as if absent
+    if len(d) < 4:
+        return None
     keys = {}
     for i in range(4, min(len(d), 4 + 4 * d[3]), 4):
-        key_id, loc, _count, value = d[i:i + 4]
+        entry = d[i:i + 4]
+        if len(entry) < 4:
+            break  # truncated mid-entry
+        key_id, loc, _count, value = entry
         if loc == 0:  # inline short value
             keys[key_id] = value
     for k in (_PROJECTED_CS_TYPE, _GEOGRAPHIC_TYPE):
@@ -127,6 +135,24 @@ def read_geotiff(path: str | Path,
                   epsg=_parse_epsg(tags))
 
 
+def read_geotiff_tags(path: str | Path
+                      ) -> Tuple[Optional[Tuple[float, float, float, float]],
+                                 Optional[float], Optional[int]]:
+    """(transform, nodata, epsg) from the TIFF directory WITHOUT decoding
+    pixels — cheap grid-anchor probing for the cube builder."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        tags = dict(im.tag_v2) if hasattr(im, "tag_v2") else {}
+    nodata = None
+    if _GDAL_NODATA in tags:
+        try:
+            nodata = float(str(tags[_GDAL_NODATA]).strip("\x00 "))
+        except ValueError:
+            pass
+    return _parse_transform(tags), nodata, _parse_epsg(tags)
+
+
 def write_geotiff(path: str | Path, data: np.ndarray,
                   transform: Optional[Sequence[float]] = None,
                   nodata: Optional[float] = None,
@@ -153,7 +179,10 @@ def write_geotiff(path: str | Path, data: np.ndarray,
             else str(int(nodata))
         ifd.tagtype[_GDAL_NODATA] = TiffImagePlugin.TiffTags.ASCII
     if epsg is not None:
-        geographic = 4000 <= int(epsg) <= 4999
+        # 4xxx is the geographic-2D range EXCEPT a handful of projected
+        # world CRSs that landed in it (4087/4088 equidistant cylindrical).
+        geographic = 4000 <= int(epsg) <= 4999 \
+            and int(epsg) not in (4087, 4088)
         key = _GEOGRAPHIC_TYPE if geographic else _PROJECTED_CS_TYPE
         ifd[_GEO_KEY_DIRECTORY] = (
             1, 1, 0, 2,

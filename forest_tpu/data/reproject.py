@@ -178,8 +178,11 @@ def needs_reprojection(src_transform: Sequence[float],
                        dst_epsg: Optional[int] = None, *,
                        atol: float = 1e-9) -> bool:
     """True if CRS or affine grid differ (rasterio.needs_reprojection)."""
-    if (src_epsg or dst_epsg) and src_epsg != dst_epsg:
+    if src_epsg is not None and dst_epsg is not None \
+            and src_epsg != dst_epsg:
         return True
+    # one-sided/absent EPSG: same CRS assumed (the GDAL convention);
+    # align_to_grid still rejects flagrant degree/meter mixtures.
     return not np.allclose(np.asarray(src_transform, np.float64),
                            np.asarray(dst_transform, np.float64),
                            atol=atol)
@@ -200,16 +203,20 @@ def _sample(data: np.ndarray, rows: np.ndarray, cols: np.ndarray,
         return vals.reshape(out_shape)
     if method != "bilinear":
         raise ValueError(f"Unsupported resampling mode: {method!r}")
-    r0 = np.floor(rows).astype(np.int64)
-    c0 = np.floor(cols).astype(np.int64)
-    fr = (rows - r0)[..., None]
-    fc = (cols - c0)[..., None]
-    ok = (r0 >= 0) & (r0 + 1 < H) & (c0 >= 0) & (c0 + 1 < W)
-    rs, cs = np.clip(r0, 0, H - 2), np.clip(c0, 0, W - 2)
+    # valid anywhere inside the data support [0, H-1] x [0, W-1],
+    # INCLUSIVE: a point landing exactly on the last row/col gets that
+    # row/col exactly (fr/fc = 1 against a clamped base index).
+    ok = (rows >= 0) & (rows <= H - 1) & (cols >= 0) & (cols <= W - 1)
+    rs = np.clip(np.floor(rows).astype(np.int64), 0, max(H - 2, 0))
+    cs = np.clip(np.floor(cols).astype(np.int64), 0, max(W - 2, 0))
+    fr = (rows - rs)[..., None]
+    fc = (cols - cs)[..., None]
+    r1 = np.minimum(rs + 1, H - 1)
+    c1 = np.minimum(cs + 1, W - 1)
     v00 = flat[rs, cs]
-    v01 = flat[rs, cs + 1]
-    v10 = flat[rs + 1, cs]
-    v11 = flat[rs + 1, cs + 1]
+    v01 = flat[rs, c1]
+    v10 = flat[r1, cs]
+    v11 = flat[r1, c1]
     vals = (v00 * (1 - fr) * (1 - fc) + v01 * (1 - fr) * fc
             + v10 * fr * (1 - fc) + v11 * fr * fc)
     vals[~ok] = np.nan
@@ -246,6 +253,17 @@ def align_to_grid(data: np.ndarray,
     if src_epsg is not None and dst_epsg is not None \
             and src_epsg != dst_epsg:
         xg, yg = transform_coords(dst_epsg, src_epsg, xg, yg)
+    else:
+        # Same CRS assumed (possibly because one side lacks an EPSG tag).
+        # Catch the flagrant degree-vs-meter mixture that would otherwise
+        # sample nothing and silently write a NaN band.
+        ratio = abs(ddx) / abs(sdx)
+        if ratio > 1e3 or ratio < 1e-3:
+            raise ValueError(
+                f"source pixel size {sdx} vs destination {ddx} differ by "
+                f">1000x with no usable CRS pair (src_epsg={src_epsg}, "
+                f"dst_epsg={dst_epsg}) -- a degrees/meters mix-up? Tag "
+                "both grids with EPSG codes to reproject between CRSs")
     src_c = (xg - sx0) / sdx - 0.5
     src_r = (yg - sy0) / sdy - 0.5
     return _sample(data, src_r, src_c, resampling)

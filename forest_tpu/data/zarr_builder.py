@@ -171,6 +171,34 @@ def build_cube(spec: Dict[str, Any], base_dir: str | Path = ".",
 
     stats_all: Dict[str, Dict] = {}
     grid_raster = None  # first GeoTIFF source: alignment anchor + attr
+
+    # Prescan for the grid anchor so a `resample:` band can never fall
+    # back to its OWN (misaligned) grid just because it appears before
+    # the first aligned GeoTIFF in the spec: the target grid is the spec
+    # geo_transform, else the first non-resampled GeoTIFF's transform
+    # (tags only, no pixel decode), else resampling is an error.
+    anchor_tf = spec.get("geo_transform")
+    anchor_epsg = spec.get("epsg")
+    if anchor_tf is None:
+        import glob as _glob
+
+        from forest_tpu.data.raster import read_geotiff_tags
+        for g_ in spec.get("groups", []):
+            for b_ in g_.get("bands", []):
+                src = b_["source"]
+                if b_.get("resample") \
+                        or not src.lower().endswith((".tif", ".tiff")):
+                    continue
+                paths = sorted(_glob.glob(str(base / src))) \
+                    if ("*" in src or "?" in src) else [base / src]
+                if paths:
+                    tf, _, ep = read_geotiff_tags(paths[0])
+                    if tf is not None:
+                        anchor_tf = tf
+                        anchor_epsg = anchor_epsg or ep
+                        break
+            if anchor_tf is not None:
+                break
     for g in spec.get("groups", []):
         kind = g["kind"]
         category = g.get("category", "data")
@@ -193,11 +221,12 @@ def build_cube(spec: Dict[str, Any], base_dir: str | Path = ".",
                 if rmeta.transform is None:
                     raise ValueError(f"{b['source']}: resample needs a "
                                      "geo-transform on the source")
-                tgt_tf = spec.get("geo_transform") or (
-                    grid_raster.transform if grid_raster is not None
-                    else rmeta.transform)
-                dst_epsg = spec.get("epsg") or (
-                    grid_raster.epsg if grid_raster is not None else None)
+                if anchor_tf is None:
+                    raise ValueError(
+                        f"{b['source']}: resample has no target grid -- "
+                        "set spec geo_transform or include at least one "
+                        "aligned (non-resample) GeoTIFF band")
+                tgt_tf, dst_epsg = anchor_tf, anchor_epsg
                 planes = data if data.ndim == 3 else data[None]
                 planes = np.stack([
                     rpj.align_to_grid(p, rmeta.transform, tgt_tf, (h, w),

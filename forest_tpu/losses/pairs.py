@@ -10,9 +10,11 @@ outputs with validity masks (SURVEY.md §8.3 "padded/masked formulations"):
 - ``pairs_mutual_knn``: [N*k, 2] + valid where valid additionally requires
   mutual kNN membership -- both (i, j) and (j, i) appear, matching the
   reference's symmetric output;
-- ``pairs_quantile`` / ``pairs_radius``: boolean adjacency [N, M] (pairs
-  below a per-row quantile / fixed radius), plus ``mask_to_pairs`` to sample
-  a fixed number of index pairs from an adjacency mask;
+- ``pairs_quantile`` / ``pairs_radius``: boolean adjacency [N, M] selecting
+  the GLOBAL quantile band ``[low, q)`` over all valid distances /
+  the distance band ``[min_dist, radius)`` (reference pairs.py:291-420
+  band semantics, both half-open), plus ``mask_to_pairs`` to sample a
+  fixed number of index pairs from an adjacency mask;
 - ``pairs_mutual_knn_chunked``: O(chunk x N) memory mutual-kNN over pooled
   anchors with the within-patch spatial constraint
   (pairs.py:531-611) -- implemented with ``lax.map`` over query chunks.

@@ -79,9 +79,13 @@ def vqvae_loss(out: VQVAEOutput, batch: Dict[str, Array],
     cat_l = jnp.float32(0.0)
     cat_metrics = {}
     for name in sorted(out.cat_logits):
+        # weight_sum = torch F.cross_entropy(weight=..., reduction="mean")
+        # semantics of the legacy loop (train_vqvae.py:308-314), so
+        # zero-weight MISS/UNK targets neither count nor dilute.
         l = categorical_loss(out.cat_logits[name], batch["cat_target"][name],
                              class_weights.get(name),
-                             ignore_index=IGNORE_INDEX)
+                             ignore_index=IGNORE_INDEX,
+                             normalization="weight_sum")
         cat_metrics[f"cat/{name}"] = l
         cat_l = cat_l + l
     canopy_l = reconstruction_loss(out.canopy_pred, batch["canopy"], kind="l2")

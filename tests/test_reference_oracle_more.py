@@ -125,6 +125,33 @@ class TestCategoricalLockstep:
                                   jnp.asarray(target), label_smoothing=0.1)
         np.testing.assert_allclose(float(ours_s), float(ref_s), rtol=1e-5)
 
+    def test_weight_sum_mode_matches_torch_f_cross_entropy(self):
+        """normalization='weight_sum' is the legacy VQ-VAE contract
+        (/root/reference/scripts/train_vqvae.py:308-314): torch's
+        F.cross_entropy(weight=..., reduction='mean') divide-by-weight-sum,
+        including zero-weight classes neither counting nor diluting."""
+        import torch.nn.functional as F
+
+        from forest_tpu.losses.categorical import (IGNORE_INDEX,
+                                                   categorical_loss)
+        rng = np.random.default_rng(4)
+        logits, target, _ = self._problem(rng)
+        cw = rng.uniform(0.5, 2.0, size=6).astype(np.float32)
+        cw[2] = 0.0  # a MISS-style zero-weight class
+        target[0, 0, :] = IGNORE_INDEX
+        ref = F.cross_entropy(
+            _t(logits), _t(target), weight=_t(cw),
+            ignore_index=IGNORE_INDEX, reduction="mean")
+        ours = categorical_loss(
+            jnp.asarray(logits.transpose(0, 2, 3, 1)), jnp.asarray(target),
+            class_weights=jnp.asarray(cw), normalization="weight_sum")
+        np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
+        # and the two modes genuinely differ under non-uniform weights
+        ours_count = categorical_loss(
+            jnp.asarray(logits.transpose(0, 2, 3, 1)), jnp.asarray(target),
+            class_weights=jnp.asarray(cw))
+        assert abs(float(ours_count) - float(ref)) > 1e-4
+
 
 class TestCountLockstep:
     def test_poisson_full(self):

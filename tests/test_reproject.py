@@ -240,3 +240,89 @@ def test_builder_resample_band(tmp_path):
         {"name": "fine", "source": "fine.tif", "resample": "cubic"}]}]
     with pytest.raises(ValueError, match="resample"):
         build_cube(spec3, tmp_path)
+
+
+def test_bilinear_exact_edge_landing():
+    """Identity regrid under bilinear keeps the last row/col (exact
+    landings on the data-support boundary must not NaN out)."""
+    src = np.arange(20, dtype=np.float64).reshape(4, 5)
+    t = (0.0, 10.0, 100.0, -10.0)
+    out = rp.align_to_grid(src, t, t, (4, 5), resampling="bilinear")
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out, src, atol=1e-12)
+
+
+def test_degree_meter_mixup_guard():
+    """Same-CRS fallback with a >1000x pixel-size ratio (a degrees grid
+    sampled onto a meters grid with missing EPSG tags) raises instead of
+    silently writing a NaN band."""
+    src = np.ones((4, 4))
+    t_deg = (-123.0, 1e-4, 45.0, -1e-4)
+    t_m = (500000.0, 30.0, 4500000.0, -30.0)
+    with pytest.raises(ValueError, match="degrees/meters"):
+        rp.align_to_grid(src, t_deg, t_m, (4, 4), src_epsg=4326,
+                         resampling="nearest")
+    # both tagged -> transforms apply, no guard
+    out = rp.align_to_grid(src, t_deg, t_m, (4, 4), src_epsg=4326,
+                           dst_epsg=32610, resampling="nearest")
+    assert out.shape == (4, 4)
+
+
+def test_builder_resample_band_order_independent(tmp_path):
+    """A resample band listed BEFORE the aligned anchor still regrids
+    onto the anchor grid (the target grid is prescanned, never the
+    misaligned source's own grid)."""
+    from forest_tpu.data.zarr_builder import build_cube
+
+    h = w = 8
+    t_grid = (0.0, 30.0, 240.0, -30.0)
+    anchor = np.arange(h * w, dtype=np.float32).reshape(h, w)
+    rio.write_geotiff(tmp_path / "anchor.tif", anchor, transform=t_grid)
+    fine = np.repeat(np.repeat(anchor, 2, 0), 2, 1)
+    rio.write_geotiff(tmp_path / "fine.tif", fine,
+                      transform=(0.0, 15.0, 240.0, -15.0))
+    spec = {
+        "output": "cube_rev.zarr",
+        "spatial": {"height": h, "width": w, "chunk_y": 8, "chunk_x": 8},
+        "groups": [{
+            "name": "g", "kind": "static", "dtype": "float32",
+            "bands": [
+                {"name": "fine", "source": "fine.tif",
+                 "resample": "nearest"},          # before the anchor
+                {"name": "anchor", "source": "anchor.tif"},
+            ]}],
+    }
+    root = build_cube(spec, tmp_path)
+    np.testing.assert_allclose(root["static/g/data/fine"][:], anchor,
+                               atol=1e-6)
+
+    # no anchor at all and no spec geo_transform -> explicit error
+    spec2 = {"output": "cube_noanchor.zarr",
+             "spatial": {"height": h, "width": w,
+                         "chunk_y": 8, "chunk_x": 8},
+             "groups": [{"name": "g", "kind": "static",
+                         "dtype": "float32",
+                         "bands": [{"name": "fine", "source": "fine.tif",
+                                    "resample": "nearest"}]}]}
+    with pytest.raises(ValueError, match="no target grid"):
+        build_cube(spec2, tmp_path)
+
+
+def test_malformed_geokey_directory_ignored(tmp_path):
+    """A truncated GeoKeyDirectory tag reads as epsg=None, not a crash."""
+    from PIL import Image, TiffImagePlugin
+
+    data = np.zeros((4, 4), np.float32)
+    im = Image.fromarray(data, mode="F")
+    ifd = TiffImagePlugin.ImageFileDirectory_v2()
+    ifd[34735] = (1, 1)  # fewer than the 4-short header
+    ifd.tagtype[34735] = TiffImagePlugin.TiffTags.SHORT
+    im.save(tmp_path / "bad.tif", tiffinfo=ifd)
+    r = rio.read_geotiff(tmp_path / "bad.tif")
+    assert r.epsg is None
+
+    ifd2 = TiffImagePlugin.ImageFileDirectory_v2()
+    ifd2[34735] = (1, 1, 0, 2, 1024, 0, 1)  # cut mid-entry
+    ifd2.tagtype[34735] = TiffImagePlugin.TiffTags.SHORT
+    im.save(tmp_path / "bad2.tif", tiffinfo=ifd2)
+    assert rio.read_geotiff(tmp_path / "bad2.tif").epsg is None
