@@ -8,6 +8,9 @@ dense exports; serving has no reference counterpart). TPU-first design:
   at ``max_batch`` -- concurrent requests coalesce in a micro-batcher,
   short batches pad up to the bucket and slice back out, so steady-state
   serving never recompiles and the MXU sees full batches under load.
+  Mixed-shape requests in one dispatch are re-bucketed by array signature
+  (each bucket is its own jitted call; a malformed request fails only its
+  own caller).
 - The dispatcher is a single thread; JAX dispatch stays serialized while
   HTTP handling fans out (stdlib ``ThreadingHTTPServer`` -- no external
   web framework in this image).
@@ -42,6 +45,17 @@ class _Request:
         self.error: Optional[BaseException] = None
 
 
+class Failure:
+    """Per-item failure marker a ``run_batch`` may return in place of a
+    result: only that item's caller sees the exception, the rest of the
+    batch completes normally."""
+
+    __slots__ = ("error",)
+
+    def __init__(self, error: BaseException):
+        self.error = error
+
+
 class MicroBatcher:
     """Coalesce concurrent single-item requests into one model call.
 
@@ -68,6 +82,12 @@ class MicroBatcher:
             raise RuntimeError("MicroBatcher is closed")
         req = _Request(payload)
         self._q.put(req)
+        if self._stop.is_set() and not self._thread.is_alive():
+            # Raced with close(): the dispatcher is gone and can never
+            # serve this request; fail it rather than block forever.
+            if not req.event.wait(0.1):
+                req.error = RuntimeError("MicroBatcher is closed")
+                req.event.set()
         req.event.wait()
         if req.error is not None:
             raise req.error
@@ -99,11 +119,24 @@ class MicroBatcher:
             try:
                 results = self._run([r.payload for r in batch])
                 for r, out in zip(batch, results):
-                    r.result = out
+                    if isinstance(out, Failure):
+                        r.error = out.error
+                    else:
+                        r.result = out
             except BaseException as e:  # surfaced per caller
                 for r in batch:
                     r.error = e
             for r in batch:
+                r.event.set()
+        # Fail (never strand) requests still queued at close(): their
+        # callers are blocked in submit() and must be woken.
+        while True:
+            try:
+                r = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if r is not None:
+                r.error = RuntimeError("MicroBatcher is closed")
                 r.event.set()
 
 
@@ -176,14 +209,38 @@ class EncoderService:
         }
 
     # -- dispatcher side -----------------------------------------------
-    def _run_batch(self, items) -> List[Dict[str, np.ndarray]]:
+    @staticmethod
+    def _signature(groups) -> tuple:
+        """Array signature a jitted call compiles against."""
+        return tuple(sorted(
+            (k, np.asarray(v).shape, np.asarray(v).dtype.str)
+            for k, v in groups.items()))
+
+    def _run_batch(self, items) -> List[Any]:
+        # Concurrent requests may carry different patch sizes (or broken
+        # payloads): bucket by array signature so each jitted call sees
+        # ONE shape and a bad request only fails its own caller.
+        buckets: Dict[tuple, List[int]] = {}
+        out: List[Any] = [None] * len(items)
+        for i, (groups, _) in enumerate(items):
+            try:
+                buckets.setdefault(self._signature(groups), []).append(i)
+            except Exception as e:
+                out[i] = Failure(e)
+        for members in buckets.values():
+            try:
+                for i, res in zip(members,
+                                  self._run_bucket([items[i]
+                                                    for i in members])):
+                    out[i] = res
+            except Exception as e:
+                for i in members:
+                    out[i] = Failure(e)
+        return out
+
+    def _run_bucket(self, items) -> List[Dict[str, np.ndarray]]:
         n = len(items)
         keys = sorted(items[0][0])
-        for groups, _ in items[1:]:
-            if sorted(groups) != keys:
-                raise ValueError("all requests in flight must carry the "
-                                 f"same groups; got {sorted(groups)} vs "
-                                 f"{keys}")
         # pad to the bucket by repeating the last patch: the compiled
         # signature is always [max_batch, ...] so shape churn can't
         # trigger serve-time recompiles
@@ -306,8 +363,8 @@ def main(argv=None):
         service.close()
 
 
-__all__ = ["MicroBatcher", "EncoderService", "make_server", "pack_npz",
-           "unpack_npz"]
+__all__ = ["MicroBatcher", "EncoderService", "Failure", "make_server",
+           "pack_npz", "unpack_npz"]
 
 
 if __name__ == "__main__":

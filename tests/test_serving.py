@@ -76,6 +76,56 @@ class TestMicroBatcher:
         with pytest.raises(RuntimeError, match="closed"):
             b.submit(1)
 
+    def test_per_item_failure_marker(self):
+        def run(items):
+            return [serving.Failure(ValueError("bad item"))
+                    if x < 0 else x * 10 for x in items]
+
+        b = serving.MicroBatcher(run, max_batch=2, max_wait_ms=1.0)
+        try:
+            assert b.submit(2) == 20
+            with pytest.raises(ValueError, match="bad item"):
+                b.submit(-1)
+        finally:
+            b.close()
+
+    def test_close_fails_queued_requests_instead_of_stranding(self):
+        gate = threading.Event()
+
+        def run(items):
+            gate.wait(5.0)  # hold the dispatcher so requests pile up
+            return list(items)
+
+        b = serving.MicroBatcher(run, max_batch=1, max_wait_ms=1.0)
+        errors = {}
+
+        def call(i):
+            try:
+                errors[i] = b.submit(i)
+            except BaseException as e:
+                errors[i] = e
+
+        threads = [threading.Thread(target=call, args=(i,))
+                   for i in range(3)]
+        for t in threads:
+            t.start()
+        # let them enqueue, then close while the dispatcher is held
+        import time as _t
+        _t.sleep(0.1)
+        b._stop.set()
+        gate.set()
+        b._q.put(None)
+        for t in threads:
+            t.join(5.0)
+        assert not any(t.is_alive() for t in threads)
+        # every caller got EITHER a result (served before close landed)
+        # or the closed error -- nobody is stranded
+        assert len(errors) == 3
+        for v in errors.values():
+            assert isinstance(v, int) or (
+                isinstance(v, RuntimeError) and "closed" in str(v))
+        b.close()
+
 
 # ---------------------------------------------------------------- service
 @pytest.fixture(scope="module")
@@ -156,6 +206,23 @@ class TestEncoderService:
         bad = {k: v for k, v in list(patch.items())[:1]}
         with pytest.raises(Exception):
             svc.encode(bad)
+
+    def test_mixed_shapes_bucketed_not_poisoned(self, service_run):
+        """One dispatch carrying two patch sizes + a broken payload:
+        each bucket runs its own jitted call; only the broken item
+        fails."""
+        from forest_tpu.data.frl_dataset import ForestDatasetV2
+        svc, ds, _, bpath = service_run
+        ds16 = ForestDatasetV2(svc.bindings, split=None, patch_size=16)
+        p32, p16 = ds.get_patch(0), ds16.get_patch(0)
+        bad = {k: v for k, v in list(p32.items())[:1]}
+        out = svc._run_batch([(p32, False), (p16, False), (bad, False)])
+        assert out[0]["z_type"].shape == (32, 32, 6)
+        assert out[1]["z_type"].shape == (16, 16, 6)
+        assert isinstance(out[2], serving.Failure)
+        # direct single-size oracle agreement survives the bucketing
+        solo = svc.encode(ds.get_patch(0))["z_type"]
+        np.testing.assert_allclose(out[0]["z_type"], solo, atol=1e-6)
 
 
 class TestHTTP:
