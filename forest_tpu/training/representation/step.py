@@ -47,6 +47,7 @@ from forest_tpu.losses.phase_neighborhood import (
 from forest_tpu.losses.phase_pairs import build_phase_pairs
 from forest_tpu.losses.triplet_phase import phase_recovery_discrimination_loss
 from forest_tpu.losses.variance_covariance import variance_covariance_loss
+from forest_tpu.ops.scatter import extract_at_coords
 from forest_tpu.utils import spatial as sp
 
 Array = jax.Array
@@ -310,14 +311,18 @@ def make_process_batch(model, feature_builder: FeatureBuilder,
             jnp.arange(k_tot) < k1, (bsz, a, k_tot))
         # Merged extraction (see the stage-2 note): anchors + positive
         # neighbors + the SHARED negative pool -- not the per-anchor
-        # negative references. The backward of this row-gather is a serial
-        # per-row scatter (~220 ns/row measured), so the A*kn negative rows
-        # (1200/sample at production scale) fold into the pool's p_pool
-        # rows: 2700 -> 2012 scatter rows/sample. Anchors then reach their
-        # negatives through one-hot einsums (backward = MXU matmuls).
+        # negative references. The backward of this row-gather would be a
+        # serial per-row scatter (~220 ns/row measured) -- the A*kn
+        # negative rows (1200/sample at production scale) fold into the
+        # pool's p_pool rows (2700 -> 2012 rows/sample), and
+        # ops/scatter.extract_at_coords turns the remaining scatter into
+        # tile-grouped one-hot MXU matmuls (~5.2 -> ~1.5 ms/step on v5e;
+        # XLA fallback off-TPU and for non-2048-multiple grids). Anchors
+        # then reach their negatives through one-hot einsums (backward =
+        # MXU matmuls).
         nbr_p_flat = nbr_p.reshape(bsz, a * k1, 2)
         all_coords = jnp.concatenate([coords, nbr_p_flat, pool], axis=1)
-        z_all = jax.vmap(sp.extract_at_locations)(z_type, all_coords)
+        z_all = extract_at_coords(z_type, all_coords)
         z_a = z_all[:, :a]                                  # [B, A, zt]
         z_pos = z_all[:, a:a + a * k1].reshape(bsz, a, k1, -1)
         z_pool = z_all[:, a + a * k1:]                      # [B, P, zt]

@@ -137,8 +137,24 @@ def main(argv=None):
             return loss_of(z_a, z_nbr, z_neg)
         return f
 
+    def make_pallas():
+        from forest_tpu.ops import scatter as sc
+
+        def f(g):
+            nbr = (coords[:, :, None, :] + offsets[None, None]).reshape(
+                b, -1, 2)
+            allc = jnp.concatenate(
+                [coords, jnp.clip(nbr, 0, hw - 1), neg], axis=1)
+            z = sc.extract_at_coords(g, allc)
+            z_a = z[:, :na]
+            z_nbr = z[:, na:na + na * a.kpos]
+            z_neg = z[:, na + na * a.kpos:]
+            return loss_of(z_a, z_nbr, z_neg)
+        return f
+
     variants = {"gather": make_gather(), "gather1": make_gather1(),
-                "segsum": make_segsum(), "shift": make_shift()}
+                "segsum": make_segsum(), "shift": make_shift(),
+                "pallas": make_pallas()}
     for name, f in variants.items():
         try:
             vg = jax.jit(jax.value_and_grad(f))
