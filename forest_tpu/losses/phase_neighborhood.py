@@ -231,6 +231,61 @@ def build_phase_neighborhood_batch_grouped(
                          precision=hp)                          # [S,P,N,C+D]
         return jnp.einsum("spmn,spnc->spmc", perm, row, precision=hp)
 
+    if layout == "mnsp":
+        # Pair axis MINOR from birth: every einsum is ordered so the big
+        # P axis lands in rhs-free position (dot_general emits batch,
+        # lhs-free, rhs-free -- no transpose), and the slot permutation
+        # contracts as a fused broadcast-reduce on the VPU instead of
+        # 32400 batched 15x15 matmuls. The mnb path's [S, P, M, C]
+        # intermediates pad BOTH tiny minor dims ((15, 11) -> (16, 128),
+        # ~8x physical, ~5 ms/step of copy/fusion traffic in the v5e
+        # profile); [S, M, C, P] keeps P packed in lanes.
+        inv_v_t = jnp.transpose(inv_v_f, (0, 2, 1))         # [S, M, P]
+        slot_ok_t = jnp.transpose(slot_ok, (0, 2, 1))       # [S, M, P]
+        n_iota = jnp.arange(m)[None, None, :, None]
+
+        def align_t(oh):
+            vals_t = jnp.einsum("sam,spa->smp", vals_g, oh)  # [S, N, P]
+            nval_t = jnp.einsum("sa,spa->sp", n_present, oh)  # [S, P]
+            row_t = jnp.einsum("samc,spa->smcp", sel_cat, oh,
+                               precision=hp)                # [S, N, C, P]
+            perm = ((inv_v_t[:, :, None, :] == vals_t[:, None, :, :])
+                    & (n_iota < nval_t[:, None, None, :])
+                    & slot_ok_t[:, :, None, :]).astype(jnp.float32)
+            # out[s,m,c,p] = sum_n perm[s,m,n,p] * row[s,n,c,p]: fused
+            # multiply-reduce keeps f32 exactly (no MXU truncation).
+            return jnp.sum(perm[:, :, :, None, :]
+                           * row_t[:, None, :, :, :], axis=2)
+
+        gi_t = align_t(oh_i)                                # [S, M, C, P]
+        gj_t = align_t(oh_j)
+        ai_spec = gi_t[:, :, :c_dim]
+        ai_phase = gi_t[:, :, c_dim:]
+        aj_spec = gj_t[:, :, :c_dim]
+        aj_phase = gj_t[:, :, c_dim:]
+
+        def cdist(x, y):                              # [S, M, C, P] x2
+            d2 = jnp.sum((x[:, :, None] - y[:, None]) ** 2, axis=3)
+            return jnp.sqrt(jnp.maximum(d2, 0.0) + 1e-12)  # [S,M,N,P]
+
+        valid_pos = (jnp.arange(m)[None, :, None]
+                     < k_per_pair[:, None, :])              # [S, M, P]
+        mask_cross = (valid_pos[:, :, None, :] & valid_pos[:, None, :, :]
+                      & valid_pair[:, None, None, :])
+        mask_self = mask_cross & ~jnp.eye(m, dtype=bool)[None, :, :, None]
+        return {
+            "d_ref_self": cdist(aj_spec, aj_spec),
+            "d_learned_self": cdist(ai_phase, ai_phase),
+            "d_learned_self_j": cdist(aj_phase, aj_phase),
+            "mask_self": mask_self,
+            "d_ref_cross": cdist(ai_spec, aj_spec),
+            "d_learned_cross": cdist(ai_phase, aj_phase),
+            "mask_cross": mask_cross,
+            "valid_pair_mask": valid_pair,              # [S, P]
+            "M": m,
+            "layout": layout,
+        }
+
     gi = align(oh_i)
     gj = align(oh_j)
     bsz = s * p
@@ -313,7 +368,8 @@ def phase_neighborhood_loss(
 
     b = pair_indices.shape[0]
     w = pair_weights if pair_weights is not None else jnp.ones((b,))
-    w = w * batch["valid_pair_mask"].astype(w.dtype)
+    w = (w.reshape(batch["valid_pair_mask"].shape)
+         * batch["valid_pair_mask"].astype(w.dtype))
     layout = batch.get("layout", "bmn")
 
     loss_self, stats_self = soft_neighborhood_matching_loss(
@@ -348,14 +404,17 @@ def compute_phase_spread_ranking(
     mask = batch["mask_self"]
     vp = batch["valid_pair_mask"]
     idx_i, idx_j = pair_indices[:, 0], pair_indices[:, 1]
-    mm_axes = (0, 1) if batch.get("layout", "bmn") == "mnb" else (1, 2)
+    layout = batch.get("layout", "bmn")
+    mm_axes = (0, 1) if layout == "mnb" else (1, 2)
 
     mf = mask.astype(d_i.dtype)
     n_valid = jnp.maximum(jnp.sum(mf, axis=mm_axes), 1.0)
     spread_i = jnp.sum(d_i * mf, axis=mm_axes) / n_valid
     spread_j = jnp.sum(d_j * mf, axis=mm_axes) / n_valid
 
-    ref_diff = dynamism_ref[idx_i] - dynamism_ref[idx_j]
+    # mnsp spreads/vp are [S, P]; flat pair_indices reshape to match
+    ref_diff = (dynamism_ref[idx_i]
+                - dynamism_ref[idx_j]).reshape(vp.shape)
     act = vp.astype(d_i.dtype)
     i_more = (ref_diff > delta).astype(d_i.dtype) * act
     j_more = (ref_diff < -delta).astype(d_i.dtype) * act

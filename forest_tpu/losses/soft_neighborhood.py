@@ -34,6 +34,8 @@ def soft_neighborhood_matching_loss(
     pair axis sits in the TPU lane dimension, so the tensors stay packed
     instead of padding the 15-wide row axis to 128 lanes (8.5x physical
     blowup measured in the FRL step profile).
+    ``layout="mnsp"``: [S, M, M, P] (sample leading, pairs minor):
+    the sample-grouped builder's native form -- pair weights are [S, P].
 
     Returns (scalar loss, stats dict of jit-safe scalars).
     """
@@ -46,6 +48,10 @@ def soft_neighborhood_matching_loss(
     elif layout == "mnb":
         b, m = d_reference.shape[2], d_reference.shape[0]
         ax_col, ax_row2 = 1, 0      # col-reduced arrays are [M, B]
+    elif layout == "mnsp":
+        b = d_reference.shape[0] * d_reference.shape[3]
+        m = d_reference.shape[1]
+        ax_col, ax_row2 = 2, 1      # col-reduced arrays are [S, M, P]
     else:
         raise ValueError(f"unknown layout {layout!r}")
     mask = mask.astype(bool)
@@ -72,8 +78,10 @@ def soft_neighborhood_matching_loss(
                           kl_per_pair / jnp.maximum(rows_per_pair, 1.0), 0.0)
 
     if pair_weights is None:
-        pair_weights = jnp.ones((b,), kl_normed.dtype)
-    weights = pair_weights * pair_active.astype(kl_normed.dtype)
+        pair_weights = jnp.ones_like(kl_normed)
+    # flat [S*P] weights are accepted for the mnsp layout
+    weights = (pair_weights.reshape(kl_normed.shape)
+               * pair_active.astype(kl_normed.dtype))
     total_w = jnp.sum(weights)
     loss = jnp.where(total_w > 0, jnp.sum(weights * kl_normed)
                      / jnp.maximum(total_w, 1e-12), 0.0)

@@ -449,7 +449,7 @@ def make_process_batch(model, feature_builder: FeatureBuilder,
         phase_batch = build_phase_neighborhood_batch_grouped(
             spec_dm.reshape(bsz, a, t_dim, -1),
             z_phase.reshape(bsz, a, t_dim, -1), ysfc, pp, pvalid_g,
-            cfg.phase_min_overlap, cfg.num_ysfc_classes, layout="mnb")
+            cfg.phase_min_overlap, cfg.num_ysfc_classes, layout="mnsp")
         ph_loss, ph_stats = phase_neighborhood_loss(
             spec_dm, z_phase, ysfc_flat, pp_flat, pw_flat,
             pvalid_flat, cfg.phase_tau_ref, cfg.phase_tau_learned,

@@ -599,6 +599,26 @@ class TestGroupedPhaseBatch:
                 np.asarray(flat[k]), err_msg=k)
         np.testing.assert_array_equal(np.asarray(mnb["valid_pair_mask"]),
                                       np.asarray(flat["valid_pair_mask"]))
+        # sample-leading pair-minor layout: [S, M, N, P] tensors
+        mnsp = pn.build_phase_neighborhood_batch_grouped(
+            spec, phase, ysfc, pairs, pvalid, min_overlap=2, num_classes=8,
+            layout="mnsp")
+        assert mnsp["layout"] == "mnsp"
+        for k in ("d_ref_self", "d_learned_self", "d_learned_self_j",
+                  "d_ref_cross", "d_learned_cross"):
+            arr = np.transpose(np.asarray(mnsp[k], np.float32),
+                               (0, 3, 1, 2)).reshape(s * p, t, t)
+            np.testing.assert_allclose(
+                arr ** 2, np.asarray(flat[k], np.float32) ** 2,
+                atol=1e-5, err_msg=k)
+        for k in ("mask_self", "mask_cross"):
+            arr = np.transpose(np.asarray(mnsp[k]),
+                               (0, 3, 1, 2)).reshape(s * p, t, t)
+            np.testing.assert_array_equal(arr, np.asarray(flat[k]),
+                                          err_msg=k)
+        np.testing.assert_array_equal(
+            np.asarray(mnsp["valid_pair_mask"]).reshape(-1),
+            np.asarray(flat["valid_pair_mask"]))
 
     def test_gradients_match_flat(self):
         import jax
@@ -638,6 +658,33 @@ class TestGroupedPhaseBatch:
         np.testing.assert_allclose(float(lm), float(lf), rtol=1e-5)
         np.testing.assert_allclose(np.asarray(gm), np.asarray(gf),
                                    atol=2e-5)
+        ls, gs = jax.value_and_grad(
+            lambda ph: loss_grouped(ph, "mnsp"))(phase)
+        np.testing.assert_allclose(float(ls), float(lf), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(gs), np.asarray(gf),
+                                   atol=2e-5)
+
+    def test_spread_ranking_layout_parity(self):
+        from forest_tpu.losses import phase_neighborhood as pn
+        s, a, t, c, d, p = 2, 8, 6, 3, 3, 10
+        spec, phase, ysfc, pairs, pvalid = self._data(s, a, t, c, d, p,
+                                                      seed=9)
+        offsets = (jnp.arange(s) * a)[:, None, None]
+        pp_flat = (pairs + offsets).reshape(-1, 2)
+        rng = np.random.default_rng(10)
+        dyn = jnp.asarray(rng.normal(size=(s * a,)), jnp.float32)
+        losses = {}
+        for layout in ("bmn", "mnb", "mnsp"):
+            batch = pn.build_phase_neighborhood_batch_grouped(
+                spec, phase, ysfc, pairs, pvalid, min_overlap=2,
+                num_classes=8, layout=layout)
+            l, st = pn.compute_phase_spread_ranking(
+                batch, pp_flat, dyn, margin=0.1, delta=0.2)
+            losses[layout] = float(l)
+            assert int(st["n_pairs"]) > 0
+        np.testing.assert_allclose(losses["mnb"], losses["bmn"], rtol=1e-5)
+        np.testing.assert_allclose(losses["mnsp"], losses["bmn"],
+                                   rtol=1e-5)
 
 
 class TestReferenceParityFixes:

@@ -271,7 +271,7 @@ class TestPhaseNeighborhoodLockstep:
             _t(ysfc.reshape(s * a, t).astype(np.float32)),
             _t(flat_pairs.astype(np.int64)), tau_ref=0.1, tau_learned=0.1)
 
-        for layout in ("bmn", "mnb"):
+        for layout in ("bmn", "mnb", "mnsp"):
             batch = build_phase_neighborhood_batch_grouped(
                 jnp.asarray(spec), jnp.asarray(phase),
                 jnp.asarray(ysfc, jnp.float32), jnp.asarray(pairs),
