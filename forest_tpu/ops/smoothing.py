@@ -28,6 +28,7 @@ the parity oracle for tests.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -430,14 +431,46 @@ def _bank_mix_bwd(nd, dc, interpret, res, g):
 _bank_mix_pallas.defvjp(_bank_mix_fwd, _bank_mix_bwd)
 
 
+# Max batch per Pallas dispatch. Inside the full grad-mode FRL training
+# step, the current TPU relay backend raises a device-level fault
+# ("UNAVAILABLE: TPU device error") whenever the step contains ANY Pallas
+# smoothing dispatch and the batch exceeds 17 at production patch size
+# (256^2) -- while the same kernel standalone at B=24, the forward-only
+# step at B=20, and the all-XLA step at B=18 all execute cleanly, and the
+# identical code ran B=24 end-to-end on the previous day's relay backend.
+# Extensive bisection (see CLAUDE.md) exonerated the per-dispatch kernel
+# geometry: identical 9-sample chunks appear in both passing (B=17) and
+# faulting (B=18) configurations, and remat, donation, has_side_effects,
+# chunk sizes 1..16, and an XLA-only backward all leave the fault in
+# place. Chunked dispatch is kept because it measurably extends the
+# working envelope (unchunked B=17 faults; chunked B=17 passes) and
+# bounds per-dispatch buffer footprint. Chunks split NEAR-EQUALLY
+# (18 -> 9+9, never 16+2) so XLA's memory-space-assignment never sees a
+# tiny chunk result it would place in VMEM (observed as "S(1)" layouts
+# on 1-2 sample tails; not itself the fault trigger, but gratuitous).
+# B <= 16 (the production config) takes the identical single-call path.
+# Override for experiments via FOREST_TPU_SMOOTH_BATCH_CHUNK.
+_BATCH_CHUNK = int(os.environ.get("FOREST_TPU_SMOOTH_BATCH_CHUNK", "16"))
+
+
+def _chunk_bounds(b: int, chunk: int):
+    """Near-equal split of ``b`` into ceil(b/chunk) parts (each <= chunk)."""
+    n = -(-b // chunk)
+    cuts = [round(i * b / n) for i in range(n + 1)]
+    return list(zip(cuts[:-1], cuts[1:]))
+
+
 def bank_mix(x: Array, a_w: Array, b_w: Array, *, num_directions: int = 4,
              coarse_dilation: int = 3, use_pallas: Optional[bool] = None,
-             interpret: bool = False) -> Array:
+             interpret: bool = False,
+             batch_chunk: Optional[int] = None) -> Array:
     """Fused fine/coarse directional bank + rank-R mixing (differentiable).
 
     x [B,H,W,C]; a_w [B,H,W,K,R] softmaxed over K (k = 2*direction + scale);
     b_w [B,H,W,C,R] softmaxed over R. ``use_pallas=None`` auto-selects the
-    Pallas kernel on TPU backends; the XLA path is the oracle elsewhere."""
+    Pallas kernel on TPU backends; the XLA path is the oracle elsewhere.
+    ``batch_chunk`` caps the batch per Pallas dispatch (default
+    ``_BATCH_CHUNK``); larger batches are split and concatenated."""
     if use_pallas is None:
         use_pallas = _on_tpu()
     if use_pallas or interpret:
@@ -450,6 +483,14 @@ def bank_mix(x: Array, a_w: Array, b_w: Array, *, num_directions: int = 4,
                 f"coarse_dilation={coarse_dilation} exceeds the Pallas "
                 f"kernel's halo capacity ({_TH // 2} = row tile / 2); use "
                 "use_pallas=False for larger dilations")
+        chunk = _BATCH_CHUNK if batch_chunk is None else batch_chunk
+        b = x.shape[0]
+        if chunk and b > chunk:
+            parts = [
+                _bank_mix_pallas(x[lo:hi], a_w[lo:hi], b_w[lo:hi],
+                                 num_directions, coarse_dilation, interpret)
+                for lo, hi in _chunk_bounds(b, chunk)]
+            return jnp.concatenate(parts, axis=0)
         return _bank_mix_pallas(x, a_w, b_w, num_directions, coarse_dilation,
                                 interpret)
     return bank_mix_xla(x, a_w, b_w, num_directions=num_directions,

@@ -72,6 +72,42 @@ class TestForwardParity:
                                    atol=2e-6, rtol=1e-5)
 
 
+class TestBatchChunking:
+    def test_chunked_fwd_and_grads_match_xla(self):
+        # Batches above the per-dispatch cap split into multiple Pallas
+        # calls (incl. a ragged tail) and must stay bit-close to the
+        # oracle in forward AND backward across the chunk boundaries.
+        rng = np.random.default_rng(11)
+        x, a_w, b_w = _inputs(rng, 5, 16, 40, 8)
+        ref = sm.bank_mix_xla(x, a_w, b_w)
+        out = sm.bank_mix(x, a_w, b_w, interpret=True, batch_chunk=2)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-6, rtol=1e-5)
+
+        w = _rand(rng, x.shape)
+
+        def loss(fn):
+            return lambda x, a, b: jnp.sum(fn(x, a, b) * w)
+
+        gp = jax.grad(loss(lambda x, a, b: sm.bank_mix(
+            x, a, b, interpret=True, batch_chunk=2)),
+            argnums=(0, 1, 2))(x, a_w, b_w)
+        gx = jax.grad(loss(sm.bank_mix_xla), argnums=(0, 1, 2))(x, a_w, b_w)
+        for got, ref_g in zip(gp, gx):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref_g),
+                                       atol=2e-6, rtol=1e-5)
+
+    def test_default_chunk_leaves_small_batches_single_call(self):
+        # B <= _BATCH_CHUNK must take the identical single-dispatch path
+        # (the production B=12 graph and its compile-cache key are
+        # unchanged by the chunking feature).
+        rng = np.random.default_rng(12)
+        x, a_w, b_w = _inputs(rng, 2, 16, 40, 8)
+        single = jax.make_jaxpr(lambda x, a, b: sm.bank_mix(
+            x, a, b, interpret=True, batch_chunk=None))(x, a_w, b_w)
+        assert str(single).count("pallas_call") == 1
+
+
 class TestBackwardParity:
     def test_grads_match_xla(self):
         rng = np.random.default_rng(4)
