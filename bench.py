@@ -26,10 +26,11 @@ D, K = 128, 256
 N_PATCHES = 128
 WARMUP, ITERS = 3, 20
 # Wall-clock budget for the quantize section: the axon relay compiles
-# erratically (1-10 s or 5+ min for identical graphs, CLAUDE.md). The
-# Pallas headline kernel runs first; the XLA cross-check is skipped when
-# the section budget is already spent so one bad compile can't push the
-# scored bench past the driver's patience.
+# erratically (1-10 s or 5+ min for identical graphs, CLAUDE.md). XLA runs
+# first (guaranteed-compileable headline on a cold cache); the Pallas
+# cross-check -- which wins the headline whenever it completes -- is
+# skipped when the section budget is already spent so one bad compile
+# can't push the scored bench past the driver's patience.
 QUANTIZE_BUDGET_S = 150.0
 # Per-section subprocess budgets. Every TPU section runs in its OWN child
 # process, strictly sequentially, and the parent never opens a relay
@@ -50,6 +51,10 @@ FRL_BUDGET_S = 420.0
 # always emits its JSON line inside the driver's patience.
 GLOBAL_BUDGET_S = 1800.0
 RETRY_COOLDOWN_S = 45.0
+# Shorter pause after a timeout-KILLED child before launching the next one:
+# the kill leaves the child's relay session (and any in-flight compile)
+# dangling for a while, which starves a sibling launched immediately after.
+KILL_COOLDOWN_S = 30.0
 
 
 def log(*a):
@@ -118,17 +123,25 @@ def _measure_quantize_kernel(use_pallas: bool) -> float:
             / N_PATCHES * 1e6)
 
 
-def bench_tpu_quantize(kernels=("pallas", "xla")):
+def bench_tpu_quantize(kernels=("xla", "pallas")):
     """Measure both kernels, each in its own sequential subprocess (see
-    SECTION_BUDGET_S): an uninterruptible relay compile can only cost its
-    budget window, and the XLA path is the fallback headline when the
-    Pallas child dies. The cross-check is skipped once the section has a
-    result and has already overspent QUANTIZE_BUDGET_S."""
+    SECTION_BUDGET_S). XLA runs FIRST: with a cold compile cache the
+    Pallas kernel never fits its budget (measured 3x in one session,
+    healthy and degraded relays alike) while XLA compiles in ~90 s, so
+    XLA-first guarantees a headline; when the cache is warm both children
+    finish in seconds and min() still crowns Pallas. The cross-check is
+    skipped once the section has a result and has already overspent
+    QUANTIZE_BUDGET_S. A killed child gets a cooldown before the next
+    launch: its uninterruptible relay compile keeps the session pinned
+    briefly and starves an immediately-launched sibling (measured: the
+    warm-cache xla child timed out when launched right after a pallas
+    kill)."""
     import subprocess
 
     results = {}
     skipped = []
     t_section = time.perf_counter()
+    cooldown_next = False
     for name in kernels:
         spent = time.perf_counter() - t_section
         if results and spent > QUANTIZE_BUDGET_S:
@@ -136,6 +149,11 @@ def bench_tpu_quantize(kernels=("pallas", "xla")):
                 f"quantize section > {QUANTIZE_BUDGET_S:.0f}s budget")
             skipped.append(name)
             continue
+        if cooldown_next:
+            log(f"[bench] cooldown {KILL_COOLDOWN_S:.0f}s after killed "
+                "child (let the relay session drop)")
+            time.sleep(KILL_COOLDOWN_S)
+            cooldown_next = False
         try:
             val = _run_child(["--quantize-kernel", name],
                              SECTION_BUDGET_S[name])
@@ -147,6 +165,7 @@ def bench_tpu_quantize(kernels=("pallas", "xla")):
                 f"{SECTION_BUDGET_S[name]:.0f}s (degraded relay?) "
                 "-- killed")
             skipped.append(name)
+            cooldown_next = True
         except Exception as e:  # pragma: no cover
             log(f"[bench] {name} failed: {type(e).__name__}: {e}")
             skipped.append(name)
@@ -418,7 +437,9 @@ def main():
                               SECTION_BUDGET_S[section])
         except subprocess.TimeoutExpired:
             log(f"[bench] {section} child exceeded "
-                f"{SECTION_BUDGET_S[section]:.0f}s -- killed")
+                f"{SECTION_BUDGET_S[section]:.0f}s -- killed; cooldown "
+                f"{KILL_COOLDOWN_S:.0f}s before the next child")
+            time.sleep(KILL_COOLDOWN_S)
         except Exception as e:  # probe/pipeline are best-effort
             log(f"[bench] {section} bench failed: {type(e).__name__}: {e}")
         return None
@@ -439,17 +460,19 @@ def main():
             extra.update(out)
 
     best, per_kernel = bench_tpu_quantize()
-    if best is None and budget_left() > (SECTION_BUDGET_S["pallas"]
+    if best is None and budget_left() > (SECTION_BUDGET_S["xla"]
                                          + RETRY_COOLDOWN_S):
         # The headline metric gets the first retry slot: without it the
         # whole bench scores -1 (r2). A transient relay stall often clears
-        # within a minute.
+        # within a minute. Retry XLA, not Pallas: a cold Pallas compile
+        # never fits its budget anyway (>240 s even on a healthy relay),
+        # while XLA fits when the stall has cleared.
         log(f"[bench] quantize failed -- cooldown {RETRY_COOLDOWN_S:.0f}s "
-            "then one retry (pallas only)")
+            "then one retry (xla only)")
         time.sleep(RETRY_COOLDOWN_S)
-        best, retry_kernel = bench_tpu_quantize(kernels=("pallas",))
+        best, retry_kernel = bench_tpu_quantize(kernels=("xla",))
         per_kernel = {**per_kernel, **retry_kernel,
-                      "quantize_retried": "pallas"}
+                      "quantize_retried": "xla"}
     if best is None:
         # The driver contract is ONE JSON line no matter what.
         print(json.dumps({
