@@ -29,6 +29,7 @@ _MODEL_PIXEL_SCALE = 33550
 _MODEL_TIEPOINT = 33922
 _MODEL_TRANSFORMATION = 34264
 _GEO_KEY_DIRECTORY = 34735
+_GEO_ASCII_PARAMS = 34737
 _GDAL_NODATA = 42113
 # GeoKey ids (GeoTIFF 1.1 spec)
 _GT_MODEL_TYPE = 1024          # 1 = projected, 2 = geographic
@@ -43,6 +44,7 @@ class Raster:
     transform: Optional[Tuple[float, float, float, float]]  # x0, dx, y0, dy
     nodata: Optional[float]
     epsg: Optional[int] = None  # from GeoKeyDirectory, when present
+    crs_wkt: Optional[str] = None  # from GeoAsciiParams, when present
 
     @property
     def shape(self):
@@ -100,6 +102,13 @@ def _parse_epsg(tags) -> Optional[int]:
     return None
 
 
+def _parse_wkt(tags) -> Optional[str]:
+    if _GEO_ASCII_PARAMS not in tags:
+        return None
+    s = str(tags[_GEO_ASCII_PARAMS]).strip("\x00| ")
+    return s or None
+
+
 def read_geotiff(path: str | Path,
                  window: Optional[Tuple[int, int, int, int]] = None
                  ) -> Raster:
@@ -132,7 +141,62 @@ def read_geotiff(path: str | Path,
             x0, dx, y0, dy = transform
             transform = (x0 + c0 * dx, dx, y0 + r0 * dy, dy)
     return Raster(data=data, transform=transform, nodata=nodata,
-                  epsg=_parse_epsg(tags))
+                  epsg=_parse_epsg(tags), crs_wkt=_parse_wkt(tags))
+
+
+def num_bands(path: str | Path) -> int:
+    """Band count of a raster file: multi-page TIFFs expose one band per
+    page/IFD (the synthesizer's layout for GDAL band-interleaved files,
+    which PIL cannot decode); single-page files with an interleaved
+    channel axis expose one band per channel."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        n = getattr(im, "n_frames", 1)
+        if n > 1:
+            return n
+        a = np.asarray(im)
+        return a.shape[2] if a.ndim == 3 else 1
+
+
+def read_band(path: str | Path, band_index: int = 1) -> Raster:
+    """Read ONE band (1-based) of a possibly multi-band raster file.
+
+    The windowed single-band open of the reference builder
+    (/root/reference/zarr_builder/build_zarr.py:395-492) scoped to PIL:
+    multi-page TIFF -> seek to the page; interleaved [H, W, C] -> slice
+    the channel. Geo tags are taken from the first directory (where GDAL
+    and :func:`write_multiband_geotiff` put them)."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        tags = dict(im.tag_v2) if hasattr(im, "tag_v2") else {}
+        n = getattr(im, "n_frames", 1)
+        if n > 1:
+            if not 1 <= band_index <= n:
+                raise IndexError(f"{path}: band {band_index} out of range "
+                                 f"(1..{n})")
+            im.seek(band_index - 1)
+            data = np.array(im)
+        else:
+            data = np.array(im)
+            if data.ndim == 3:
+                if not 1 <= band_index <= data.shape[2]:
+                    raise IndexError(f"{path}: band {band_index} out of "
+                                     f"range (1..{data.shape[2]})")
+                data = data[:, :, band_index - 1]
+            elif band_index != 1:
+                raise IndexError(f"{path}: band {band_index} out of range "
+                                 "(single-band file)")
+    nodata = None
+    if _GDAL_NODATA in tags:
+        try:
+            nodata = float(str(tags[_GDAL_NODATA]).strip("\x00 "))
+        except ValueError:
+            pass
+    return Raster(data=data, transform=_parse_transform(tags),
+                  nodata=nodata, epsg=_parse_epsg(tags),
+                  crs_wkt=_parse_wkt(tags))
 
 
 def read_geotiff_tags(path: str | Path
@@ -153,18 +217,9 @@ def read_geotiff_tags(path: str | Path
     return _parse_transform(tags), nodata, _parse_epsg(tags)
 
 
-def write_geotiff(path: str | Path, data: np.ndarray,
-                  transform: Optional[Sequence[float]] = None,
-                  nodata: Optional[float] = None,
-                  epsg: Optional[int] = None) -> None:
-    """Write [H, W] (float32/uint8/uint16/int32) or [H, W, 3] uint8."""
-    from PIL import Image, TiffImagePlugin
+def _geo_ifd(transform, nodata, epsg, crs_wkt=None):
+    from PIL import TiffImagePlugin
 
-    data = np.asarray(data)
-    if data.dtype == np.float64:
-        data = data.astype(np.float32)
-    im = Image.fromarray(data, mode="F" if data.dtype.kind == "f"
-                         and data.ndim == 2 else None)
     ifd = TiffImagePlugin.ImageFileDirectory_v2()
     if transform is not None:
         x0, dx, y0, dy = [float(v) for v in transform]
@@ -189,7 +244,50 @@ def write_geotiff(path: str | Path, data: np.ndarray,
             _GT_MODEL_TYPE, 0, 1, 2 if geographic else 1,
             key, 0, 1, int(epsg))
         ifd.tagtype[_GEO_KEY_DIRECTORY] = TiffImagePlugin.TiffTags.SHORT
-    im.save(path, tiffinfo=ifd)
+    if crs_wkt:
+        ifd[_GEO_ASCII_PARAMS] = crs_wkt + "|"
+        ifd.tagtype[_GEO_ASCII_PARAMS] = TiffImagePlugin.TiffTags.ASCII
+    return ifd
+
+
+def _to_pil(plane: np.ndarray):
+    from PIL import Image
+
+    plane = np.asarray(plane)
+    if plane.dtype == np.float64:
+        plane = plane.astype(np.float32)
+    if plane.dtype == np.int16:
+        plane = plane.astype(np.int32)  # PIL has no I;16S writer
+    return Image.fromarray(plane, mode="F" if plane.dtype.kind == "f"
+                           and plane.ndim == 2 else None)
+
+
+def write_geotiff(path: str | Path, data: np.ndarray,
+                  transform: Optional[Sequence[float]] = None,
+                  nodata: Optional[float] = None,
+                  epsg: Optional[int] = None,
+                  crs_wkt: Optional[str] = None) -> None:
+    """Write [H, W] (float32/uint8/uint16/int32) or [H, W, 3] uint8."""
+    ifd = _geo_ifd(transform, nodata, epsg, crs_wkt)
+    _to_pil(data).save(path, tiffinfo=ifd)
+
+
+def write_multiband_geotiff(path: str | Path, bands: np.ndarray,
+                            transform: Optional[Sequence[float]] = None,
+                            nodata: Optional[float] = None,
+                            epsg: Optional[int] = None,
+                            crs_wkt: Optional[str] = None) -> None:
+    """Write [B, H, W] as a multi-page TIFF, one band per page (the layout
+    :func:`read_band` / :func:`num_bands` consume; GDAL's band-interleaved
+    single-IFD layout is not writable/readable through PIL). Geo tags live
+    on the first directory."""
+    bands = np.asarray(bands)
+    if bands.ndim != 3:
+        raise ValueError(f"expected [B, H, W], got {bands.shape}")
+    ifd = _geo_ifd(transform, nodata, epsg, crs_wkt)
+    frames = [_to_pil(b) for b in bands]
+    frames[0].save(path, save_all=True, append_images=frames[1:],
+                   tiffinfo=ifd)
 
 
 def assert_aligned(a: Raster, b: Raster, *, atol: float = 1e-6,
@@ -279,5 +377,6 @@ def align_fine_to_patches(fine: Raster,
     return np.transpose(out, (0, 2, 1, 3, 4))
 
 
-__all__ = ["Raster", "read_geotiff", "write_geotiff", "assert_aligned",
+__all__ = ["Raster", "read_geotiff", "write_geotiff", "read_band",
+           "num_bands", "write_multiband_geotiff", "assert_aligned",
            "read_year_stack", "align_fine_to_patches"]
