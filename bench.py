@@ -7,15 +7,24 @@ torch-CPU reference implementation of the identical computation measured in
 the same process (the reference repo's compute substrate is torch/BLAS on
 CPU workers + cuDNN -- SURVEY.md §0; torch-CPU is the portable stand-in).
 
-Extra fields report end-to-end pipeline numbers: synthetic-cube training
-throughput (samples/sec through loader + jitted step) and zarr chunk decode
-rate.
+Extra fields report end-to-end pipeline numbers (synthetic-cube training
+throughput, zarr chunk decode rate, device step) and the production-scale
+FRL train step vs the reference's 1.1 s A40 baseline.
+
+Structure (round-4 redesign after two red rounds on a degraded relay):
+every TPU section runs in its OWN child process with a hard timeout, the
+parent never opens a relay session, and NO section failure can skip another
+section -- the FRL step runs whether or not the quantize headline
+succeeded, and whatever succeeded lands in ``extra``. Leftover global
+budget is spent on retries with doubled timeouts, highest-value section
+first. The JSON line is always emitted.
 
 Usage: python bench.py  (uses the session's default JAX backend: TPU)
 """
 from __future__ import annotations
 
 import json
+import subprocess
 import sys
 import time
 
@@ -24,49 +33,62 @@ import numpy as np
 N_PATCH_PIXELS = 1024  # 32x32
 D, K = 128, 256
 N_PATCHES = 128
-WARMUP, ITERS = 3, 20
-# Wall-clock budget for the quantize section: the axon relay compiles
-# erratically (1-10 s or 5+ min for identical graphs, CLAUDE.md). XLA runs
-# first (guaranteed-compileable headline on a cold cache); the Pallas
-# cross-check -- which wins the headline whenever it completes -- is
-# skipped when the section budget is already spent so one bad compile
-# can't push the scored bench past the driver's patience.
-QUANTIZE_BUDGET_S = 150.0
-# Per-section subprocess budgets. Every TPU section runs in its OWN child
-# process, strictly sequentially, and the parent never opens a relay
-# session: an idle parent session starves children (measured: the xla
-# quantize child compiles in ~60 s alone but exceeded 180 s with the
-# parent's session open), and an uninterruptible relay compile can
-# otherwise block the whole bench past the driver's patience with NO JSON
-# emitted. A killed child costs its budget and the bench degrades
-# gracefully (xla fallback for the headline; -1 sentinel only if every
-# kernel dies).
+CHAIN_ITERS = 20          # on-device fori_loop chain per dispatch
+WINDOW_REPS = (3, 12)     # paired timing windows (dispatch counts)
+# TIMING PROTOCOL (r4): jax.block_until_ready through the axon relay can
+# return BEFORE execution completes (measured: 100 chained 18-GFLOP calls
+# "blocked" in 1.1 ms, then a scalar fetch took 12.6 s), so every timing
+# window must close on a VALUE FETCH, and because one D2H scalar fetch
+# costs ~30 ms through the relay, timings use PAIRED windows (small and
+# large rep counts, both fetch-closed) whose difference cancels the fetch
+# round trip. The carry chains on-device through a fori_loop so relay
+# dispatch overhead (~1 ms/dispatch) stays off the per-call number.
+# Per-section child budgets (seconds). The axon relay compiles erratically
+# (identical graphs 1-10 s or 5+ min, CLAUDE.md); each TPU section runs in
+# its own strictly-sequential child so an uninterruptible relay compile can
+# only cost its section's budget, never the JSON line. The quantize graphs
+# are deliberately small -- the inputs are jit ARGUMENTS (r1-r3 closed over
+# the 67 MB input inside jit, which embedded it as an executable constant
+# and produced 141/248 MB cache entries and a 230 s cold compile).
 SECTION_BUDGET_S = {"probe": 90.0, "pipeline": 360.0,
-                    "pallas": 240.0, "xla": 150.0}
-FRL_BUDGET_S = 420.0
-# Relay stalls are often transient (r2: the whole driver window was dead,
-# but same-evening sessions recover within minutes). Failed sections get ONE
-# retry after a cooldown -- highest-value first (quantize headline, then frl,
-# then probe/pipeline) -- bounded by a global wall-clock budget so the bench
-# always emits its JSON line inside the driver's patience.
+                    "xla": 180.0, "pallas": 240.0, "frl": 420.0}
+# Minimum child budget worth launching at all (healthy-relay compile + the
+# measurement itself); below this the child is doomed and the time is
+# better left to later sections.
+SECTION_MIN_S = {"probe": 30.0, "pipeline": 150.0,
+                 "xla": 60.0, "pallas": 90.0, "frl": 240.0}
+# Retry budget = base * 2**attempt: BENCH_r01 measured a 230 s cold XLA
+# compile on a HEALTHY relay with the old huge graph; doubled budgets let a
+# degraded relay still land the section inside the global window.
 GLOBAL_BUDGET_S = 1800.0
+# Kept out of the very end of the window: torch-CPU baseline (~10 s on the
+# 1-core host) + JSON emit.
+RESERVE_S = 45.0
 RETRY_COOLDOWN_S = 45.0
-# Shorter pause after a timeout-KILLED child before launching the next one:
-# the kill leaves the child's relay session (and any in-flight compile)
-# dangling for a while, which starves a sibling launched immediately after.
+# Pause after a timeout-KILLED child before launching the next one: the
+# kill leaves the child's relay session (and any in-flight compile)
+# dangling for a while, which starves a sibling launched immediately after
+# (measured: a warm-cache xla child timed out when launched right after a
+# pallas kill). Applies before EVERY next launch, including the FRL child
+# (ADVICE r3: the old flow launched FRL seconds after a killed quantize
+# child).
 KILL_COOLDOWN_S = 30.0
+# Small pause between ANY two sections: both r4 validation runs saw the
+# FRL child hang past its 420 s budget when launched right after a
+# long-compiling quantize child (attempt 2 after the cooldown compiled in
+# 8 s), suggesting the relay needs a moment to release the previous
+# session even after a clean exit.
+INTER_SECTION_COOLDOWN_S = 10.0
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _run_child(args, timeout):
-    """Run ``python bench.py <args>`` with a hard timeout; relay [bench]
+def _run_child(args, timeout, script=None):
+    """Run ``python <script> <args>`` with a hard timeout; relay [bench]
     stderr lines through; return the child's one-line JSON."""
-    import subprocess
-
-    p = subprocess.run([sys.executable, __file__, *args],
+    p = subprocess.run([sys.executable, script or __file__, *args],
                        capture_output=True, text=True, timeout=timeout)
     for ln in p.stderr.splitlines():
         if ln.startswith("[bench]"):
@@ -83,10 +105,13 @@ def _measure_quantize_kernel(use_pallas: bool) -> float:
     the EMA sufficient statistics (per-code counts + vector sums). The
     torch-CPU baseline below runs the identical computation.
 
-    Timing chains the carry: each iteration folds every kernel output back
-    into the (tiny) codebook, so dispatches serialize, nothing is DCE'd, and
-    nothing can be deduplicated/overlapped (CLAUDE.md rule -- independent
-    dispatches under-report >100x through the axon relay).
+    Timing chains the carry (every call folds the kernel outputs back into
+    the codebook) INSIDE a fori_loop so calls serialize on-device, nothing
+    is DCE'd, and relay dispatch overhead amortizes (CLAUDE.md rule --
+    independent dispatches under-report >100x). The windows close on a
+    value FETCH (block_until_ready lies through the relay, see TIMING
+    PROTOCOL above) and the paired-window difference cancels the ~30 ms
+    fetch round trip. x is a jit ARGUMENT so the executable stays small.
     """
     import jax
     import jax.numpy as jnp
@@ -98,88 +123,38 @@ def _measure_quantize_kernel(use_pallas: bool) -> float:
     x = jnp.asarray(r.normal(size=(n, D)).astype(np.float32))
     cb0 = jnp.asarray(r.normal(size=(K, D)).astype(np.float32))
 
-    def body(i, cb):
+    def body(x, cb):
         idx, q, counts, sums = vq.vq_core(x, cb, use_pallas=use_pallas)
         return cb + 1e-12 * (jnp.sum(idx).astype(jnp.float32)
                              + jnp.sum(counts) + q[0, 0]
                              + sums[0, 0])
 
-    run = jax.jit(lambda cb: jax.lax.fori_loop(0, ITERS, body, cb))
+    @jax.jit
+    def run(x, cb):
+        return jax.lax.fori_loop(0, CHAIN_ITERS,
+                                 lambda i, cb: body(x, cb), cb)
+
     t0 = time.perf_counter()
-    jax.block_until_ready(run(cb0))
-    log(f"[bench] compile {time.perf_counter() - t0:.1f}s")
-    out = cb0
-    for _ in range(WARMUP):
-        out = run(out)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    reps = 3
-    # Chain the carry across reps too so successive dispatches can never
-    # overlap or be deduplicated.
-    for _ in range(reps):
-        out = run(out)
-    jax.block_until_ready(out)
-    return ((time.perf_counter() - t0) / (reps * ITERS)
-            / N_PATCHES * 1e6)
+    out = run(x, cb0)
+    float(jnp.sum(out))
+    log(f"[bench] compile+first {time.perf_counter() - t0:.1f}s")
+    out = run(x, out)
+    float(jnp.sum(out))  # warm steady-state dispatch path
 
+    def window(reps, out):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = run(x, out)
+        float(jnp.sum(out))  # close the window on real completion
+        return time.perf_counter() - t0, out
 
-def bench_tpu_quantize(kernels=("xla", "pallas")):
-    """Measure both kernels, each in its own sequential subprocess (see
-    SECTION_BUDGET_S). XLA runs FIRST: with a cold compile cache the
-    Pallas kernel never fits its budget (measured 3x in one session,
-    healthy and degraded relays alike) while XLA compiles in ~90 s, so
-    XLA-first guarantees a headline; when the cache is warm both children
-    finish in seconds and min() still crowns Pallas. The cross-check is
-    skipped once the section has a result and has already overspent
-    QUANTIZE_BUDGET_S. A killed child gets a cooldown before the next
-    launch: its uninterruptible relay compile keeps the session pinned
-    briefly and starves an immediately-launched sibling (measured: the
-    warm-cache xla child timed out when launched right after a pallas
-    kill)."""
-    import subprocess
-
-    results = {}
-    skipped = []
-    t_section = time.perf_counter()
-    cooldown_next = False
-    for name in kernels:
-        spent = time.perf_counter() - t_section
-        if results and spent > QUANTIZE_BUDGET_S:
-            log(f"[bench] skipping {name} cross-check: {spent:.0f}s in "
-                f"quantize section > {QUANTIZE_BUDGET_S:.0f}s budget")
-            skipped.append(name)
-            continue
-        if cooldown_next:
-            log(f"[bench] cooldown {KILL_COOLDOWN_S:.0f}s after killed "
-                "child (let the relay session drop)")
-            time.sleep(KILL_COOLDOWN_S)
-            cooldown_next = False
-        try:
-            val = _run_child(["--quantize-kernel", name],
-                             SECTION_BUDGET_S[name])
-            results[name] = float(val["us_per_patch"])
-            log(f"[bench] {name}: {results[name]:.3f} us/patch "
-                f"(chained x{ITERS}, 3 reps, subprocess)")
-        except subprocess.TimeoutExpired:
-            log(f"[bench] {name} child exceeded "
-                f"{SECTION_BUDGET_S[name]:.0f}s (degraded relay?) "
-                "-- killed")
-            skipped.append(name)
-            cooldown_next = True
-        except Exception as e:  # pragma: no cover
-            log(f"[bench] {name} failed: {type(e).__name__}: {e}")
-            skipped.append(name)
-    if not results:
-        return None, {"quantize_skipped": ",".join(skipped) or "all"}
-    best = min(results.items(), key=lambda kv: kv[1])
-    extra = {f"quantize_{k}_us": round(v, 3) for k, v in results.items()}
-    # Per-call numbers for the full fused contract (the headline win case:
-    # idx + quantized vectors + EMA stats in one kernel pass).
-    for k, v in results.items():
-        extra[f"quantize_{k}_us_per_call"] = round(v * N_PATCHES, 1)
-    if skipped:
-        extra["quantize_skipped"] = ",".join(skipped)
-    return best, extra
+    t_small, out = window(WINDOW_REPS[0], out)
+    t_big, out = window(WINDOW_REPS[1], out)
+    calls = (WINDOW_REPS[1] - WINDOW_REPS[0]) * CHAIN_ITERS
+    per_call = (t_big - t_small) / calls
+    if per_call <= 0:  # relay jitter swamped the diff; fall back
+        per_call = t_big / (WINDOW_REPS[1] * CHAIN_ITERS)
+    return per_call / N_PATCHES * 1e6
 
 
 def bench_torch_cpu_quantize():
@@ -275,7 +250,7 @@ def bench_pipeline(tmpdir: str):
 
     t0 = time.perf_counter()
     state, m = step(state, first, w, jax.random.key(0))
-    jax.block_until_ready(m["loss/total"])
+    float(m["loss/total"])  # fetch: block_until_ready lies (see above)
     log(f"[bench] train step compile {time.perf_counter() - t0:.1f}s")
     extra = {}
 
@@ -302,16 +277,28 @@ def bench_pipeline(tmpdir: str):
     extra["host_assembly_samples_per_sec"] = round(host_sps, 1)
 
     # -- component 3: device step only (state-chained, fixed batch) -------
+    # Fetch-anchored paired windows: block_until_ready lies through the
+    # relay (TIMING PROTOCOL above), so each window closes on a loss fetch
+    # and the window difference cancels the fetch round trip.
     fixed = host_to_device_batch(ds.load_batch(idxs[0]))
     for i in range(3):
         state, m = step(state, dict(fixed), w, jax.random.key(i))
-    jax.block_until_ready(m["loss/total"])
-    t0 = time.perf_counter()
-    dev_iters = 50
-    for i in range(dev_iters):
-        state, m = step(state, dict(fixed), w, jax.random.key(i))
-    jax.block_until_ready(m["loss/total"])
-    dev_ms = (time.perf_counter() - t0) / dev_iters * 1e3
+    float(m["loss/total"])
+
+    def dev_window(iters, state):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            state, m = step(state, dict(fixed), w, jax.random.key(i))
+        float(m["loss/total"])
+        return time.perf_counter() - t0, state
+
+    # Shallow windows: deep host-dispatch queues hit the relay's drain
+    # cliff (see probe_dispatch_latency) and would measure the relay.
+    t_small, state = dev_window(8, state)
+    t_big, state = dev_window(28, state)
+    dev_ms = (t_big - t_small) / 20 * 1e3
+    if dev_ms <= 0:
+        dev_ms = t_big / 28 * 1e3
     extra["device_step_ms"] = round(dev_ms, 3)
     extra["device_samples_per_sec"] = round(batch_size / dev_ms * 1e3, 1)
 
@@ -324,16 +311,20 @@ def bench_pipeline(tmpdir: str):
     for i in range(warm):  # let workers spin up + caches warm
         state, m = step(state, host_to_device_batch(next(it)), w,
                         jax.random.key(i))
-    jax.block_until_ready(m["loss/total"])
+    float(m["loss/total"])
     n_steps = 0
     t0 = time.perf_counter()
     while n_steps < measure or time.perf_counter() - t0 < window_s:
         state, m = step(state, host_to_device_batch(next(it)), w,
                         jax.random.key(n_steps))
         n_steps += 1
+        if n_steps % 24 == 0:
+            # Periodic fetch keeps the dispatch queue shallow (relay
+            # drain cliff past ~30 queued dispatches) at ~1% overhead.
+            float(m["loss/total"])
         if n_steps >= 4 * measure:
             break
-    jax.block_until_ready(m["loss/total"])
+    float(m["loss/total"])  # close the window on real completion
     sps = n_steps * batch_size / (time.perf_counter() - t0)
     extra["train_samples_per_sec"] = round(sps, 1)
     extra["e2e_batches_measured"] = n_steps
@@ -343,33 +334,6 @@ def bench_pipeline(tmpdir: str):
         f" | device step {dev_ms:.2f} ms ({batch_size / dev_ms * 1e3:,.0f}"
         f" samples/s)")
     return extra
-
-
-def bench_frl_step(iters: int = 10):
-    """Production-scale FRL train step (B=12, 256^2, bf16 smoothing, fused
-    Pallas kernel), in a subprocess with a hard timeout so a hung relay
-    compile cannot stall the scored bench (healthy compile ~35 s; the
-    budget covers a slow one). Returns (ms_per_batch, speedup_vs_A40)."""
-    import pathlib
-    import subprocess
-
-    script = pathlib.Path(__file__).parent / "scripts" / "bench_frl_step.py"
-    p = subprocess.run(
-        [sys.executable, str(script), "--bf16-smoothing",
-         "--iters", str(iters)],
-        capture_output=True, text=True, timeout=FRL_BUDGET_S)
-    out = p.stdout
-    log(out.strip())
-    if p.returncode != 0:
-        raise RuntimeError(
-            f"frl bench child failed (rc={p.returncode}): "
-            f"{p.stderr.strip().splitlines()[-1:]}")
-    for line in out.splitlines():
-        if line.startswith("steady step:"):
-            ms = float(line.split("steady step:")[1].split("ms/batch")[0])
-            x = float(line.split("-> ")[1].split("x reference")[0])
-            return ms, x
-    raise RuntimeError("frl bench produced no steady-step line")
 
 
 def probe_dispatch_latency():
@@ -386,15 +350,30 @@ def probe_dispatch_latency():
     f = jax.jit(lambda x: x + 1.0)
     x = jnp.float32(0.0)
     x = f(x)
-    jax.block_until_ready(x)
+    float(x)
+
+    # Windows stay SHALLOW: past ~30 queued host dispatches the relay's
+    # drain cost per dispatch jumps ~50x (measured r4: 30-deep drains at
+    # ~1.9 ms/dispatch, 100-deep at ~126 ms/dispatch), so deep chains
+    # measure the queue cliff, not dispatch latency.
+    def window(n, x):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            x = f(x)
+        float(x)  # fetch-anchored: block_until_ready lies (see above)
+        return time.perf_counter() - t0, x
+
+    t_small, x = window(8, x)
+    t_big, x = window(28, x)
+    us = (t_big - t_small) / 20 * 1e6
+    if us <= 0.5:  # diff swamped by fetch jitter: raw rate upper-bounds
+        us = t_big / 28 * 1e6
     t0 = time.perf_counter()
-    n = 200
-    for _ in range(n):
-        x = f(x)
-    jax.block_until_ready(x)
-    us = (time.perf_counter() - t0) / n * 1e6
-    log(f"[bench] dispatch latency: {us:.0f} us/op (chained x{n})")
-    return round(us, 1)
+    float(x)  # value already materialized: pure D2H round trip
+    d2h_ms = (time.perf_counter() - t0) * 1e3
+    log(f"[bench] dispatch latency: {us:.1f} us/op (paired windows) | "
+        f"d2h round trip {d2h_ms:.1f} ms")
+    return round(us, 1), round(d2h_ms, 2)
 
 
 def _probe_child() -> None:
@@ -408,7 +387,9 @@ def _probe_child() -> None:
     enable_persistent_cache()
     log(f"[bench] backend: {jax.default_backend()} "
         f"devices: {jax.devices()}")
-    print(json.dumps({"dispatch_latency_us": probe_dispatch_latency()}))
+    us, d2h_ms = probe_dispatch_latency()
+    print(json.dumps({"dispatch_latency_us": us,
+                      "d2h_roundtrip_ms": d2h_ms}))
 
 
 def _pipeline_child() -> None:
@@ -423,112 +404,6 @@ def _pipeline_child() -> None:
     print(json.dumps(extra))
 
 
-def main():
-    import subprocess
-
-    t_start = time.perf_counter()
-
-    def budget_left():
-        return GLOBAL_BUDGET_S - (time.perf_counter() - t_start)
-
-    def try_section(section):
-        try:
-            return _run_child(["--section", section],
-                              SECTION_BUDGET_S[section])
-        except subprocess.TimeoutExpired:
-            log(f"[bench] {section} child exceeded "
-                f"{SECTION_BUDGET_S[section]:.0f}s -- killed; cooldown "
-                f"{KILL_COOLDOWN_S:.0f}s before the next child")
-            time.sleep(KILL_COOLDOWN_S)
-        except Exception as e:  # probe/pipeline are best-effort
-            log(f"[bench] {section} bench failed: {type(e).__name__}: {e}")
-        return None
-
-    extra = {}
-    # Pipeline FIRST: its numbers are relay-health-sensitive (the round-1
-    # driver run measured 83k samples/s in a process whose first compile
-    # took 230 s, vs 669k standalone), so measure it before the quantize
-    # section's potentially-long compiles can degrade the relay. Each TPU
-    # section is its own child process; the parent NEVER opens a relay
-    # session (an idle parent session starves children -- header note).
-    failed = []
-    for section in ("probe", "pipeline"):
-        out = try_section(section)
-        if out is None:
-            failed.append(section)
-        else:
-            extra.update(out)
-
-    best, per_kernel = bench_tpu_quantize()
-    if best is None and budget_left() > (SECTION_BUDGET_S["xla"]
-                                         + RETRY_COOLDOWN_S):
-        # The headline metric gets the first retry slot: without it the
-        # whole bench scores -1 (r2). A transient relay stall often clears
-        # within a minute. Retry XLA, not Pallas: a cold Pallas compile
-        # never fits its budget anyway (>240 s even on a healthy relay),
-        # while XLA fits when the stall has cleared.
-        log(f"[bench] quantize failed -- cooldown {RETRY_COOLDOWN_S:.0f}s "
-            "then one retry (xla only)")
-        time.sleep(RETRY_COOLDOWN_S)
-        best, retry_kernel = bench_tpu_quantize(kernels=("xla",))
-        per_kernel = {**per_kernel, **retry_kernel,
-                      "quantize_retried": "xla"}
-    if best is None:
-        # The driver contract is ONE JSON line no matter what.
-        print(json.dumps({
-            "metric": "vq_quantize_us_per_32x32_patch", "value": -1.0,
-            "unit": "us", "vs_baseline": 0.0,
-            "extra": {"error": "both quantize kernels failed/timed out",
-                      **per_kernel, **extra,
-                      "sections_timed_out": ",".join(failed) or "none"}}))
-        return
-    name, tpu_us = best
-    torch_us = bench_torch_cpu_quantize()
-    extra = {"kernel": name, **per_kernel, **extra}
-
-    for attempt in range(2):
-        if "frl_step_ms" in extra or budget_left() < FRL_BUDGET_S:
-            break
-        try:
-            ms, x_ref = bench_frl_step()
-            extra.pop("frl_step_error", None)
-            extra.update(frl_step_ms=round(ms, 1),
-                         frl_vs_a40_ref=round(x_ref, 2))
-        except Exception as e:  # best-effort
-            log(f"[bench] frl step bench failed (attempt {attempt + 1}): "
-                f"{type(e).__name__}: {e}")
-            extra["frl_step_error"] = type(e).__name__
-            if attempt == 0 and budget_left() > (FRL_BUDGET_S
-                                                 + RETRY_COOLDOWN_S):
-                time.sleep(RETRY_COOLDOWN_S)
-
-    # Last: one retry each for failed probe/pipeline sections, lowest value
-    # first priority-wise but only with leftover budget.
-    still_failed = []
-    for section in failed:
-        if budget_left() > SECTION_BUDGET_S[section] + RETRY_COOLDOWN_S:
-            log(f"[bench] retrying {section} after cooldown")
-            time.sleep(RETRY_COOLDOWN_S)
-            out = try_section(section)
-            if out is not None:
-                extra.update(out)
-                continue
-        still_failed.append(section)
-    if still_failed:
-        # A probe timeout means even backend init / an x+1 compile hung:
-        # the relay itself is down or fully degraded -- make that
-        # attribution explicit in the scored artifact.
-        extra["sections_timed_out"] = ",".join(still_failed)
-
-    print(json.dumps({
-        "metric": "vq_quantize_us_per_32x32_patch",
-        "value": round(tpu_us, 3),
-        "unit": "us",
-        "vs_baseline": round(torch_us / tpu_us, 2),
-        "extra": extra,
-    }))
-
-
 def _quantize_child(kernel: str) -> None:
     """Child mode (--quantize-kernel): measure ONE kernel, print a one-line
     JSON; the parent enforces the wall-clock budget by killing us."""
@@ -536,6 +411,150 @@ def _quantize_child(kernel: str) -> None:
     enable_persistent_cache()
     us = _measure_quantize_kernel(use_pallas=(kernel == "pallas"))
     print(json.dumps({"us_per_patch": us}))
+
+
+def _launch_section(section: str, timeout: float):
+    """Run one section in a child; return its parsed result dict or None."""
+    if section == "frl":
+        import pathlib
+
+        script = pathlib.Path(__file__).parent / "scripts" \
+            / "bench_frl_step.py"
+        p = subprocess.run(
+            [sys.executable, str(script), "--bf16-smoothing",
+             "--iters", "20"],
+            capture_output=True, text=True, timeout=timeout)
+        log(p.stdout.strip())
+        if p.returncode != 0:
+            raise RuntimeError(
+                f"frl bench child failed (rc={p.returncode}): "
+                f"{p.stderr.strip().splitlines()[-1:]}")
+        for line in p.stdout.splitlines():
+            if line.startswith("steady step:"):
+                ms = float(line.split("steady step:")[1].split("ms/batch")[0])
+                x = float(line.split("-> ")[1].split("x reference")[0])
+                return {"frl_step_ms": round(ms, 1),
+                        "frl_vs_a40_ref": round(x, 2)}
+        raise RuntimeError("frl bench produced no steady-step line")
+    if section in ("xla", "pallas"):
+        out = _run_child(["--quantize-kernel", section], timeout)
+        us = float(out["us_per_patch"])
+        log(f"[bench] {section}: {us:.3f} us/patch "
+            f"(fori x{CHAIN_ITERS}, paired windows {WINDOW_REPS}, "
+            "subprocess)")
+        return {f"quantize_{section}_us": round(us, 3),
+                f"quantize_{section}_us_per_call": round(us * N_PATCHES, 1)}
+    return _run_child(["--section", section], timeout)
+
+
+def main():
+    """Orchestrate all sections inside GLOBAL_BUDGET_S and always emit ONE
+    JSON line. Invariants (r2/r3 post-mortems, VERDICT r3 weak #1/#2):
+
+    - No section result can gate another section: FRL runs whether or not
+      the quantize headline exists; every success lands in extra.
+    - Pass-1 children are budget-clamped so later pass-1 sections keep at
+      least their minimum-viable windows (the FRL section can no longer be
+      starved by earlier overruns).
+    - Leftover budget goes to retries with doubled timeouts, ordered by
+      scoring value: quantize headline first, then FRL, then pipeline and
+      the health probe.
+    - Cooldown after every killed child before the next launch (a killed
+      child's relay session starves an immediately-launched sibling).
+    """
+    t_start = time.perf_counter()
+
+    def budget_left():
+        return GLOBAL_BUDGET_S - (time.perf_counter() - t_start)
+
+    pass1 = ["probe", "pipeline", "xla", "pallas", "frl"]
+    retry_order = ["xla", "pallas", "frl", "pipeline", "probe"]
+    results = {}
+    attempts = {s: 0 for s in pass1}
+    cooldown = [0.0]  # pending sleep before the next child launch
+
+    def launch(section, scale=1.0):
+        base = SECTION_BUDGET_S[section]
+        later_min = sum(SECTION_MIN_S[s] for s in pass1
+                        if attempts[s] == 0 and s != section)
+        timeout = min(base * scale, budget_left() - RESERVE_S - later_min)
+        if timeout < SECTION_MIN_S[section]:
+            log(f"[bench] skipping {section}: only {timeout:.0f}s "
+                f"available < {SECTION_MIN_S[section]:.0f}s minimum")
+            return None
+        if cooldown[0] > 0:
+            log(f"[bench] cooldown {cooldown[0]:.0f}s before {section} "
+                "(let the previous relay session drop)")
+            time.sleep(cooldown[0])
+            cooldown[0] = 0.0
+        attempts[section] += 1
+        log(f"[bench] section {section} (attempt {attempts[section]}, "
+            f"budget {timeout:.0f}s, global left {budget_left():.0f}s)")
+        try:
+            out = _launch_section(section, timeout)
+            cooldown[0] = INTER_SECTION_COOLDOWN_S
+            return out
+        except subprocess.TimeoutExpired:
+            log(f"[bench] {section} child exceeded {timeout:.0f}s "
+                "(degraded relay?) -- killed")
+            cooldown[0] = KILL_COOLDOWN_S
+        except Exception as e:
+            log(f"[bench] {section} failed: {type(e).__name__}: {e}")
+            cooldown[0] = INTER_SECTION_COOLDOWN_S
+        return None
+
+    for section in pass1:
+        results[section] = launch(section)
+
+    # Retry passes: spend whatever is left, doubled budgets, headline first.
+    for _ in range(3):
+        failed = [s for s in retry_order if results.get(s) is None]
+        if not failed or budget_left() < RESERVE_S + min(
+                SECTION_MIN_S[s] for s in failed) + RETRY_COOLDOWN_S:
+            break
+        progressed = False
+        for section in failed:
+            if budget_left() < (RESERVE_S + SECTION_MIN_S[section]
+                                + RETRY_COOLDOWN_S):
+                continue
+            cooldown[0] = max(cooldown[0], RETRY_COOLDOWN_S)
+            out = launch(section, scale=2.0 ** attempts[section])
+            if out is not None:
+                results[section] = out
+                progressed = True
+        if not progressed:
+            break
+
+    extra = {}
+    for section in pass1:
+        if results.get(section):
+            extra.update(results[section])
+    still_failed = [s for s in pass1 if results.get(s) is None]
+    if still_failed:
+        extra["sections_failed"] = ",".join(still_failed)
+        extra["attempts"] = ",".join(
+            f"{s}:{attempts[s]}" for s in pass1)
+
+    qres = {k: extra[f"quantize_{k}_us"] for k in ("xla", "pallas")
+            if f"quantize_{k}_us" in extra}
+    if qres:
+        name, tpu_us = min(qres.items(), key=lambda kv: kv[1])
+        torch_us = bench_torch_cpu_quantize()
+        extra["kernel"] = name
+        print(json.dumps({
+            "metric": "vq_quantize_us_per_32x32_patch",
+            "value": round(tpu_us, 3),
+            "unit": "us",
+            "vs_baseline": round(torch_us / tpu_us, 2),
+            "extra": extra,
+        }))
+    else:
+        # Driver contract: ONE JSON line no matter what. Everything that
+        # DID succeed (FRL step, pipeline, probe) still rides in extra.
+        extra["error"] = "both quantize kernels failed/timed out"
+        print(json.dumps({
+            "metric": "vq_quantize_us_per_32x32_patch", "value": -1.0,
+            "unit": "us", "vs_baseline": 0.0, "extra": extra}))
 
 
 if __name__ == "__main__":

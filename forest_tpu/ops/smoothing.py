@@ -452,6 +452,39 @@ _bank_mix_pallas.defvjp(_bank_mix_fwd, _bank_mix_bwd)
 # Override for experiments via FOREST_TPU_SMOOTH_BATCH_CHUNK.
 _BATCH_CHUNK = int(os.environ.get("FOREST_TPU_SMOOTH_BATCH_CHUNK", "16"))
 
+# Auto-routing ladder (VERDICT r3 weak #4 -> task #5): in AUTO mode
+# (use_pallas=None) batches past the measured Pallas fault envelope
+# (chunked dispatch survives to B=17; B>=18 faults on the affected relay
+# backend regardless of chunk size) fall back to REMAT'd XLA smoothing:
+# jax.checkpoint recomputes the directional banks in the backward instead
+# of storing the [B,H,W,C,K] intermediate, which ducks the B=20 HBM OOM
+# the plain XLA path hits (16.17 G needed vs 15.75 G). The routing is
+# batch-size + env gated (the fault is environmental -- raise the cap
+# when the relay backend recovers) and each distinct decision is logged
+# once per process.
+_PALLAS_MAX_BATCH = int(os.environ.get(
+    "FOREST_TPU_SMOOTH_PALLAS_MAX_BATCH", "17"))
+# Plain-XLA smoothing OOMs at B>=20 (256^2 production shapes); remat the
+# fallback from this batch on even when use_pallas=False was explicit.
+_XLA_REMAT_BATCH = int(os.environ.get(
+    "FOREST_TPU_SMOOTH_XLA_REMAT_BATCH", "18"))
+# Remat alone is NOT enough at B=20: the rematted block's [B,H,W,C,K]
+# bank concatenate + mixing einsum temps coexist in the backward
+# (measured 17.20 G needed vs 15.75 G HBM). The fallback therefore
+# chunks the batch, each chunk its own checkpoint region, so peak temp
+# is ONE chunk's bank tensor regardless of B.
+_XLA_FALLBACK_CHUNK = int(os.environ.get(
+    "FOREST_TPU_SMOOTH_XLA_CHUNK", "8"))
+_routing_logged: set = set()
+
+
+def _log_routing_once(key: str, message: str) -> None:
+    if key not in _routing_logged:
+        _routing_logged.add(key)
+        import logging
+
+        logging.getLogger("forest_tpu.ops.smoothing").warning(message)
+
 
 def _chunk_bounds(b: int, chunk: int):
     """Near-equal split of ``b`` into ceil(b/chunk) parts (each <= chunk)."""
@@ -467,12 +500,27 @@ def bank_mix(x: Array, a_w: Array, b_w: Array, *, num_directions: int = 4,
     """Fused fine/coarse directional bank + rank-R mixing (differentiable).
 
     x [B,H,W,C]; a_w [B,H,W,K,R] softmaxed over K (k = 2*direction + scale);
-    b_w [B,H,W,C,R] softmaxed over R. ``use_pallas=None`` auto-selects the
-    Pallas kernel on TPU backends; the XLA path is the oracle elsewhere.
+    b_w [B,H,W,C,R] softmaxed over R. ``use_pallas=None`` auto-selects:
+    the Pallas kernel on TPU backends up to ``_PALLAS_MAX_BATCH`` samples
+    (chunked past ``_BATCH_CHUNK``), then remat'd XLA past the fault
+    envelope -- no config change needed for large batches; the decision
+    is logged once. Explicit ``use_pallas`` is honored (XLA still gains
+    remat past ``_XLA_REMAT_BATCH`` to duck the B>=20 HBM OOM).
     ``batch_chunk`` caps the batch per Pallas dispatch (default
     ``_BATCH_CHUNK``); larger batches are split and concatenated."""
+    b = x.shape[0]
+    remat_xla = False
     if use_pallas is None:
         use_pallas = _on_tpu()
+        if use_pallas and b > _PALLAS_MAX_BATCH:
+            use_pallas = False
+            remat_xla = True
+            _log_routing_once(
+                f"auto-xla-{b}",
+                f"smoothing auto-route: batch {b} > Pallas fault "
+                f"envelope ({_PALLAS_MAX_BATCH}); using remat'd XLA "
+                "smoothing (override via "
+                "FOREST_TPU_SMOOTH_PALLAS_MAX_BATCH)")
     if use_pallas or interpret:
         # Halo rows come from the adjacent row TILES, so the dilation is
         # bounded by the backward kernel's halved row tile: beyond it the
@@ -484,7 +532,6 @@ def bank_mix(x: Array, a_w: Array, b_w: Array, *, num_directions: int = 4,
                 f"kernel's halo capacity ({_TH // 2} = row tile / 2); use "
                 "use_pallas=False for larger dilations")
         chunk = _BATCH_CHUNK if batch_chunk is None else batch_chunk
-        b = x.shape[0]
         if chunk and b > chunk:
             parts = [
                 _bank_mix_pallas(x[lo:hi], a_w[lo:hi], b_w[lo:hi],
@@ -493,6 +540,22 @@ def bank_mix(x: Array, a_w: Array, b_w: Array, *, num_directions: int = 4,
             return jnp.concatenate(parts, axis=0)
         return _bank_mix_pallas(x, a_w, b_w, num_directions, coarse_dilation,
                                 interpret)
+    if remat_xla or b >= _XLA_REMAT_BATCH:
+        if not remat_xla:
+            _log_routing_once(
+                f"xla-remat-{b}",
+                f"smoothing: chunked-remat XLA path at batch {b} >= "
+                f"{_XLA_REMAT_BATCH} (plain XLA smoothing OOMs at B>=20 "
+                "on 16 GB HBM; override via "
+                "FOREST_TPU_SMOOTH_XLA_REMAT_BATCH)")
+        fn = jax.checkpoint(functools.partial(
+            bank_mix_xla, num_directions=num_directions,
+            coarse_dilation=coarse_dilation))
+        if _XLA_FALLBACK_CHUNK and b > _XLA_FALLBACK_CHUNK:
+            parts = [fn(x[lo:hi], a_w[lo:hi], b_w[lo:hi])
+                     for lo, hi in _chunk_bounds(b, _XLA_FALLBACK_CHUNK)]
+            return jnp.concatenate(parts, axis=0)
+        return fn(x, a_w, b_w)
     return bank_mix_xla(x, a_w, b_w, num_directions=num_directions,
                         coarse_dilation=coarse_dilation)
 

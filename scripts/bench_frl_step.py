@@ -35,6 +35,13 @@ def main(argv=None):
                          "loop computes (training.diagnostics: true)")
     a = ap.parse_args(argv)
 
+    import os
+    if os.environ.get("FOREST_TPU_BENCH_PLATFORM"):
+        # Same CPU-CI override contract as bench.py: the axon sitecustomize
+        # ignores JAX_PLATFORMS, only the config update works.
+        import jax as _jax
+        _jax.config.update("jax_platforms",
+                           os.environ["FOREST_TPU_BENCH_PLATFORM"])
     import jax
     import jax.numpy as jnp
 
@@ -107,16 +114,28 @@ def main(argv=None):
 
     t0 = time.perf_counter()
     state, m = step(state, batch, jax.random.key(0), weights, cur)
-    jax.block_until_ready(m["loss_total"])
+    loss0 = float(m["loss_total"])  # fetch-anchored: block_until_ready
+    # can return before execution completes through the axon relay
+    # (bench.py TIMING PROTOCOL, measured r4)
     print(f"compile+first step: {time.perf_counter()-t0:.1f}s  "
-          f"loss={float(m['loss_total']):.3f} "
+          f"loss={loss0:.3f} "
           f"skipped={int(m['skipped'])}")
 
-    t0 = time.perf_counter()
-    for i in range(a.iters):
-        state, m = step(state, batch, jax.random.key(i), weights, cur)
-    jax.block_until_ready(m["loss_total"])
-    dt = (time.perf_counter() - t0) / a.iters
+    # Paired fetch-closed windows: the difference cancels the ~30 ms D2H
+    # scalar-fetch round trip that closing each window costs.
+    def window(iters, state):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            state, m = step(state, batch, jax.random.key(i), weights, cur)
+        float(m["loss_total"])
+        return time.perf_counter() - t0, state
+
+    small = max(a.iters // 3, 1)
+    t_small, state = window(small, state)
+    t_big, state = window(a.iters, state)
+    dt = (t_big - t_small) / (a.iters - small)
+    if dt <= 0:  # relay jitter swamped the diff; fall back
+        dt = t_big / a.iters
     # Reference: 1.1 s/batch at B=12, 256^2 (BASELINE.md). Normalize the
     # comparison per-pixel so non-default --batch/--patch stay honest.
     ref_s_per_px = 1.1 / (12 * 256 * 256)

@@ -108,6 +108,67 @@ class TestBatchChunking:
         assert str(single).count("pallas_call") == 1
 
 
+class TestAutoRouting:
+    """VERDICT r3 weak #4 -> task #5: large batches auto-route past the
+    Pallas fault envelope to remat'd XLA with a logged decision -- no
+    manual config flag."""
+
+    def test_large_batch_auto_routes_to_remat_xla(self, monkeypatch,
+                                                  caplog):
+        import logging
+        monkeypatch.setattr(sm, "_on_tpu", lambda: True)
+        monkeypatch.setattr(sm, "_routing_logged", set())
+        rng = np.random.default_rng(13)
+        b = sm._PALLAS_MAX_BATCH + 3
+        x, a_w, b_w = _inputs(rng, b, 8, 16, 4)
+        with caplog.at_level(logging.WARNING,
+                             logger="forest_tpu.ops.smoothing"):
+            out = sm.bank_mix(x, a_w, b_w)  # auto mode on "TPU"
+            # grads must flow through the jax.checkpoint fallback
+            g = jax.grad(lambda x: jnp.sum(
+                sm.bank_mix(x, a_w, b_w)))(x)
+        ref = sm.bank_mix_xla(x, a_w, b_w)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-6, rtol=1e-5)
+        assert np.isfinite(np.asarray(g)).all()
+        assert any("auto-route" in r.message for r in caplog.records)
+        # logged once per process per decision, not per trace
+        n = sum("auto-route" in r.message for r in caplog.records)
+        assert n == 1
+
+    def test_remat_in_fallback_jaxpr(self, monkeypatch):
+        # The auto fallback must actually be rematerialized: the jaxpr
+        # carries a remat/checkpoint primitive.
+        monkeypatch.setattr(sm, "_on_tpu", lambda: True)
+        rng = np.random.default_rng(14)
+        x, a_w, b_w = _inputs(rng, sm._PALLAS_MAX_BATCH + 1, 8, 16, 4)
+        jaxpr = str(jax.make_jaxpr(lambda x, a, b: sm.bank_mix(x, a, b))(
+            x, a_w, b_w))
+        assert "remat" in jaxpr or "checkpoint" in jaxpr
+
+    def test_explicit_xla_gains_remat_past_oom_batch(self, monkeypatch):
+        monkeypatch.setattr(sm, "_routing_logged", set())
+        rng = np.random.default_rng(15)
+        x, a_w, b_w = _inputs(rng, sm._XLA_REMAT_BATCH, 8, 16, 4)
+        jaxpr = str(jax.make_jaxpr(lambda x, a, b: sm.bank_mix(
+            x, a, b, use_pallas=False))(x, a_w, b_w))
+        assert "remat" in jaxpr or "checkpoint" in jaxpr
+        small = _inputs(rng, 2, 8, 16, 4)
+        jaxpr2 = str(jax.make_jaxpr(lambda x, a, b: sm.bank_mix(
+            x, a, b, use_pallas=False))(*small))
+        assert "remat" not in jaxpr2 and "checkpoint" not in jaxpr2
+
+    def test_small_batch_auto_path_unchanged(self, monkeypatch):
+        # b <= _PALLAS_MAX_BATCH on TPU still takes the Pallas path
+        # (production B=12 graph unchanged by the router).
+        monkeypatch.setattr(sm, "_on_tpu", lambda: True)
+        rng = np.random.default_rng(16)
+        x, a_w, b_w = _inputs(rng, 2, 16, 40, 8)
+        jaxpr = str(jax.make_jaxpr(lambda x, a, b: sm.bank_mix(
+            x, a, b, interpret=True))(x, a_w, b_w))
+        assert "pallas_call" in jaxpr
+
+
 class TestBackwardParity:
     def test_grads_match_xla(self):
         rng = np.random.default_rng(4)
