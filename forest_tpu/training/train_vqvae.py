@@ -90,8 +90,17 @@ def build_vq_annealer(cfg: Dict[str, Any]):
         + int(cfg.get("anneal_vq_warmup", 1))}})
 
 
-def host_to_device_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
-    """Drop host-only keys; jnp-ify the rest."""
+def host_to_device_batch(batch: Dict[str, Any],
+                         wire: bool = False) -> Dict[str, Any]:
+    """Drop host-only keys; jnp-ify the rest. ``wire=True`` applies the
+    compact wire format (data/wire.py: bf16 floats + bit-packed masks,
+    ~2.6x fewer relay H2D bytes); the jitted steps decode it via
+    ``wire.decode_wire_batch`` (a no-op on plain batches)."""
+    if wire:
+        from forest_tpu.data.wire import encode_wire_batch
+
+        batch = encode_wire_batch({k: v for k, v in batch.items()
+                                   if k not in ("years", "yx")})
     out = {}
     for k, v in batch.items():
         if k in ("years", "yx"):

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from forest_tpu.data import wire
 from forest_tpu.losses.categorical import IGNORE_INDEX, categorical_loss
 from forest_tpu.losses.reconstruction import reconstruction_loss
 from forest_tpu.models.vqvae import VQVAE, VQVAEOutput
@@ -58,6 +59,7 @@ def make_optimizer(learning_rate: optax.Schedule | float,
 def init_train_state(model: VQVAE, optimizer: optax.GradientTransformation,
                      example_batch: Dict[str, Array],
                      rng: Array) -> VQVAETrainState:
+    example_batch = wire.decode_wire_batch(example_batch)
     params = model.init(rng, example_batch, use_pallas=False)["params"]
     return VQVAETrainState(
         params=params,
@@ -120,6 +122,8 @@ def make_train_step(model: VQVAE, optimizer: optax.GradientTransformation,
 
     def train_step(state: VQVAETrainState, batch: Dict[str, Array],
                    loss_weights: Dict[str, Array], rng: Array):
+        batch = wire.decode_wire_batch(batch)  # no-op on plain batches
+
         def loss_fn(params):
             out = model.apply({"params": params}, batch,
                               use_pallas=use_pallas)
@@ -177,6 +181,7 @@ def make_eval_step(model: VQVAE,
     cw = class_weights or {}
 
     def eval_step(params, batch, loss_weights):
+        batch = wire.decode_wire_batch(batch)  # no-op on plain batches
         out = model.apply({"params": params}, batch, use_pallas=use_pallas)
         _, metrics = vqvae_loss(out, batch, cw, loss_weights)
         if axis_name is not None:

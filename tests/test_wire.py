@@ -1,0 +1,142 @@
+"""Compact H2D wire format (data/wire.py): bf16 floats + bit-packed
+masks. The relay H2D link is the measured e2e training wall (~50 MB/s
+effective, no compute overlap -- CLAUDE.md TIMING PROTOCOL), so the
+scored pipeline runs on the compact wire; these tests pin that the wire
+is lossless where it must be (masks, ints) and bf16-tolerant where it
+may be (z-scored float features), and that every step path decodes it.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from forest_tpu.data import wire
+
+
+def _batch(rng, b=32, t=5, c=8):
+    cont = rng.normal(size=(b, t, c)).astype(np.float32)
+    return {
+        "cont": cont,
+        "cont_nan_mask": (rng.random((b, t, c)) > 0.1).astype(np.uint8),
+        "cat": rng.integers(0, 9, (b, t, 2)).astype(np.int32),
+        "cat_target": {
+            "cat_0": rng.integers(0, 9, (b, t)).astype(np.int32)},
+        "naip": rng.normal(size=(b, 3, 3, 3)).astype(np.float32),
+        "naip_nan_mask": (rng.random((b, 3, 3, 3)) > 0.2).astype(np.uint8),
+        "canopy": rng.normal(size=(b,)).astype(np.float32),
+    }
+
+
+class TestRoundTrip:
+    def test_masks_and_ints_exact(self, rng):
+        b = _batch(rng)
+        enc = wire.encode_wire_batch(b)
+        # masks travel bit-packed: 8x fewer bytes
+        assert enc["cont_nan_mask"].ndim == 2
+        assert enc["cont_nan_mask"].nbytes * 8 >= b["cont_nan_mask"].size
+        assert enc["cont_nan_mask"].nbytes <= b["cont_nan_mask"].nbytes // 6
+        dec = wire.decode_wire_batch(
+            {k: ({n: jnp.asarray(a) for n, a in v.items()}
+                 if isinstance(v, dict) else jnp.asarray(v))
+             for k, v in enc.items()})
+        np.testing.assert_array_equal(np.asarray(dec["cont_nan_mask"]),
+                                      b["cont_nan_mask"])
+        np.testing.assert_array_equal(np.asarray(dec["naip_nan_mask"]),
+                                      b["naip_nan_mask"])
+        np.testing.assert_array_equal(np.asarray(dec["cat"]), b["cat"])
+        np.testing.assert_array_equal(
+            np.asarray(dec["cat_target"]["cat_0"]),
+            b["cat_target"]["cat_0"])
+
+    def test_floats_bf16_tolerant(self, rng):
+        b = _batch(rng)
+        enc = wire.encode_wire_batch(b)
+        dec = wire.decode_wire_batch(
+            {k: jnp.asarray(v) for k, v in enc.items()
+             if not isinstance(v, dict)})
+        assert dec["cont"].dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(dec["cont"]), b["cont"],
+                                   rtol=8e-3, atol=8e-3)
+
+    def test_decode_is_identity_on_plain_batches(self, rng):
+        b = {k: ({n: jnp.asarray(a) for n, a in v.items()}
+                 if isinstance(v, dict) else jnp.asarray(v))
+             for k, v in _batch(rng).items()}
+        dec = wire.decode_wire_batch(b)
+        for k in ("cont", "cont_nan_mask", "cat", "naip", "canopy"):
+            np.testing.assert_array_equal(np.asarray(dec[k]),
+                                          np.asarray(b[k]))
+
+    def test_wire_bytes_shrink(self, rng):
+        b = _batch(rng, b=512)
+        plain = sum(np.asarray(v).nbytes for v in jax.tree.leaves(b))
+        enc = wire.encode_wire_batch(b)
+        packed = sum(np.asarray(v).nbytes for v in jax.tree.leaves(enc))
+        # ~1.9x fewer relay bytes (floats halve, masks shrink 8x; int id
+        # arrays are untouched and bound the ratio)
+        assert packed < plain * 0.55
+
+
+class TestStepParity:
+    @pytest.fixture(scope="class")
+    def pipeline(self, tmp_path_factory):
+        from forest_tpu.data.cube import build_synthetic_cube
+        from forest_tpu.data.samplers import ChunkBatchSampler
+        from forest_tpu.data.schema import build_and_save_schema
+        from forest_tpu.data.vqvae_dataset import VQVAEDataset
+        from forest_tpu.models.vqvae import VQVAE
+        from forest_tpu.training import vqvae_step
+
+        root = tmp_path_factory.mktemp("wire")
+        cube = build_synthetic_cube(root / "cube.zarr", height=64,
+                                    width=64, chunk_yx=32, patch_size=32,
+                                    seed=0)
+        sp = build_and_save_schema(cube, root / "run", 64, 10,
+                                   min_hits_per_epoch=1)
+        ds = VQVAEDataset(root / "cube.zarr", sp, split="train",
+                          block_size=(1, 1))
+        model = VQVAE(cont_dim=len(ds.cont_names),
+                      cat_vocab_sizes={n: ds.schema_cat[n]["num_ids"]
+                                       for n in ds.cat_names},
+                      naip_bands=ds.naip.shape[-1],
+                      num_timesteps=len(ds.ds["years"]),
+                      emb_dim=16, codebook_size=16, hidden=32,
+                      quantizer="ema")
+        opt = vqvae_step.make_optimizer(1e-3)
+        s = ChunkBatchSampler(ds.xy_by_chunk, 64, seed=0,
+                              replacement_within_chunk=True)
+        host = ds.load_batch(next(iter(s)))
+        return model, opt, host
+
+    def test_train_step_loss_matches_plain(self, pipeline):
+        """One train step on the SAME batch, plain vs compact wire: the
+        loss differs only by the bf16 input rounding."""
+        from forest_tpu.training import vqvae_step
+        from forest_tpu.training.train_vqvae import host_to_device_batch
+
+        model, opt, host = pipeline
+        w = {k: jnp.float32(1.0)
+             for k in ("cont", "cat", "canopy", "vq")}
+        losses = {}
+        for name, use_wire in (("plain", False), ("wire", True)):
+            batch = host_to_device_batch(dict(host), wire=use_wire)
+            state = vqvae_step.init_train_state(model, opt, batch,
+                                                jax.random.key(0))
+            step = jax.jit(vqvae_step.make_train_step(model, opt))
+            state, m = step(state, batch, w, jax.random.key(0))
+            losses[name] = float(m["loss/total"])
+        assert losses["wire"] == pytest.approx(losses["plain"], rel=2e-2)
+
+    def test_eval_step_decodes_wire(self, pipeline):
+        from forest_tpu.training import vqvae_step
+        from forest_tpu.training.train_vqvae import host_to_device_batch
+
+        model, opt, host = pipeline
+        w = {k: jnp.float32(1.0)
+             for k in ("cont", "cat", "canopy", "vq")}
+        batch = host_to_device_batch(dict(host), wire=True)
+        state = vqvae_step.init_train_state(model, opt, batch,
+                                            jax.random.key(0))
+        ev = jax.jit(vqvae_step.make_eval_step(model))
+        m = ev(state.params, batch, w)
+        assert np.isfinite(float(m["loss/total"]))
