@@ -174,6 +174,75 @@ class TestVerbatimTestYaml:
                         validate_only=True) is None
 
 
+class TestFeedsTrainingStack:
+    def test_v2_cube_feeds_forest_dataset(self, built_test_cube):
+        """A cube built from the VERBATIM reference YAML is consumable by
+        the FRL data stack: bindings resolve its hierarchical arrays,
+        ForestDatasetV2 patches it, and a whitened feature builds."""
+        from forest_tpu.data.bindings import parse_bindings
+        from forest_tpu.data.feature_builder import FeatureBuilder
+        from forest_tpu.data.frl_dataset import ForestDatasetV2
+
+        _cfg, rd, _root, zp = built_test_cube
+        b = parse_bindings({
+            "version": "1.0", "name": "va_test",
+            "zarr": {"path": str(zp), "structure": "hierarchical"},
+            "time_window": {"start": 2010, "end": 2024},
+            "stats": {"compute": "if-not-exists",
+                      "file": str(rd / "stats.json"),
+                      "stats": ["mean", "sd", "q25", "q50", "q75"],
+                      "samples": {"n": 4, "reservoir_size": 10_000},
+                      "mask": ["static_mask.aoi"]},
+            "dataset": {
+                "static_mask": {"type": "uint8", "dim": ["C", "H", "W"],
+                                "channels": [
+                                    {"name": "aoi", "source": "aoi"},
+                                    {"name": "dem_mask", "source":
+                                     "static/soils_masks/mask/dem_mask"}]},
+                "static": {"type": "float32", "dim": ["C", "H", "W"],
+                           "channels": [
+                               {"name": "elevation", "source":
+                                "static/topo/data/elevation"},
+                               {"name": "slope", "source":
+                                "static/topo/data/slope_deg"}]},
+                "static_categorical": {
+                    "type": "int16", "dim": ["C", "H", "W"],
+                    "channels": [{"name": "evt",
+                                  "source": "static/evt/data/evt",
+                                  "fill_value": -1}]},
+                "annual": {"type": "float32", "dim": ["C", "T", "H", "W"],
+                           "channels": [
+                               {"name": "ndvi", "source":
+                                "annual/ccdc_annual/data/ndvi"},
+                               {"name": "nbr", "source":
+                                "annual/ccdc_annual/data/nbr"}]},
+            },
+            "features": {
+                "type_encoder_input": {
+                    "dim": ["C", "H", "W"],
+                    "channels": {
+                        "static.elevation": {"norm": "zscore"},
+                        "static.slope": {"norm": "zscore"}}},
+            },
+        })
+        ds = ForestDatasetV2(b, split=None, patch_size=32)
+        assert len(ds) >= 4  # 64x64 grid -> 2x2 patches minimum
+        p = ds.get_patch(0)
+        assert p["static"].shape == (32, 32, 2)
+        assert p["annual"].shape == (15, 32, 32, 2)
+        evt = np.asarray(p["static_categorical"][..., 0])
+        assert set(np.unique(evt[evt > 0])) <= set(range(7000, 10000))
+        fb = FeatureBuilder(b)
+        batch = {k: np.asarray(v)[None] for k, v in p.items()
+                 if isinstance(v, np.ndarray)}
+        import jax.numpy as jnp
+        x, m = fb.build_feature("type_encoder_input",
+                                {k: jnp.asarray(v)
+                                 for k, v in batch.items()})
+        assert x.shape == (1, 32, 32, 2)
+        assert bool(jnp.isfinite(jnp.where(m, x, 0.0)).all())
+
+
 class TestEvtOnlyAppendLadder:
     def test_fresh_then_append(self, tmp_path):
         cfg = bz.load_config(EVT_YAML)
