@@ -268,6 +268,30 @@ class TestEvtOnlyAppendLadder:
         assert st["num_classes"] >= 5
 
 
+class TestOtherReferenceYamls:
+    def test_static_only_yaml_builds(self, tmp_path):
+        """va_vae_dataset_static_only.yaml has NO time block at all --
+        the has_temporal=False path (67 static bands, full-VA bounds)."""
+        cfg = bz.load_config(REF / "va_vae_dataset_static_only.yaml")
+        bz.synthesize_sources(cfg, tmp_path, scale=128, seed=0)
+        root = bz.build(cfg, path_root=tmp_path, scale=128)
+        built = [p for p, _ in _walk_arrays(root)
+                 if p not in ("aoi", "strata")]
+        specs = bz.parse_group_specs(cfg)
+        assert len(built) == sum(len(s.bands) for s in specs) == 67
+        assert all(p.startswith("static/") for p in built)
+        assert "time_coords" not in root.attrs
+
+    def test_full_yaml_validates(self, tmp_path):
+        """The production va_vae_dataset_full.yaml parses + validates
+        end-to-end against synthesized sources (the build itself is
+        covered by the structurally-identical test-subset YAML)."""
+        cfg = bz.load_config(REF / "va_vae_dataset_full.yaml")
+        bz.synthesize_sources(cfg, tmp_path, scale=256, seed=0)
+        assert bz.build(cfg, path_root=tmp_path, scale=256,
+                        validate_only=True) is None
+
+
 class TestValidation:
     @pytest.fixture()
     def mini_cfg(self, tmp_path):
