@@ -246,8 +246,12 @@ def bench_pipeline(tmpdir: str):
     # Compact wire format (data/wire.py): bf16 floats + bit-packed masks.
     # The relay H2D link (~50 MB/s effective, no compute overlap) is the
     # e2e wall; shrinking wire bytes is the only lever.
+    # FOREST_TPU_BENCH_WIRE=0 reverts to the f32 wire for A/B runs.
+    import os as _os
+
+    wire = _os.environ.get("FOREST_TPU_BENCH_WIRE", "1") != "0"
     first = host_to_device_batch(ds.load_batch(next(iter(make_sampler(0)))),
-                                 wire=True)
+                                 wire=wire)
     state = vqvae_step.init_train_state(model, opt, first, jax.random.key(0))
     step = jax.jit(vqvae_step.make_train_step(model, opt), donate_argnums=0)
     w = {k: jnp.float32(1.0) for k in ("cont", "cat", "canopy", "vq")}
@@ -284,7 +288,7 @@ def bench_pipeline(tmpdir: str):
     # Fetch-anchored paired windows: block_until_ready lies through the
     # relay (TIMING PROTOCOL above), so each window closes on a loss fetch
     # and the window difference cancels the fetch round trip.
-    fixed = host_to_device_batch(ds.load_batch(idxs[0]), wire=True)
+    fixed = host_to_device_batch(ds.load_batch(idxs[0]), wire=wire)
     for i in range(3):
         state, m = step(state, dict(fixed), w, jax.random.key(i))
     float(m["loss/total"])
@@ -313,13 +317,13 @@ def bench_pipeline(tmpdir: str):
     it = iter(loader)
     warm, measure, window_s = 12, 120, 25.0
     for i in range(warm):  # let workers spin up + caches warm
-        state, m = step(state, host_to_device_batch(next(it), wire=True), w,
+        state, m = step(state, host_to_device_batch(next(it), wire=wire), w,
                         jax.random.key(i))
     float(m["loss/total"])
     n_steps = 0
     t0 = time.perf_counter()
     while n_steps < measure or time.perf_counter() - t0 < window_s:
-        state, m = step(state, host_to_device_batch(next(it), wire=True), w,
+        state, m = step(state, host_to_device_batch(next(it), wire=wire), w,
                         jax.random.key(n_steps))
         n_steps += 1
         if n_steps % 24 == 0:

@@ -959,7 +959,12 @@ def synthesize_sources(cfg: dict, path_root: str | Path,
     small class-code alphabet, masks are Bernoulli, and sources whose
     group declares a ``fill_value`` get that sentinel sprinkled in.
     Sources whose path mentions CONUS are synthesized on a LARGER extent
-    so the builder's clip path is exercised. Returns the files written."""
+    so the builder's clip path is exercised. All sources share one
+    latent TYPE FIELD (smooth seeded blobs): continuous bands are
+    per-type base values + noise and categorical bands are per-type
+    codes, so cubes built from the synthesized tree carry the cross-band
+    spatial correlations contrastive training needs (the
+    build_synthetic_v2_cube recipe). Returns the files written."""
     resolver = PathResolver(path_root)
     spatial = parse_spatial_config(cfg)
     if scale != 1:
@@ -1020,29 +1025,44 @@ def synthesize_sources(cfg: dict, path_root: str | Path,
 
     h, w = spatial.shape
     gx0, gdx, gy0, gdy = spatial.grid_transform
+    # One latent type field over the padded union grid: smooth seeded
+    # blobs (8x kron upsample of coarse noise), sliced per-file window.
+    max_pad = 8
+    hu, wu = h + 2 * max_pad, w + 2 * max_pad
+    rng0 = np.random.default_rng((seed, 0))
+    n_types = 12
+    coarse = rng0.normal(size=(n_types, hu // 8 + 2, wu // 8 + 2))
+    up = np.kron(coarse, np.ones((1, 8, 8)))[:, :hu, :wu]
+    type_map_u = up.argmax(0)                       # [hu, wu]
+    codes = np.asarray([7008, 7009, 7010, 7011, 7046, 7061,
+                        7062, 7064, 9014, 9015, 9016, 9017])
+
     written: List[Path] = []
     for fp, p in sorted(plans.items()):
         fp.parent.mkdir(parents=True, exist_ok=True)
         rng = np.random.default_rng(
             (seed, hash(str(fp)) & 0x7FFFFFFF))
         big = "CONUS" in str(fp)
-        pad = 8 if big else 0
+        pad = max_pad if big else 0
         hh, ww = h + 2 * pad, w + 2 * pad
         tf = (gx0 - pad * gdx, gdx, gy0 - pad * gdy, gdy)
+        o = max_pad - pad
+        tmap = type_map_u[o:o + hh, o:o + ww]
         n = max(1, int(p["bands"]))
         if p["semantic"] == "categorical":
-            codes = np.asarray([7008, 7009, 7010, 7011, 7046, 7061,
-                                7062, 7064, 9014, 9015, 9016, 9017])
-            bands = codes[rng.integers(0, len(codes), (n, hh, ww))] \
-                .astype(np.int32)
+            bands = np.broadcast_to(codes[tmap], (n, hh, ww)) \
+                .astype(np.int32).copy()
             nodata = -32768.0
             bands[:, :2, :2] = -32768
         elif p["semantic"] == "mask":
             bands = (rng.random((n, hh, ww)) > 0.35).astype(np.uint8)
             nodata = None
         else:
-            base = rng.normal(0.0, 1.0, (n, 1, 1)).astype(np.float32)
-            bands = (base + rng.normal(0, 0.5, (n, hh, ww))
+            # per-(band, type) base value + pixel noise: spatially
+            # structured, cross-band correlated through the type field
+            base = rng.normal(0.0, 1.0, (n, n_types)).astype(np.float32)
+            bands = (base[:, tmap]
+                     + rng.normal(0, 0.3, (n, hh, ww))
                      ).astype(np.float32)
             nodata = p["sentinel"]
             if nodata is not None:

@@ -243,6 +243,31 @@ class TestFeedsTrainingStack:
         assert bool(jnp.isfinite(jnp.where(m, x, 0.0)).all())
 
 
+class TestDemoScript:
+    def test_reference_cube_demo_smoke(self, tmp_path, monkeypatch):
+        """scripts/demo_reference_cube.py end-to-end on CPU: verbatim
+        cube YAML -> v2 builder -> bindings -> one FRL training epoch ->
+        markdown report."""
+        import subprocess
+        import sys
+
+        script = Path(__file__).parents[1] / "scripts" \
+            / "demo_reference_cube.py"
+        env = dict(**__import__("os").environ,
+                   FOREST_TPU_BENCH_PLATFORM="cpu")
+        p = subprocess.run(
+            [sys.executable, str(script), "--root", str(tmp_path),
+             "--scale", "64", "--epochs", "1", "--patch", "32",
+             "--batch", "2", "--report", str(tmp_path / "report.md")],
+            capture_output=True, text=True, timeout=540, env=env)
+        assert p.returncode == 0, p.stderr[-2000:]
+        report = (tmp_path / "report.md").read_text()
+        assert "va_vae_dataset_test.yaml" in report
+        assert "| 0 |" in report  # epoch table row
+        res = json.loads((tmp_path / "result.json").read_text())
+        assert np.isfinite(res["loss_last"])
+
+
 class TestEvtOnlyAppendLadder:
     def test_fresh_then_append(self, tmp_path):
         cfg = bz.load_config(EVT_YAML)
