@@ -222,6 +222,11 @@ def main(argv=None):
         f"- FRL training: {a.epochs} epochs, B={a.batch}, "
         f"patch {a.patch}, {t_train:.1f}s wall",
         "",
+        "",
+        "Early epochs ramp the loss-weight/gate curricula (min_gate "
+        "anneals open, tau is learned), so the total typically RISES "
+        "through the ramp before descending -- compare post-ramp epochs.",
+        "",
         "| epoch | train loss | val loss |",
         "|---|---|---|",
     ]
