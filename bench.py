@@ -125,9 +125,17 @@ def _measure_quantize_kernel(use_pallas: bool) -> float:
 
     def body(x, cb):
         idx, q, counts, sums = vq.vq_core(x, cb, use_pallas=use_pallas)
-        return cb + 1e-12 * (jnp.sum(idx).astype(jnp.float32)
-                             + jnp.sum(counts) + q[0, 0]
-                             + sums[0, 0])
+        # The carry consumes EVERY output non-trivially so XLA cannot
+        # DCE any part of the contract the (opaque) Pallas kernel must
+        # compute anyway: an EMA-style fold uses counts+sums in full,
+        # and the commitment dot sum(q*x) uses the quantized vectors
+        # through a nonlinear-in-idx reduction (r4 fix: the old carry
+        # consumed only [0,0] slices, letting XLA skip ~half the FLOPs
+        # and unfairly flattering the XLA number).
+        ema = sums / jnp.maximum(counts, 1.0)[:, None]
+        return (0.999 * cb + 0.001 * ema
+                + 1e-12 * (jnp.sum(idx).astype(jnp.float32)
+                           + jnp.sum(q * x)))
 
     @jax.jit
     def run(x, cb):
@@ -175,7 +183,8 @@ def bench_torch_cpu_quantize():
 
     def f(cb):
         # The identical full fused-quantize contract the TPU bench runs:
-        # distances, argmin, one-hot gather, EMA counts + sums.
+        # distances, argmin, one-hot gather, EMA counts + sums, with the
+        # SAME carry math (EMA fold + commitment dot) as the TPU body.
         d = (x * x).sum(1, keepdim=True) - 2.0 * x @ cb.T \
             + (cb * cb).sum(1)[None, :]
         idx = d.argmin(1)
@@ -183,10 +192,9 @@ def bench_torch_cpu_quantize():
         q = oh @ cb
         counts = oh.sum(0)
         sums = oh.T @ x
-        # Same chained-carry shape as the TPU bench (torch is synchronous so
-        # this is symmetry, not necessity).
-        return cb + 1e-12 * (idx.sum().float() + counts.sum()
-                             + q[0, 0] + sums[0, 0])
+        ema = sums / counts.clamp(min=1.0)[:, None]
+        return (0.999 * cb + 0.001 * ema
+                + 1e-12 * (idx.sum().float() + (q * x).sum()))
 
     for _ in range(2):
         cb = f(cb)

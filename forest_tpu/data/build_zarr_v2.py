@@ -942,6 +942,7 @@ def build(cfg: dict, out: Optional[str | Path] = None,
     if stats_cfg.get("export_csv", True):
         export_statistics_csv(all_stats,
                               out_path.with_suffix(".stats.csv"))
+    zl.consolidate_metadata(out_path)  # build_zarr.py:2287 parity
     log.info("built %s (%d variables)", out_path, counter)
     return root
 

@@ -485,6 +485,25 @@ def create_array(path: str | Path, shape, chunks, dtype, fill_value=0,
     return ZarrArray(p)
 
 
+def consolidate_metadata(path: str | Path) -> Path:
+    """Write zarr v2 consolidated metadata (``.zmetadata``): every
+    ``.zgroup`` / ``.zarray`` / ``.zattrs`` in the hierarchy collected
+    into one JSON document, so external zarr readers open the store with
+    a single metadata read (the reference's ``zarr.consolidate_metadata``
+    after every build -- build_zarr.py:1646, 2287)."""
+    root = Path(path)
+    meta: Dict[str, Any] = {}
+    for p in sorted(root.rglob("*")):
+        if p.name not in (".zgroup", ".zarray", ".zattrs"):
+            continue
+        rel = p.relative_to(root).as_posix()
+        meta[rel] = json.loads(p.read_text() or "{}")
+    doc = {"zarr_consolidated_format": 1, "metadata": meta}
+    out = root / ".zmetadata"
+    out.write_text(json.dumps(doc, indent=0, sort_keys=True))
+    return out
+
+
 def open_zarr(path: str | Path) -> ZarrGroup | ZarrArray:
     p = Path(path)
     if (p / ".zarray").exists():
@@ -495,5 +514,5 @@ def open_zarr(path: str | Path) -> ZarrGroup | ZarrArray:
 
 
 __all__ = ["ZarrArray", "ZarrGroup", "open_zarr", "create_group",
-           "create_array", "blosc_compress", "blosc_decompress",
-           "DEFAULT_COMPRESSOR"]
+           "create_array", "consolidate_metadata", "blosc_compress",
+           "blosc_decompress", "DEFAULT_COMPRESSOR"]

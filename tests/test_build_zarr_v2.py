@@ -159,6 +159,21 @@ class TestVerbatimTestYaml:
         assert src.data.shape[0] > 64  # padded extent
         assert root["static"]["evt"]["data"]["evt"].shape == (64, 64)
 
+    def test_consolidated_metadata(self, built_test_cube):
+        """zarr.consolidate_metadata parity (build_zarr.py:2287): one
+        .zmetadata document external readers can open in a single read."""
+        _cfg, _rd, _root, zp = built_test_cube
+        doc = json.loads((zp / ".zmetadata").read_text())
+        assert doc["zarr_consolidated_format"] == 1
+        m = doc["metadata"]
+        assert "static/evt/data/evt/.zarray" in m
+        assert "annual/ccdc_annual/data/ndvi/.zattrs" in m
+        assert m["annual/ccdc_annual/data/ndvi/.zarray"]["chunks"] \
+            == [1, 256, 256]
+        # every built variable has its array metadata consolidated
+        n_arrays = sum(1 for k in m if k.endswith("/.zarray"))
+        assert n_arrays == 117 + 2  # variables + aoi + strata
+
     def test_sidecars(self, built_test_cube):
         _cfg, _rd, _root, zp = built_test_cube
         sj = json.loads(zp.with_suffix(".stats.json").read_text())
