@@ -124,36 +124,44 @@ def _measure_quantize_kernel(use_pallas: bool) -> float:
     cb0 = jnp.asarray(r.normal(size=(K, D)).astype(np.float32))
 
     def body(x, cb):
-        idx, q, counts, sums = vq.vq_core(x, cb, use_pallas=use_pallas)
         # The carry consumes EVERY output non-trivially so XLA cannot
         # DCE any part of the contract the (opaque) Pallas kernel must
         # compute anyway: an EMA-style fold uses counts+sums in full,
-        # and the commitment dot sum(q*x) uses the quantized vectors
-        # through a nonlinear-in-idx reduction (r4 fix: the old carry
-        # consumed only [0,0] slices, letting XLA skip ~half the FLOPs
-        # and unfairly flattering the XLA number).
+        # and the commitment dot qx = sum(q*x) uses the quantized
+        # vectors through a nonlinear-in-idx reduction (r4 fix: the old
+        # carry consumed only [0,0] slices, letting XLA skip ~half the
+        # FLOPs and unfairly flattering the XLA number). with_qx fuses
+        # the dot where each backend naturally computes it: inside the
+        # Pallas kernel's VMEM tiles, inside XLA's consumer fusion.
+        idx, q, counts, sums, qx = vq.vq_core(x, cb,
+                                              use_pallas=use_pallas,
+                                              with_qx=True)
         ema = sums / jnp.maximum(counts, 1.0)[:, None]
-        return (0.999 * cb + 0.001 * ema
-                + 1e-12 * (jnp.sum(idx).astype(jnp.float32)
-                           + jnp.sum(q * x)))
+        cb2 = (0.999 * cb + 0.001 * ema
+               + 1e-12 * (jnp.sum(idx).astype(jnp.float32) + qx))
+        return cb2, q
 
     @jax.jit
-    def run(x, cb):
-        return jax.lax.fori_loop(0, CHAIN_ITERS,
-                                 lambda i, cb: body(x, cb), cb)
+    def run(x, cb, q):
+        # q rides the loop carry so BOTH backends materialize the
+        # quantized vectors to HBM every call -- the training step's
+        # decoder reads q, and the Pallas kernel writes it by contract.
+        return jax.lax.fori_loop(
+            0, CHAIN_ITERS, lambda i, c: body(x, c[0]), (cb, q))
 
     t0 = time.perf_counter()
-    out = run(x, cb0)
-    float(jnp.sum(out))
+    out = run(x, cb0, jnp.zeros_like(x))
+    float(jnp.sum(out[0]) + out[1][0, 0])
     log(f"[bench] compile+first {time.perf_counter() - t0:.1f}s")
-    out = run(x, out)
-    float(jnp.sum(out))  # warm steady-state dispatch path
+    out = run(x, *out)
+    float(jnp.sum(out[0]) + out[1][0, 0])  # warm steady-state path
 
     def window(reps, out):
         t0 = time.perf_counter()
         for _ in range(reps):
-            out = run(x, out)
-        float(jnp.sum(out))  # close the window on real completion
+            out = run(x, *out)
+        # close the window on real completion of BOTH carries
+        float(jnp.sum(out[0]) + out[1][0, 0])
         return time.perf_counter() - t0, out
 
     t_small, out = window(WINDOW_REPS[0], out)

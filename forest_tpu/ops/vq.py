@@ -70,7 +70,7 @@ def _sanitize_dist(d: Array) -> Array:
     return jnp.where(jnp.isnan(d), jnp.float32(jnp.inf), d)
 
 
-def _vq_core_xla(x: Array, codebook: Array) -> Tuple[Array, Array, Array, Array]:
+def _vq_core_xla(x: Array, codebook: Array, with_qx: bool = False):
     d = _sanitize_dist(vq_distances_xla(x, codebook))
     idx = jnp.argmin(d, axis=-1).astype(jnp.int32)  # lowest-index tie-break
     onehot = jax.nn.one_hot(idx, codebook.shape[0], dtype=jnp.float32)
@@ -79,6 +79,8 @@ def _vq_core_xla(x: Array, codebook: Array) -> Tuple[Array, Array, Array, Array]
     counts = jnp.sum(onehot, axis=0)
     sums = jnp.dot(onehot.T, x.astype(jnp.float32),
                    preferred_element_type=jnp.float32)
+    if with_qx:
+        return idx, q, counts, sums, jnp.sum(q * x.astype(jnp.float32))
     return idx, q, counts, sums
 
 
@@ -88,7 +90,7 @@ def _vq_core_xla(x: Array, codebook: Array) -> Tuple[Array, Array, Array, Array]
 
 
 def _vq_kernel(x_ref, c_ref, c2_ref, idx_ref, q_ref, counts_ref, sums_ref,
-               *, n_actual: int, tile_n: int):
+               *qx_ref, n_actual: int, tile_n: int):
     """One grid step: a (TILE_N, D) tile of x against the full (K, D) codebook.
 
     Outputs per tile: indices (int32), quantized vectors; accumulates EMA
@@ -96,6 +98,12 @@ def _vq_kernel(x_ref, c_ref, c2_ref, idx_ref, q_ref, counts_ref, sums_ref,
     TPU grids execute sequentially per core, so read-modify-write on the
     accumulator outputs is race-free. Rows past ``n_actual`` (padding) are
     masked out of the statistics.
+
+    With a 5th output ref, the commitment dot sum(q*x) is fused in-VMEM
+    while the q tile is still in registers -- the consumer-side XLA
+    fusion the pallas_call boundary otherwise blocks (a bare outside
+    sum(q*x) re-reads 2 N*D arrays from HBM). x's zero padding already
+    nulls padded rows' contribution.
     """
     i = pl.program_id(0)
 
@@ -124,9 +132,10 @@ def _vq_kernel(x_ref, c_ref, c2_ref, idx_ref, q_ref, counts_ref, sums_ref,
 
     # One-hot through the MXU: gather q and the EMA statistics in-tile.
     onehot = (col == idx[:, None]).astype(jnp.float32)  # [T, K]
-    q_ref[...] = jax.lax.dot_general(
+    q_tile = jax.lax.dot_general(
         onehot, c, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
+    q_ref[...] = q_tile
 
     # Mask padded rows (beyond n_actual) out of the sufficient statistics.
     row = jax.lax.broadcasted_iota(jnp.int32, (dist.shape[0], 1), dimension=0)
@@ -137,19 +146,26 @@ def _vq_kernel(x_ref, c_ref, c2_ref, idx_ref, q_ref, counts_ref, sums_ref,
         onehot_v, x, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)  # [K, D]
 
+    tile_qx = (jnp.sum(q_tile * x) if qx_ref else None)
+
     @pl.when(i == 0)
     def _():
         counts_ref[...] = tile_counts
         sums_ref[...] = tile_sums
+        if qx_ref:
+            qx_ref[0][...] = jnp.full(qx_ref[0].shape, tile_qx,
+                                      jnp.float32)
 
     @pl.when(i > 0)
     def _():
         counts_ref[...] = counts_ref[...] + tile_counts
         sums_ref[...] = sums_ref[...] + tile_sums
+        if qx_ref:
+            qx_ref[0][...] = qx_ref[0][...] + tile_qx
 
 
 def _vq_core_pallas(x: Array, codebook: Array, *, tile_n: int = 1024,
-                    interpret: bool = False) -> Tuple[Array, Array, Array, Array]:
+                    interpret: bool = False, with_qx: bool = False):
     n, d = x.shape
     k = codebook.shape[0]
     dp = _round_up(d, _LANE)
@@ -165,7 +181,25 @@ def _vq_core_pallas(x: Array, codebook: Array, *, tile_n: int = 1024,
     c2 = jnp.where(jnp.arange(kp) < k, c2, jnp.float32(jnp.inf))[None, :]
 
     grid = (npad // tile_n,)
-    idx, q, counts, sums = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((tile_n, 1), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_n, dp), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((kp, dp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((npad, 1), jnp.int32),
+        jax.ShapeDtypeStruct((npad, dp), jnp.float32),
+        jax.ShapeDtypeStruct((1, kp), jnp.float32),
+        jax.ShapeDtypeStruct((kp, dp), jnp.float32),
+    ]
+    if with_qx:
+        out_specs.append(pl.BlockSpec((1, _LANE), lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((1, _LANE), jnp.float32))
+    outs = pl.pallas_call(
         functools.partial(_vq_kernel, n_actual=n, tile_n=tile_n),
         grid=grid,
         in_specs=[
@@ -174,20 +208,8 @@ def _vq_core_pallas(x: Array, codebook: Array, *, tile_n: int = 1024,
             pl.BlockSpec((kp, dp), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((tile_n, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, dp), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((kp, dp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((npad, 1), jnp.int32),
-            jax.ShapeDtypeStruct((npad, dp), jnp.float32),
-            jax.ShapeDtypeStruct((1, kp), jnp.float32),
-            jax.ShapeDtypeStruct((kp, dp), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=4 * npad * kp * dp,
             bytes_accessed=4 * (npad * dp * 2 + kp * dp * 2 + npad * kp // 64),
@@ -196,7 +218,11 @@ def _vq_core_pallas(x: Array, codebook: Array, *, tile_n: int = 1024,
         interpret=interpret,
     )(xf, cf, c2)
 
-    return (idx[:n, 0], q[:n, :d], counts[0, :k], sums[:k, :d])
+    idx, q, counts, sums = outs[:4]
+    base = (idx[:n, 0], q[:n, :d], counts[0, :k], sums[:k, :d])
+    if with_qx:
+        return (*base, outs[4][0, 0])
+    return base
 
 
 def _vq_assign_kernel(x_ref, c_ref, c2_ref, idx_ref, *, mxu_bf16: bool):
@@ -274,17 +300,22 @@ def _vq_assign_pallas(x: Array, codebook: Array, *, tile_n: int = 2048,
 
 
 def vq_core(x: Array, codebook: Array, *, use_pallas: Optional[bool] = None,
-            interpret: bool = False) -> Tuple[Array, Array, Array, Array]:
+            interpret: bool = False, with_qx: bool = False):
     """Fused assignment pass: (indices [N], quantized [N,D], counts [K], sums [K,D]).
 
     Non-differentiable (inputs are stop-gradiented by callers as needed).
     ``use_pallas=None`` auto-selects the Pallas kernel on TPU backends.
+    ``with_qx=True`` appends the commitment dot ``sum(q * x)`` as a 5th
+    return, fused INSIDE the Pallas kernel while the q tile is still in
+    VMEM (an outside sum(q*x) costs a 2*N*D HBM re-read that XLA's
+    consumer fusion avoids on its own path -- this restores the symmetry).
     """
     if use_pallas is None:
         use_pallas = _on_tpu()
     if use_pallas or interpret:
-        return _vq_core_pallas(x, codebook, interpret=interpret)
-    return _vq_core_xla(x, codebook)
+        return _vq_core_pallas(x, codebook, interpret=interpret,
+                               with_qx=with_qx)
+    return _vq_core_xla(x, codebook, with_qx=with_qx)
 
 
 def vq_assign(x: Array, codebook: Array, *, use_pallas: Optional[bool] = None,

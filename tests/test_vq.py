@@ -80,6 +80,34 @@ class TestAssignment:
         assert float(cp.sum()) == 77
 
 
+class TestFusedCommitmentDot:
+    def test_with_qx_matches_outside_dot(self):
+        """vq_core(with_qx=True) appends sum(q*x), computed in-kernel on
+        the Pallas path (VMEM, no HBM re-read of q+x) and by consumer
+        fusion on XLA; both must equal the explicit outside dot, and the
+        first four outputs must be unchanged."""
+        x, cb = _rand(n=1000, d=40, k=33)
+        base = vq.vq_core(x, cb, use_pallas=False)
+        for kw in ({"use_pallas": False}, {"interpret": True}):
+            out = vq.vq_core(x, cb, with_qx=True, **kw)
+            assert len(out) == 5
+            idx, q, counts, sums, qx = out
+            np.testing.assert_array_equal(np.asarray(idx),
+                                          np.asarray(base[0]))
+            np.testing.assert_allclose(np.asarray(q),
+                                       np.asarray(base[1]), atol=1e-5)
+            np.testing.assert_allclose(
+                float(qx), float(jnp.sum(base[1] * x)), rtol=1e-5)
+
+    def test_with_qx_padding_masked(self):
+        """Rows past n (tile padding) must not leak into qx -- pinned by
+        a size that forces padding on the Pallas tile grid."""
+        x, cb = _rand(n=700, d=24, k=17, seed=3)
+        _, q, _, _, qx = vq.vq_core(x, cb, interpret=True, with_qx=True)
+        np.testing.assert_allclose(float(qx), float(jnp.sum(q * x)),
+                                   rtol=1e-5)
+
+
 class TestGradients:
     def test_ste_passes_gradient_to_encoder(self):
         x, cb = _rand()
