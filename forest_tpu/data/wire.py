@@ -36,17 +36,27 @@ def _pack_mask(mask: np.ndarray) -> np.ndarray:
     return np.packbits(np.asarray(mask, np.uint8).reshape(b, -1), axis=1)
 
 
-def encode_wire_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
-    """Host-side: shrink a loader batch for the relay H2D link."""
+def encode_wire_batch(batch: Dict[str, Any],
+                      skip: tuple = ()) -> Dict[str, Any]:
+    """Host-side: shrink a loader batch for the relay H2D link.
+
+    ``skip`` keys keep their dtype. Keys containing "categorical" are
+    ALWAYS skipped: FRL groups carry class codes (e.g. EVT 7000+) in
+    float arrays, and bf16's 8-bit mantissa cannot represent integers
+    past 256 exactly -- a rounded code would silently break the step's
+    value-equality comparisons. 0/1 masks and small integer-valued
+    floats (ysfc years <= 256) are bf16-exact."""
     import ml_dtypes
 
     out: Dict[str, Any] = {}
     for k, v in batch.items():
         if isinstance(v, dict):
-            out[k] = encode_wire_batch(v)
+            out[k] = encode_wire_batch(v, skip)
             continue
         a = np.asarray(v)
-        if k.endswith(_MASK_SUFFIX) and a.dtype == np.uint8 \
+        if k in skip or "categorical" in k:
+            out[k] = a
+        elif k.endswith(_MASK_SUFFIX) and a.dtype == np.uint8 \
                 and a.ndim >= 2:
             out[k] = _pack_mask(a)
         elif a.dtype in (np.float32, np.float64):

@@ -16,7 +16,18 @@ import numpy as np
 from forest_tpu.data.loader import PrefetchLoader
 
 
-def _to_device_batch(batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
+def _to_device_batch(batch: Dict[str, np.ndarray],
+                     wire_compact: bool = False) -> Dict[str, Any]:
+    if wire_compact:
+        # Compact H2D wire (data/wire.py): floats travel bf16 (the FRL
+        # production batch is ~63 MB f32 at B=12 256^2 -- H2D is byte-
+        # proportional, CLAUDE.md TIMING PROTOCOL); categorical-coded
+        # float groups keep f32 (EVT codes are not bf16-exact). The
+        # jitted steps decode (decode_wire_batch, identity on plain
+        # batches).
+        from forest_tpu.data.wire import encode_wire_batch
+
+        batch = encode_wire_batch(batch)
     return {k: jnp.asarray(v) for k, v in batch.items()}
 
 
@@ -26,7 +37,7 @@ def run_epoch(dataset, step_fn: Callable, state_or_params, *,
               train: bool, num_workers: int = 4,
               max_batches: Optional[int] = None,
               scheduler_step: Optional[Callable] = None,
-              mesh=None):
+              mesh=None, wire_compact: Optional[bool] = None):
     """Returns (state_or_params, mean-metrics dict incl. timing).
 
     With ``mesh`` set the step is a shard_map DP step (dp.make_dp_frl_*):
@@ -42,6 +53,11 @@ def run_epoch(dataset, step_fn: Callable, state_or_params, *,
     replica weight, so a repeat-filled tail batch whose padding lands on
     some replicas weighs those replicas' (zero) gradients equally -- a
     deliberate divergence from one-device semantics on tail batches."""
+    # Compact H2D wire: auto-on for TPU backends (None), explicit
+    # override otherwise. Multi-process global assembly keeps the plain
+    # wire (arrays cross process boundaries before the device).
+    wire = (jax.default_backend() == "tpu") if wire_compact is None \
+        else bool(wire_compact)
     dataset.on_epoch_start()
     n = len(dataset)
     idx_batches = [list(range(i, min(i + batch_size, n)))
@@ -94,7 +110,7 @@ def run_epoch(dataset, step_fn: Callable, state_or_params, *,
             db["__sample_valid__"] = mask[lo:lo + local_bs]
             db = hosts.global_batch_from_local(db, mesh)
         else:
-            db = _to_device_batch(batch)
+            db = _to_device_batch(batch, wire_compact=wire)
             db["__sample_valid__"] = jnp.asarray(mask)
             if mesh is not None:
                 db = shard_batch_pytree(db, mesh)

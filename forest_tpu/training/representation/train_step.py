@@ -13,6 +13,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from forest_tpu.data import wire
+
 Array = jax.Array
 
 # Per-replica COUNT metrics: psum'd across the data mesh so multi-chip
@@ -61,6 +63,8 @@ def make_train_step(process_batch: Callable, optimizer,
     anchors over the REPLICA-local batch (the reference's per-GPU batch
     semantics scaled by adding replicas)."""
     def train_step(state: FRLTrainState, batch, rng, weights, curriculum):
+        batch = wire.decode_wire_batch(batch)  # no-op on plain batches
+
         def loss_fn(params):
             return process_batch(params, batch, rng, weights, curriculum,
                                  True)
@@ -95,6 +99,7 @@ def make_train_step(process_batch: Callable, optimizer,
 def make_eval_step(process_batch: Callable,
                    axis_name: str | None = None) -> Callable:
     def eval_step(params, batch, rng, weights, curriculum):
+        batch = wire.decode_wire_batch(batch)  # no-op on plain batches
         _, metrics = process_batch(params, batch, rng, weights, curriculum,
                                    False)
         if axis_name is not None:

@@ -140,3 +140,51 @@ class TestStepParity:
         ev = jax.jit(vqvae_step.make_eval_step(model))
         m = ev(state.params, batch, w)
         assert np.isfinite(float(m["loss/total"]))
+
+
+class TestFrlLoopWire:
+    """run_epoch's compact-wire path (auto-on for TPU backends): the FRL
+    step decodes in-graph and categorical-coded float groups stay exact."""
+
+    def test_categorical_float_group_survives_exact(self):
+        from forest_tpu.data.cube_v2 import synthetic_frl_batch
+
+        b = synthetic_frl_batch(np.random.default_rng(0), 2, 16)
+        enc = wire.encode_wire_batch(b)
+        # EVT codes (7001+) ride float arrays; bf16 would round them
+        assert enc["static_categorical"].dtype == np.float32
+        np.testing.assert_array_equal(enc["static_categorical"],
+                                      b["static_categorical"])
+        # plain float groups DO shrink
+        assert enc["static"].nbytes == b["static"].nbytes // 2
+        dec = wire.decode_wire_batch(
+            {k: jnp.asarray(v) for k, v in enc.items()})
+        np.testing.assert_array_equal(np.asarray(dec["static_categorical"]),
+                                      b["static_categorical"])
+
+    def test_frl_epoch_wire_parity(self):
+        """Same tiny FRL epoch with wire_compact on vs off: metrics agree
+        to bf16 input rounding (codes/masks exact => same anchor/pair
+        structure, only feature values are rounded)."""
+        import sys
+        sys.path.insert(0, str(__import__("pathlib").Path(
+            __file__).parent))
+        from frl_tiny import FakeFrlDataset, make_frl_parts
+
+        from forest_tpu.training.representation import loops
+        from forest_tpu.training.representation import train_step as ts
+
+        results = {}
+        for use_wire in (False, True):
+            parts = make_frl_parts(hw=32)
+            step = jax.jit(ts.make_train_step(parts.process, parts.opt),
+                           donate_argnums=0)
+            ds = FakeFrlDataset(n=4, hw=parts.hw, t=parts.t)
+            _, m = loops.run_epoch(
+                ds, step, parts.state, batch_size=4,
+                weights=parts.weights, curriculum=parts.curriculum,
+                rng_seed=7, train=True, num_workers=1,
+                wire_compact=use_wire)
+            results[use_wire] = m
+        assert results[True]["loss_total"] == pytest.approx(
+            results[False]["loss_total"], rel=2e-2)
