@@ -238,7 +238,8 @@ def bench_pipeline(tmpdir: str):
     from forest_tpu.data.vqvae_dataset import VQVAEDataset
     from forest_tpu.models.vqvae import VQVAE
     from forest_tpu.training import vqvae_step
-    from forest_tpu.training.train_vqvae import host_to_device_batch
+    from forest_tpu.training.train_vqvae import (host_to_device_batch,
+                                                 wire_int_bounds)
 
     cube = build_synthetic_cube(f"{tmpdir}/cube.zarr", height=256, width=256,
                                 chunk_yx=32, patch_size=32, seed=0)
@@ -266,8 +267,12 @@ def bench_pipeline(tmpdir: str):
     import os as _os
 
     wire = _os.environ.get("FOREST_TPU_BENCH_WIRE", "1") != "0"
-    first = host_to_device_batch(ds.load_batch(next(iter(make_sampler(0)))),
-                                 wire=wire)
+    bounds = wire_int_bounds(ds) if wire else None
+
+    def to_dev(b):
+        return host_to_device_batch(b, wire=wire, int_bounds=bounds)
+
+    first = to_dev(ds.load_batch(next(iter(make_sampler(0)))))
     state = vqvae_step.init_train_state(model, opt, first, jax.random.key(0))
     step = jax.jit(vqvae_step.make_train_step(model, opt), donate_argnums=0)
     w = {k: jnp.float32(1.0) for k in ("cont", "cat", "canopy", "vq")}
@@ -304,7 +309,7 @@ def bench_pipeline(tmpdir: str):
     # Fetch-anchored paired windows: block_until_ready lies through the
     # relay (TIMING PROTOCOL above), so each window closes on a loss fetch
     # and the window difference cancels the fetch round trip.
-    fixed = host_to_device_batch(ds.load_batch(idxs[0]), wire=wire)
+    fixed = to_dev(ds.load_batch(idxs[0]))
     for i in range(3):
         state, m = step(state, dict(fixed), w, jax.random.key(i))
     float(m["loss/total"])
@@ -333,14 +338,12 @@ def bench_pipeline(tmpdir: str):
     it = iter(loader)
     warm, measure, window_s = 12, 120, 25.0
     for i in range(warm):  # let workers spin up + caches warm
-        state, m = step(state, host_to_device_batch(next(it), wire=wire), w,
-                        jax.random.key(i))
+        state, m = step(state, to_dev(next(it)), w, jax.random.key(i))
     float(m["loss/total"])
     n_steps = 0
     t0 = time.perf_counter()
     while n_steps < measure or time.perf_counter() - t0 < window_s:
-        state, m = step(state, host_to_device_batch(next(it), wire=wire), w,
-                        jax.random.key(n_steps))
+        state, m = step(state, to_dev(next(it)), w, jax.random.key(n_steps))
         n_steps += 1
         if n_steps % 24 == 0:
             # Periodic fetch keeps the dispatch queue shallow (relay

@@ -14,8 +14,10 @@ the wire:
 - ``*_nan_mask`` uint8 validity planes travel bit-PACKED (8x fewer
   bytes) and are unpacked inside the step against the companion data
   array's shape;
-- integer id arrays are untouched (vocabulary bounds are dataset
-  properties this layer cannot assume).
+- integer id arrays travel uint8/uint16 (or int8/int16 when a sentinel
+  like IGNORE_INDEX=-100 rides along) when the CALLER asserts a
+  schema-derived value bound via ``int_bounds``; untouched otherwise
+  (vocabulary bounds are dataset properties this layer cannot assume).
 
 ``encode_wire_batch`` runs on the host loader thread; ``decode_wire_batch``
 is jit-traceable and is a no-op on batches that never went through the
@@ -36,8 +38,9 @@ def _pack_mask(mask: np.ndarray) -> np.ndarray:
     return np.packbits(np.asarray(mask, np.uint8).reshape(b, -1), axis=1)
 
 
-def encode_wire_batch(batch: Dict[str, Any],
-                      skip: tuple = ()) -> Dict[str, Any]:
+def encode_wire_batch(batch: Dict[str, Any], skip: tuple = (),
+                      int_bounds: Dict[str, int] | None = None
+                      ) -> Dict[str, Any]:
     """Host-side: shrink a loader batch for the relay H2D link.
 
     ``skip`` keys keep their dtype. Keys containing "categorical" are
@@ -45,13 +48,26 @@ def encode_wire_batch(batch: Dict[str, Any],
     float arrays, and bf16's 8-bit mantissa cannot represent integers
     past 256 exactly -- a rounded code would silently break the step's
     value-equality comparisons. 0/1 masks and small integer-valued
-    floats (ysfc years <= 256) are bf16-exact."""
+    floats (ysfc years <= 256) are bf16-exact.
+
+    ``int_bounds`` maps id-array keys (matched at any nesting level) to
+    their value bound: either an EXCLUSIVE upper bound ``hi`` (array is
+    non-negative -- dense ids are schema-bounded by ``num_ids``,
+    data/schema.py apply_schema) for an unsigned uint8/uint16 downcast,
+    or an ``(lo, hi)`` tuple (lo inclusive, hi exclusive) for arrays
+    that also carry sentinels like IGNORE_INDEX=-100 (cat_target) for a
+    signed int8/int16 downcast. 2-4x fewer bytes; ids are ~35% of the
+    VQ-VAE pipeline wire. The bound is a dataset property the CALLER
+    asserts -- it must come from the schema, never from a per-batch max
+    (a per-batch dtype would change the jit signature between batches).
+    Lossless: consumers index embeddings/one-hots and compare sentinels
+    with any int dtype, so decode leaves ints be."""
     import ml_dtypes
 
     out: Dict[str, Any] = {}
     for k, v in batch.items():
         if isinstance(v, dict):
-            out[k] = encode_wire_batch(v, skip)
+            out[k] = encode_wire_batch(v, skip, int_bounds)
             continue
         a = np.asarray(v)
         if k in skip or "categorical" in k:
@@ -61,6 +77,25 @@ def encode_wire_batch(batch: Dict[str, Any],
             out[k] = _pack_mask(a)
         elif a.dtype in (np.float32, np.float64):
             out[k] = a.astype(ml_dtypes.bfloat16)
+        elif int_bounds and k in int_bounds \
+                and a.dtype in (np.int32, np.int64):
+            spec = int_bounds[k]
+            lo, hi = ((int(spec[0]), int(spec[1]))
+                      if isinstance(spec, (tuple, list))
+                      else (0, int(spec)))
+            if lo >= 0:
+                if hi <= 2**8:
+                    out[k] = a.astype(np.uint8)
+                elif hi <= 2**16:
+                    out[k] = a.astype(np.uint16)
+                else:
+                    out[k] = a
+            elif lo >= -2**7 and hi <= 2**7:
+                out[k] = a.astype(np.int8)
+            elif lo >= -2**15 and hi <= 2**15:
+                out[k] = a.astype(np.int16)
+            else:
+                out[k] = a
         else:
             out[k] = a
     return out

@@ -90,17 +90,35 @@ def build_vq_annealer(cfg: Dict[str, Any]):
         + int(cfg.get("anneal_vq_warmup", 1))}})
 
 
-def host_to_device_batch(batch: Dict[str, Any],
-                         wire: bool = False) -> Dict[str, Any]:
+def wire_int_bounds(ds: VQVAEDataset) -> Dict[str, Any]:
+    """Schema-derived id-array value bounds for the compact wire
+    (data/wire.py): the merged ``cat`` block is bounded by the largest
+    per-feature ``num_ids``; each ``cat_target`` array additionally
+    carries IGNORE_INDEX (-100). Dataset properties, NOT per-batch maxima
+    (a per-batch dtype would change the jit signature between batches)."""
+    from forest_tpu.data.vqvae_dataset import IGNORE_INDEX
+
+    vocab = {n: int(ds.schema_cat[n]["num_ids"]) for n in ds.cat_names}
+    bounds: Dict[str, Any] = {n: (IGNORE_INDEX, v) for n, v in vocab.items()}
+    if vocab:
+        bounds["cat"] = max(vocab.values())
+    return bounds
+
+
+def host_to_device_batch(batch: Dict[str, Any], wire: bool = False,
+                         int_bounds: Optional[Dict[str, Any]] = None
+                         ) -> Dict[str, Any]:
     """Drop host-only keys; jnp-ify the rest. ``wire=True`` applies the
-    compact wire format (data/wire.py: bf16 floats + bit-packed masks,
-    ~2.6x fewer relay H2D bytes); the jitted steps decode it via
-    ``wire.decode_wire_batch`` (a no-op on plain batches)."""
+    compact wire format (data/wire.py: bf16 floats + bit-packed masks +
+    narrow ids per ``int_bounds``, ~3.5x fewer relay H2D bytes); the
+    jitted steps decode it via ``wire.decode_wire_batch`` (a no-op on
+    plain batches)."""
     if wire:
         from forest_tpu.data.wire import encode_wire_batch
 
         batch = encode_wire_batch({k: v for k, v in batch.items()
-                                   if k not in ("years", "yx")})
+                                   if k not in ("years", "yx")},
+                                  int_bounds=int_bounds)
     out = {}
     for k, v in batch.items():
         if k in ("years", "yx"):
@@ -164,7 +182,20 @@ def train(cfg: Dict[str, Any]) -> Dict[str, Any]:
                                  drop_last=cfg["drop_last"],
                                  seed=cfg["seed"],
                                  num_shards=n_proc, shard_id=proc_id)
-    example = host_to_device_batch(ds_tr.load_batch(next(iter(sampler0))))
+    # Compact H2D wire (data/wire.py): auto-on for TPU backends (the relay
+    # H2D link is byte-proportional and doesn't overlap compute); explicit
+    # train_vqvae.wire_compact override otherwise. Multi-process global
+    # assembly keeps the plain wire (arrays cross process boundaries
+    # before the device), mirroring representation/loops.py.
+    use_wire = ((jax.default_backend() == "tpu")
+                if cfg.get("wire_compact") is None
+                else bool(cfg["wire_compact"])) and n_proc == 1
+    wire_bounds = wire_int_bounds(ds_tr) if use_wire else None
+    if use_wire:
+        log.info("compact H2D wire on (bf16 floats, packed masks, "
+                 "narrow ids: %s)", wire_bounds)
+    example = host_to_device_batch(ds_tr.load_batch(next(iter(sampler0))),
+                                   wire=use_wire, int_bounds=wire_bounds)
     state = vqvae_step.init_train_state(model, opt, example,
                                         jax.random.key(cfg["seed"]))
     n_params = sum(int(np.prod(p.shape)) for p in
@@ -268,7 +299,8 @@ def train(cfg: Dict[str, Any]) -> Dict[str, Any]:
             wait_t += time.perf_counter() - t_wait
             t_step = time.perf_counter()
             w = {k: jnp.float32(v) for k, v in annealer(global_step).items()}
-            db = host_to_device_batch(batch)
+            db = host_to_device_batch(batch, wire=use_wire,
+                                      int_bounds=wire_bounds)
             if _shard is not None:
                 db = _shard(db, mesh)
             state, m = train_step(state, db, w,
@@ -299,7 +331,8 @@ def train(cfg: Dict[str, Any]) -> Dict[str, Any]:
         w = {k: jnp.float32(v) for k, v in annealer(global_step).items()}
         for batch in PrefetchLoader(ds_va, va_sampler,
                                     num_workers=cfg["num_workers"]):
-            vb = host_to_device_batch(batch)
+            vb = host_to_device_batch(batch, wire=use_wire,
+                                      int_bounds=wire_bounds)
             if _shard is not None:
                 vb = _shard(vb, mesh)
             m = jax.device_get(eval_step(state.params, vb, w))

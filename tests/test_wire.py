@@ -67,6 +67,36 @@ class TestRoundTrip:
             np.testing.assert_array_equal(np.asarray(dec[k]),
                                           np.asarray(b[k]))
 
+    def test_int_bounds_narrow_ids(self, rng):
+        """Schema-asserted id bounds: unsigned tiers for non-negative ids,
+        signed tiers when an IGNORE_INDEX sentinel rides along; ints stay
+        LOSSLESS (decode leaves them be; consumers index with any dtype)."""
+        b = _batch(rng, b=256)
+        b["cat_target"]["cat_0"][0, 0] = -100  # IGNORE_INDEX sentinel
+        enc = wire.encode_wire_batch(
+            b, int_bounds={"cat": 9, "cat_0": (-100, 9)})
+        assert enc["cat"].dtype == np.uint8
+        assert enc["cat_target"]["cat_0"].dtype == np.int8
+        dec = wire.decode_wire_batch(
+            {k: ({n: jnp.asarray(a) for n, a in v.items()}
+                 if isinstance(v, dict) else jnp.asarray(v))
+             for k, v in enc.items()})
+        np.testing.assert_array_equal(
+            np.asarray(dec["cat"]).astype(np.int32), b["cat"])
+        np.testing.assert_array_equal(
+            np.asarray(dec["cat_target"]["cat_0"]).astype(np.int32),
+            b["cat_target"]["cat_0"])
+        # 16-bit tiers
+        enc = wire.encode_wire_batch(
+            b, int_bounds={"cat": 300, "cat_0": (-100, 300)})
+        assert enc["cat"].dtype == np.uint16
+        assert enc["cat_target"]["cat_0"].dtype == np.int16
+        # bounds that don't fit any narrow tier leave the array alone
+        enc = wire.encode_wire_batch(
+            b, int_bounds={"cat": 2 ** 17, "cat_0": (-100, 2 ** 16)})
+        assert enc["cat"].dtype == np.int32
+        assert enc["cat_target"]["cat_0"].dtype == np.int32
+
     def test_wire_bytes_shrink(self, rng):
         b = _batch(rng, b=512)
         plain = sum(np.asarray(v).nbytes for v in jax.tree.leaves(b))
@@ -106,32 +136,44 @@ class TestStepParity:
         s = ChunkBatchSampler(ds.xy_by_chunk, 64, seed=0,
                               replacement_within_chunk=True)
         host = ds.load_batch(next(iter(s)))
-        return model, opt, host
+        return model, opt, host, ds
 
     def test_train_step_loss_matches_plain(self, pipeline):
-        """One train step on the SAME batch, plain vs compact wire: the
-        loss differs only by the bf16 input rounding."""
+        """One train step on the SAME batch, plain vs compact wire vs
+        compact wire + schema-derived narrow ids: the loss differs only
+        by the bf16 input rounding (ids are lossless)."""
         from forest_tpu.training import vqvae_step
-        from forest_tpu.training.train_vqvae import host_to_device_batch
+        from forest_tpu.training.train_vqvae import (host_to_device_batch,
+                                                     wire_int_bounds)
 
-        model, opt, host = pipeline
+        model, opt, host, ds = pipeline
+        bounds = wire_int_bounds(ds)
+        assert "cat" in bounds and all(
+            n in bounds for n in ds.cat_names)
         w = {k: jnp.float32(1.0)
              for k in ("cont", "cat", "canopy", "vq")}
         losses = {}
-        for name, use_wire in (("plain", False), ("wire", True)):
-            batch = host_to_device_batch(dict(host), wire=use_wire)
+        for name, use_wire, ib in (("plain", False, None),
+                                   ("wire", True, None),
+                                   ("narrow", True, bounds)):
+            batch = host_to_device_batch(dict(host), wire=use_wire,
+                                         int_bounds=ib)
+            if name == "narrow" and ds.cat_names:
+                assert batch["cat"].dtype in (jnp.uint8, jnp.uint16)
             state = vqvae_step.init_train_state(model, opt, batch,
                                                 jax.random.key(0))
             step = jax.jit(vqvae_step.make_train_step(model, opt))
             state, m = step(state, batch, w, jax.random.key(0))
             losses[name] = float(m["loss/total"])
         assert losses["wire"] == pytest.approx(losses["plain"], rel=2e-2)
+        # narrow ids are lossless: same inputs as the wire leg bit-for-bit
+        assert losses["narrow"] == pytest.approx(losses["wire"], rel=1e-5)
 
     def test_eval_step_decodes_wire(self, pipeline):
         from forest_tpu.training import vqvae_step
         from forest_tpu.training.train_vqvae import host_to_device_batch
 
-        model, opt, host = pipeline
+        model, opt, host, _ds = pipeline
         w = {k: jnp.float32(1.0)
              for k in ("cont", "cat", "canopy", "vq")}
         batch = host_to_device_batch(dict(host), wire=True)
