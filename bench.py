@@ -266,8 +266,11 @@ def bench_pipeline(tmpdir: str):
     # FOREST_TPU_BENCH_WIRE=0 reverts to the f32 wire for A/B runs.
     import os as _os
 
-    wire = _os.environ.get("FOREST_TPU_BENCH_WIRE", "1") != "0"
-    bounds = wire_int_bounds(ds) if wire else None
+    # "1" (default): bf16 floats + packed masks + schema-narrow ids;
+    # "nobounds": compact wire without the id downcast; "0": plain f32.
+    wire_env = _os.environ.get("FOREST_TPU_BENCH_WIRE", "1")
+    wire = wire_env != "0"
+    bounds = wire_int_bounds(ds) if wire and wire_env != "nobounds" else None
 
     def to_dev(b):
         return host_to_device_batch(b, wire=wire, int_bounds=bounds)

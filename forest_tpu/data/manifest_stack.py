@@ -49,59 +49,141 @@ def select_years(end_years: Sequence[int], window_len: int) -> List[int]:
 
 
 # ---------------------------------------------------------------------
-# Tolerant manifest parsing (data_stack.py:57-230)
+# Tolerant manifest parsing.
+#
+# Compat contract with data_stack.index_inputs (data_stack.py:57-230):
+# the same manifests parse to the same {year: roster} index -- headered
+# files with column aliases, headerless files with content-sniffed
+# columns, comments/blank lines anywhere, comma/tab/whitespace
+# separators. The implementation is a role-resolution pipeline: one
+# cell-classifier table drives both the header normalizer and the
+# headerless column sniffer, and both routes feed a single record
+# builder.
 # ---------------------------------------------------------------------
-_HDR_ALIASES = {
-    "year": {"year", "yr"},
-    "kind": {"kind", "type"},
-    "path": {"file_path", "filepath", "path"},
-    "fid": {"fid", "feature", "feature_id", "name"},
-}
+
+# Canonical column role for every header spelling the manifests use.
+_ROLE_OF_ALIAS = {alias: role for role, aliases in (
+    ("year", ("year", "yr")),
+    ("kind", ("kind", "type")),
+    ("path", ("file_path", "filepath", "path")),
+    ("fid", ("fid", "feature", "feature_id", "name")),
+) for alias in aliases}
+
+_KINDS = frozenset(("int", "cat"))
 
 
-def _normalize_header(name: str) -> str:
-    n = name.strip().lower()
-    for key, alts in _HDR_ALIASES.items():
-        if n in alts:
-            return key
-    return n
-
-
-def _is_int(s: str) -> bool:
+def _cell_is_year(cell: str) -> bool:
     try:
-        int(s.strip())
-        return True
+        int(cell.strip())
     except (ValueError, TypeError):
         return False
+    return True
 
 
-def _is_kind(s: str) -> bool:
-    return s.strip().lower() in ("int", "cat")
+def _cell_is_kind(cell: str) -> bool:
+    return cell.strip().lower() in _KINDS
 
 
-def _is_path(s: str) -> bool:
-    s = s.strip()
-    return "/" in s or "\\" in s or "." in os.path.basename(s)
+def _cell_is_path(cell: str) -> bool:
+    cell = cell.strip()
+    return ("/" in cell or "\\" in cell
+            or "." in os.path.basename(cell))
+
+
+# Content predicates, in resolution order, for headerless sniffing.
+_CONTENT_SNIFF = (("year", _cell_is_year), ("kind", _cell_is_kind),
+                  ("path", _cell_is_path))
 
 
 def _stem(p: str) -> str:
     return os.path.splitext(os.path.basename(p))[0]
 
 
-def _iter_rows_loose(path: str):
-    """Rows as string lists; comments/blank lines skipped; comma, tab, or
-    whitespace separated (the reference's headerless fallback)."""
+def _content_lines(path: str):
+    """Non-comment, non-blank lines of the manifest."""
     with open(path, "r", encoding="utf-8") as f:
         for raw in f:
             line = raw.strip()
-            if not line or line.startswith("#"):
+            if line and not line.startswith("#"):
+                yield line
+
+
+def _split_cells(line: str) -> List[str]:
+    """Separator precedence for headerless rows: comma, then tab, then
+    runs of whitespace."""
+    for sep in (",", "\t"):
+        if sep in line:
+            return [c.strip() for c in line.split(sep)]
+    return re.split(r"\s+", line)
+
+
+def _records_headered(features_csv: str):
+    """(year, kind, path, fid_cell, row) tuples via csv.reader -- the
+    headered route honors quoting, so rows go through a sniffed csv
+    dialect rather than the loose splitter."""
+    with open(features_csv, "r", encoding="utf-8") as f:
+        probe = f.read(4096)
+        f.seek(0)
+        try:
+            dialect = csv.Sniffer().sniff(probe, delimiters=",\t; ")
+        except csv.Error:
+            dialect = csv.excel
+        rows = csv.reader(f, dialect)
+        col: Dict[str, int] = {}
+        for row in rows:  # first non-comment, non-blank row is the header
+            if not row or not row[0].strip() \
+                    or row[0].strip().startswith("#"):
                 continue
-            if "," in line:
-                yield [p.strip() for p in line.split(",")]
-            elif "\t" in line:
-                yield [p.strip() for p in line.split("\t")]
-            else:
-                yield re.split(r"\s+", line)
+            for i, cell in enumerate(row):
+                role = _ROLE_OF_ALIAS.get(cell.strip().lower())
+                if role is not None and role not in col:
+                    col[role] = i
+            n_cols = len(row)
+            break
+        else:
+            return
+        if not all(r in col for r in ("year", "kind", "path")):
+            raise ValueError(
+                "Manifest header needs year, kind and path columns "
+                f"(aliases accepted); resolved {sorted(col)} from "
+                f"{features_csv}")
+        for row in rows:
+            if not row or (len(row) == 1 and not row[0].strip()):
+                continue
+            if row[0].strip().startswith("#"):
+                continue
+            row = row + [""] * (n_cols - len(row))  # trailing blanks
+            if not _cell_is_year(row[col["year"]]):
+                continue  # tolerated, like the reference (warn + skip)
+            fid_cell = row[col["fid"]].strip() if "fid" in col else ""
+            yield (int(row[col["year"]]),
+                   row[col["kind"]].strip().lower(),
+                   row[col["path"]].strip(), fid_cell, row)
+
+
+def _records_headerless(features_csv: str):
+    """(year, kind, path, fid_cell, row) tuples with columns resolved
+    per row by cell content (_CONTENT_SNIFF)."""
+    for line in _content_lines(features_csv):
+        cells = _split_cells(line)
+        if any(c.lower() in ("year", "yr", "type", "kind")
+               for c in cells):
+            continue  # stray header fragment
+        at: Dict[str, Optional[int]] = {
+            role: next((i for i, c in enumerate(cells) if pred(c)), None)
+            for role, pred in _CONTENT_SNIFF}
+        if None in at.values():
+            raise ValueError("cannot resolve year/kind/path columns in "
+                             f"headerless manifest row: {cells}")
+        taken = set(at.values())
+        fid_cell = next((cells[i].strip() for i in range(len(cells))
+                         if i not in taken), "")
+        # a leftover cell that itself reads as a year/kind/path is not a
+        # usable feature id -- fall back to the file stem
+        if fid_cell and any(pred(fid_cell) for _, pred in _CONTENT_SNIFF):
+            fid_cell = ""
+        yield (int(cells[at["year"]]), cells[at["kind"]].strip().lower(),
+               cells[at["path"]].strip(), fid_cell, cells)
 
 
 def index_inputs(features_csv: str | Path,
@@ -112,94 +194,37 @@ def index_inputs(features_csv: str | Path,
     file_path|filepath|path, fid|feature|feature_id|name); headerless
     files are column-sniffed (year = parses as int, kind = int|cat,
     path = has a separator or extension, fid = the leftover column or
-    the file stem). Mirrors data_stack.index_inputs row for row.
+    the file stem). Same accepted inputs and resulting index as
+    data_stack.index_inputs.
     """
     features_csv = str(features_csv)
-    first_line = None
-    with open(features_csv, "r", encoding="utf-8") as f:
-        for raw in f:
-            s = raw.strip()
-            if s and not s.startswith("#"):
-                first_line = s
-                break
-    if first_line is None:
+    first = next(_content_lines(features_csv), None)
+    if first is None:
         raise ValueError(f"Empty features file: {features_csv}")
-
-    tokens = re.split(r"[,\t\s]+", first_line.strip())
-    headered = any(t.strip().lower() in _HDR_ALIASES["year"] for t in tokens)
+    # A manifest is headered iff its first content line names a year
+    # column; only then is a full alias header worth resolving.
+    headered = any(_ROLE_OF_ALIAS.get(tok.lower()) == "year"
+                   for tok in re.split(r"[,\t\s]+", first))
+    records = (_records_headered if headered
+               else _records_headerless)(features_csv)
 
     y2f: Dict[int, List[Dict]] = {int(y): [] for y in needed_years}
+    for year, kind, path, fid_cell, row in records:
+        if kind not in _KINDS:
+            raise ValueError(f"feature kind must be 'int' or 'cat', "
+                             f"got {kind!r} in manifest row: {row}")
+        if not path:
+            raise ValueError(f"manifest row has no path: {row}")
+        if year in y2f:
+            y2f[year].append({"fid": fid_cell or _stem(path),
+                              "kind": kind, "path": path})
 
-    if headered:
-        with open(features_csv, "r", encoding="utf-8") as f:
-            head = f.read(4096)
-            f.seek(0)
-            try:
-                dialect = csv.Sniffer().sniff(head, delimiters=",\t; ")
-            except csv.Error:
-                dialect = csv.excel
-            rdr = csv.reader(f, dialect)
-            header = None
-            for row in rdr:  # skip comments/blanks before the header
-                if row and row[0].strip() and not \
-                        row[0].strip().startswith("#"):
-                    header = [_normalize_header(h) for h in row]
-                    break
-
-            def idx(name):
-                return header.index(name) if name in header else None
-
-            yi, ki, pi, fi = (idx("year"), idx("kind"), idx("path"),
-                              idx("fid"))
-            if yi is None or ki is None or pi is None:
-                raise ValueError("Header must include year/kind/path "
-                                 f"(aliases ok). Got: {header}")
-            for row in rdr:
-                if not row or (len(row) == 1 and not row[0].strip()):
-                    continue
-                if row[0].strip().startswith("#"):
-                    continue
-                if len(row) < len(header):
-                    row = row + [""] * (len(header) - len(row))
-                if not _is_int(row[yi]):
-                    continue  # reference warns + skips
-                y = int(row[yi])
-                kind = row[ki].strip().lower()
-                if kind not in ("int", "cat"):
-                    raise ValueError(f"Unknown kind {kind!r} in row: {row}")
-                path = row[pi].strip()
-                if not path:
-                    raise ValueError(f"Empty path in row: {row}")
-                fid = (row[fi].strip() if fi is not None and row[fi].strip()
-                       else _stem(path))
-                if y in y2f:
-                    y2f[y].append({"fid": fid, "kind": kind, "path": path})
-    else:
-        for parts in _iter_rows_loose(features_csv):
-            if any(t.lower() in ("year", "yr", "type", "kind")
-                   for t in parts):
-                continue
-            yi = next((i for i, p in enumerate(parts) if _is_int(p)), None)
-            ki = next((i for i, p in enumerate(parts) if _is_kind(p)), None)
-            pi = next((i for i, p in enumerate(parts) if _is_path(p)), None)
-            if yi is None or ki is None or pi is None:
-                raise ValueError(f"Could not infer columns in row: {parts}")
-            y = int(parts[yi])
-            rest = [i for i in range(len(parts)) if i not in (yi, ki, pi)]
-            fid = parts[rest[0]].strip() if rest else ""
-            if not fid or _is_int(fid) or _is_kind(fid) or _is_path(fid):
-                fid = _stem(parts[pi])
-            if y in y2f:
-                y2f[y].append({"fid": fid,
-                               "kind": parts[ki].strip().lower(),
-                               "path": parts[pi].strip()})
-
-    for y in y2f:
-        y2f[y] = sorted(y2f[y], key=lambda r: r["fid"])
-    for y in (int(v) for v in needed_years):
-        if not y2f[y]:
-            raise ValueError(f"No features found for year={y}. "
-                             f"Check {features_csv}.")
+    for year in y2f:
+        y2f[year].sort(key=lambda r: r["fid"])
+    missing = [y for y in (int(v) for v in needed_years) if not y2f[y]]
+    if missing:
+        raise ValueError(f"No features found for year={missing[0]}. "
+                         f"Check {features_csv}.")
     return y2f
 
 
