@@ -99,9 +99,15 @@ def wire_int_bounds(ds: VQVAEDataset) -> Dict[str, Any]:
     from forest_tpu.data.vqvae_dataset import IGNORE_INDEX
 
     vocab = {n: int(ds.schema_cat[n]["num_ids"]) for n in ds.cat_names}
+    if not vocab:
+        return {}
     bounds: Dict[str, Any] = {n: (IGNORE_INDEX, v) for n, v in vocab.items()}
-    if vocab:
-        bounds["cat"] = max(vocab.values())
+    # The merged [B,T,Cc] id block is non-negative and bounded by the
+    # largest vocabulary. A feature literally NAMED "cat" shares the key
+    # (the wire matches keys at any nesting level), so that entry must
+    # hold BOTH arrays: the union bound (sentinel, max vocab) does.
+    bounds["cat"] = ((IGNORE_INDEX, max(vocab.values()))
+                     if "cat" in vocab else max(vocab.values()))
     return bounds
 
 

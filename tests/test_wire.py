@@ -97,6 +97,26 @@ class TestRoundTrip:
         assert enc["cat"].dtype == np.int32
         assert enc["cat_target"]["cat_0"].dtype == np.int32
 
+    def test_wire_int_bounds_cat_name_collision(self):
+        """A categorical feature literally named "cat" shares its key with
+        the merged id block; the bound must then hold BOTH arrays (union:
+        sentinel + max vocab), never an unsigned bound that would wrap the
+        target's -100."""
+        from types import SimpleNamespace
+
+        from forest_tpu.training.train_vqvae import wire_int_bounds
+
+        ds = SimpleNamespace(cat_names=["cat", "evt"],
+                             schema_cat={"cat": {"num_ids": 9},
+                                         "evt": {"num_ids": 300}})
+        b = wire_int_bounds(ds)
+        assert b["cat"] == (-100, 300)
+        assert b["evt"] == (-100, 300)
+        ds2 = SimpleNamespace(cat_names=["evt"],
+                              schema_cat={"evt": {"num_ids": 9}})
+        b2 = wire_int_bounds(ds2)
+        assert b2 == {"evt": (-100, 9), "cat": 9}
+
     def test_wire_bytes_shrink(self, rng):
         b = _batch(rng, b=512)
         plain = sum(np.asarray(v).nbytes for v in jax.tree.leaves(b))
