@@ -550,6 +550,16 @@ def _load_per_band_annual(band: BandSpec, spec: GroupSpec,
                 f"({len(years)}) nor the group year_range ({len(full)})")
         file_years = full
     else:
+        # Reference fallback (build_zarr.py:895-898): band indices as
+        # years. Reindexing [0..n) onto a real-year window has ZERO
+        # overlap, so the variable stores pure semantic pad -- warn as
+        # loudly as the reference does rather than build silent zeros.
+        log.warning(
+            "%s: %d bands != %d requested years and the group declares "
+            "no year_range -- falling back to band indices 0..%d (the "
+            "reference's behavior); the temporal reindex will PAD every "
+            "requested year. Declare year_range to fix this.",
+            fp, n, len(years), n - 1)
         file_years = list(range(n))
     planes, nodata = [], None
     for i in range(1, n + 1):
@@ -744,14 +754,22 @@ def validate_configuration(cfg: dict, spatial: SpatialConfig,
                     errors.append(f"{label}/{band.id}: {e}")
                     continue
                 files.append(fp)
+                n = source_num_bands(fp)
                 if spec.year_range:
-                    n = source_num_bands(fp)
                     expect = spec.year_range[1] - spec.year_range[0] + 1
                     if n not in (expect, len(years)):
                         errors.append(
                             f"{label}/{band.id}: year range mismatch -- "
                             f"config {expect} years, file {n} bands "
                             f"({fp.name}); this would zero the variable")
+                elif n != len(years):
+                    # No year_range to rescue a mismatch: the loader's
+                    # band-index fallback would pad every requested year.
+                    errors.append(
+                        f"{label}/{band.id}: {n} bands != "
+                        f"{len(years)} requested years and no "
+                        f"year_range declared ({fp.name}); this would "
+                        "zero the variable")
         for fp in dict.fromkeys(files):
             try:
                 screen(label, fp)
@@ -986,10 +1004,13 @@ def synthesize_sources(cfg: dict, path_root: str | Path,
         p["bands"] = max(p["bands"], n_bands)
         if sentinel is not None:
             p["sentinel"] = sentinel
-        if semantic == "categorical":
-            p["semantic"] = "categorical"
-        elif semantic == "mask" and p["semantic"] != "categorical":
-            p["semantic"] = p["semantic"]  # data wins over mask reuse
+        # A file shared by several subsections is synthesized once; data
+        # semantics win over mask reuse (a continuous band read from a
+        # Bernoulli 0/1 plane would be garbage), categorical over both
+        # (codes survive a continuous read, not vice versa).
+        pri = {"mask": 0, "continuous": 1, "categorical": 2}
+        if pri.get(semantic, 1) > pri.get(p["semantic"], 1):
+            p["semantic"] = semantic
 
     for key in ("aoi", "strata"):
         sect = cfg.get(key) or {}

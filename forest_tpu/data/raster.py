@@ -155,8 +155,10 @@ def num_bands(path: str | Path) -> int:
         n = getattr(im, "n_frames", 1)
         if n > 1:
             return n
-        a = np.asarray(im)
-        return a.shape[2] if a.ndim == 3 else 1
+        # Channel count without decoding pixels (validation walks every
+        # referenced file; np.asarray(im) would decompress whole rasters
+        # just to read .shape).
+        return max(len(im.getbands()), 1)
 
 
 def read_band(path: str | Path, band_index: int = 1) -> Raster:

@@ -134,10 +134,14 @@ class VRTDataset:
                 raise ValueError(
                     f"{self.path}: scaled source ({sw}x{sh} -> {dw}x{dh}) "
                     "not supported (no resampling backend)")
-            # Clip the destination placement to the VRT canvas.
+            # Clip the destination placement to the VRT canvas AND to the
+            # tile's real extent: a SrcRect may overhang the source file
+            # (legal in GDAL, which nodata-pads the overhang); clamping
+            # leaves those destination pixels at `fill`, honoring the
+            # boundless-read contract instead of a broadcast error.
             cx0, cy0 = max(dx_, 0), max(dy_, 0)
-            cx1 = min(dx_ + dw, self.width)
-            cy1 = min(dy_ + dh, self.height)
+            cx1 = min(dx_ + dw, self.width, dx_ + max(tw - sx, 0))
+            cy1 = min(dy_ + dh, self.height, dy_ + max(th - sy, 0))
             if cx1 <= cx0 or cy1 <= cy0:
                 continue
             block = np.asarray(

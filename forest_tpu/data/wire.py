@@ -38,6 +38,12 @@ def _pack_mask(mask: np.ndarray) -> np.ndarray:
     return np.packbits(np.asarray(mask, np.uint8).reshape(b, -1), axis=1)
 
 
+def _companion_ndim(batch: Dict[str, Any], mask_key: str) -> int:
+    """ndim of the data array a ``*_nan_mask`` key annotates (0 if absent)."""
+    data = batch.get(mask_key[:-len(_MASK_SUFFIX)])
+    return getattr(np.asarray(data), "ndim", 0) if data is not None else 0
+
+
 def encode_wire_batch(batch: Dict[str, Any], skip: tuple = (),
                       int_bounds: Dict[str, int] | None = None
                       ) -> Dict[str, Any]:
@@ -73,7 +79,10 @@ def encode_wire_batch(batch: Dict[str, Any], skip: tuple = (),
         if k in skip or "categorical" in k:
             out[k] = a
         elif k.endswith(_MASK_SUFFIX) and a.dtype == np.uint8 \
-                and a.ndim >= 2:
+                and a.ndim >= 2 and _companion_ndim(batch, k) > 2:
+            # Pack ONLY what decode can unpack: decode recognizes a
+            # packed mask by (mask.ndim == 2, companion data.ndim > 2),
+            # so a mask whose companion is 2-D/absent must travel plain.
             out[k] = _pack_mask(a)
         elif a.dtype in (np.float32, np.float64):
             out[k] = a.astype(ml_dtypes.bfloat16)

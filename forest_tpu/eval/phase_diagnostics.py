@@ -336,10 +336,17 @@ def evt_phase_report(z_phase: np.ndarray, gamma: np.ndarray,
         pcodes, pinv, n_obs, pok = _evt_groups(probe_evt)
         pr, tg = probe_pred[pok], probe_target[pok]
         pc = len(pcodes)
-        ssres = _scatter_rows(pinv, (pr - tg) ** 2, pc)
-        s_t = _scatter_rows(pinv, tg, pc)
-        s_t2 = _scatter_rows(pinv, tg ** 2, pc)
-        sstot = np.maximum(s_t2 - s_t ** 2 / n_obs[:, None], 1e-12)
+        # Masked observations arrive as NaN targets
+        # (collect_phase_samples_full); accumulate per-class per-channel
+        # over the FINITE entries only, like the probe fit itself does.
+        fin = np.isfinite(tg) & np.isfinite(pr)
+        ssres = _scatter_rows(pinv, np.where(fin, (pr - tg) ** 2, 0.0), pc)
+        tgz = np.where(fin, tg, 0.0)
+        s_t = _scatter_rows(pinv, tgz, pc)
+        s_t2 = _scatter_rows(pinv, tgz ** 2, pc)
+        n_fin = np.maximum(_scatter_rows(pinv, fin.astype(np.float64), pc),
+                           1.0)
+        sstot = np.maximum(s_t2 - s_t ** 2 / n_fin, 1e-12)
         r2 = 1.0 - ssres / sstot
         tnames = target_names or [f"t{i}" for i in range(pr.shape[-1])]
         rows_r = []
@@ -523,16 +530,17 @@ def ysfc_report(evt: np.ndarray, ysfc: np.ndarray, out_dir: str | Path,
     for idx, (code, total) in enumerate(zip(top, top_n)):
         ax = axes_list[idx]
         vals = ysfc[evt == code]
+        xg = x_grid  # per-panel: the fallback must not degrade siblings
         try:
             from scipy.stats import gaussian_kde
-            density = gaussian_kde(vals)(x_grid)
+            density = gaussian_kde(vals)(xg)
         except Exception:  # singular (constant values) or no scipy
             density, edges = np.histogram(vals, bins=20,
                                           range=(0, max_ysfc),
                                           density=True)
-            x_grid = (edges[:-1] + edges[1:]) / 2
-        ax.fill_between(x_grid, density, alpha=0.6, color="steelblue")
-        ax.plot(x_grid, density, color="steelblue", linewidth=0.8)
+            xg = (edges[:-1] + edges[1:]) / 2
+        ax.fill_between(xg, density, alpha=0.6, color="steelblue")
+        ax.plot(xg, density, color="steelblue", linewidth=0.8)
         ax.set_xlim(0, max_ysfc)
         ax.set_ylim(bottom=0)
         ax.tick_params(axis="both", labelsize=6)

@@ -17,17 +17,21 @@ from forest_tpu.data.loader import PrefetchLoader
 
 
 def _to_device_batch(batch: Dict[str, np.ndarray],
-                     wire_compact: bool = False) -> Dict[str, Any]:
+                     wire_compact: bool = False,
+                     wire_skip: tuple = ()) -> Dict[str, Any]:
     if wire_compact:
         # Compact H2D wire (data/wire.py): floats travel bf16 (the FRL
         # production batch is ~63 MB f32 at B=12 256^2 -- H2D is byte-
         # proportional, CLAUDE.md TIMING PROTOCOL); categorical-coded
-        # float groups keep f32 (EVT codes are not bf16-exact). The
-        # jitted steps decode (decode_wire_batch, identity on plain
+        # float groups keep f32 (EVT codes are not bf16-exact).
+        # ``wire_skip`` carries the step-config-derived exact-equality
+        # groups (step.wire_exact_groups) whose names the wire's
+        # 'categorical' substring heuristic cannot be trusted to catch.
+        # The jitted steps decode (decode_wire_batch, identity on plain
         # batches).
         from forest_tpu.data.wire import encode_wire_batch
 
-        batch = encode_wire_batch(batch)
+        batch = encode_wire_batch(batch, skip=wire_skip)
     return {k: jnp.asarray(v) for k, v in batch.items()}
 
 
@@ -37,7 +41,8 @@ def run_epoch(dataset, step_fn: Callable, state_or_params, *,
               train: bool, num_workers: int = 4,
               max_batches: Optional[int] = None,
               scheduler_step: Optional[Callable] = None,
-              mesh=None, wire_compact: Optional[bool] = None):
+              mesh=None, wire_compact: Optional[bool] = None,
+              wire_skip: tuple = ()):
     """Returns (state_or_params, mean-metrics dict incl. timing).
 
     With ``mesh`` set the step is a shard_map DP step (dp.make_dp_frl_*):
@@ -110,7 +115,8 @@ def run_epoch(dataset, step_fn: Callable, state_or_params, *,
             db["__sample_valid__"] = mask[lo:lo + local_bs]
             db = hosts.global_batch_from_local(db, mesh)
         else:
-            db = _to_device_batch(batch, wire_compact=wire)
+            db = _to_device_batch(batch, wire_compact=wire,
+                                  wire_skip=wire_skip)
             db["__sample_valid__"] = jnp.asarray(mask)
             if mesh is not None:
                 db = shard_batch_pytree(db, mesh)

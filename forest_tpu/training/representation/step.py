@@ -123,6 +123,19 @@ class StepConfig:
     evt_min_valid_anchors: int = 4
 
 
+def wire_exact_groups(cfg: "StepConfig") -> tuple:
+    """Batch groups this step compares for EXACT value equality and that
+    must therefore never ride the bf16 compact wire (data/wire.py): EVT
+    codes 7000+ are not bf16-representable (8-bit mantissa), and a
+    rounded code silently merges/splits classes in the soft-neighborhood
+    grouping. The group name is user-configurable (losses.evt.feature),
+    so the wire's name-based 'categorical' skip is only defense-in-depth
+    -- the loop threads this config-derived skip set through
+    run_epoch(wire_skip=...). ysfc grouping values are small integers
+    (<= num_ysfc_classes) and bf16-exact, so no other group qualifies."""
+    return ((cfg.evt_feature.split(".")[0],) if cfg.evt_enabled else ())
+
+
 DEFAULT_WEIGHTS = {
     "spatial_infonce": 1.0,
     "spectral_infonce": 1.0,

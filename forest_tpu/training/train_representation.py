@@ -273,6 +273,9 @@ def train(cfg: TrainingConfiguration,
 
     cur = ctx["curricula"]
     base_weights = ctx["weights"]
+    # Groups the step compares by exact value (EVT codes): the compact
+    # H2D wire must never bf16-round them, whatever the YAML named them.
+    wire_skip = step_mod.wire_exact_groups(ctx["step_cfg"])
     extra_meta = {"model_version": rep.VERSION,
                   "model_config": rep.model_config_dict(ctx["model"]),
                   "type_in_channels": ctx["model"].type_in_channels,
@@ -313,7 +316,8 @@ def train(cfg: TrainingConfiguration,
                 batch_size=cfg.epoch.batch_size, weights=weights,
                 curriculum=curriculum, rng_seed=cfg.seed + epoch,
                 num_workers=cfg.hardware.num_workers,
-                max_batches=max_batches, mesh=ctx["mesh"])
+                max_batches=max_batches, mesh=ctx["mesh"],
+                wire_skip=wire_skip)
 
         val_m = None
         if val_every and epoch % val_every == 0:
@@ -325,7 +329,7 @@ def train(cfg: TrainingConfiguration,
                 rng_seed=1_000_000 + epoch,
                 num_workers=cfg.hardware.num_workers,
                 max_batches=val_cfg.get("max_batches", max_batches),
-                mesh=ctx["mesh"])
+                mesh=ctx["mesh"], wire_skip=wire_skip)
 
         lr_now = float(ctx["lr_sched"](int(state.step)))
         log.info("\n%s", epoch_logging.format_epoch_block(

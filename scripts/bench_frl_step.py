@@ -131,11 +131,15 @@ def main(argv=None):
         return time.perf_counter() - t0, state
 
     small = max(a.iters // 3, 1)
-    t_small, state = window(small, state)
-    t_big, state = window(a.iters, state)
-    dt = (t_big - t_small) / (a.iters - small)
-    if dt <= 0:  # relay jitter swamped the diff; fall back
+    if small >= a.iters:  # --iters 1: a single fetch-closed window
+        t_big, state = window(a.iters, state)
         dt = t_big / a.iters
+    else:
+        t_small, state = window(small, state)
+        t_big, state = window(a.iters, state)
+        dt = (t_big - t_small) / (a.iters - small)
+        if dt <= 0:  # relay jitter swamped the diff; fall back
+            dt = t_big / a.iters
     # Reference: 1.1 s/batch at B=12, 256^2 (BASELINE.md). Normalize the
     # comparison per-pixel so non-default --batch/--patch stay honest.
     ref_s_per_px = 1.1 / (12 * 256 * 256)

@@ -490,6 +490,28 @@ class TestRasterAndVrtIO:
         assert r.data.shape == (8, 16)
         assert (r.data[:, :8] == 1.0).all() and (r.data[:, 8:] == 2.0).all()
 
+    def test_vrt_srcrect_overhang_pads_nodata(self, tmp_path):
+        """A SrcRect extending past the source file's real extent is legal
+        in GDAL (boundless read pads with nodata): the overhang must land
+        as the band's fill, not abort the mosaic with a broadcast error."""
+        a = np.full((4, 4), 3.0, np.float32)
+        rio.write_geotiff(tmp_path / "a.tif", a,
+                          transform=(0, 1.0, 8, -1.0))
+        (tmp_path / "o.vrt").write_text(
+            '<VRTDataset rasterXSize="8" rasterYSize="8">'
+            "<GeoTransform>0, 1, 0, 8, 0, -1</GeoTransform>"
+            '<VRTRasterBand dataType="Float32" band="1">'
+            "<NoDataValue>-9</NoDataValue>"
+            "<SimpleSource>"
+            '<SourceFilename relativeToVRT="1">a.tif</SourceFilename>'
+            "<SourceBand>1</SourceBand>"
+            '<SrcRect xOff="0" yOff="0" xSize="8" ySize="8"/>'
+            '<DstRect xOff="0" yOff="0" xSize="8" ySize="8"/>'
+            "</SimpleSource></VRTRasterBand></VRTDataset>")
+        r = vrtmod.read_vrt_band(tmp_path / "o.vrt")
+        assert (r.data[:4, :4] == 3.0).all()
+        assert (r.data[4:, :] == -9).all() and (r.data[:, 4:] == -9).all()
+
     def test_vrt_scaled_source_rejected(self, tmp_path):
         rio.write_geotiff(tmp_path / "a.tif",
                           np.zeros((8, 8), np.float32))

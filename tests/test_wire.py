@@ -204,6 +204,45 @@ class TestStepParity:
         assert np.isfinite(float(m["loss/total"]))
 
 
+class TestWireMaskSymmetry:
+    def test_2d_companion_mask_travels_plain(self, rng):
+        """Encode must only pack what decode can unpack: decode recognizes
+        a packed mask by (mask.ndim==2, data.ndim>2), so a mask whose
+        companion is 2-D (or absent) round-trips PLAIN, not corrupted."""
+        b = {"score": rng.normal(size=(8, 5)).astype(np.float32),
+             "score_nan_mask": (rng.random((8, 5)) > 0.3).astype(np.uint8),
+             "orphan_nan_mask": (rng.random((8, 7)) > 0.3).astype(np.uint8)}
+        enc = wire.encode_wire_batch(b)
+        assert enc["score_nan_mask"].shape == (8, 5)  # not packed
+        assert enc["orphan_nan_mask"].shape == (8, 7)
+        dec = wire.decode_wire_batch(
+            {k: jnp.asarray(v) for k, v in enc.items()})
+        np.testing.assert_array_equal(np.asarray(dec["score_nan_mask"]),
+                                      b["score_nan_mask"])
+        np.testing.assert_array_equal(np.asarray(dec["orphan_nan_mask"]),
+                                      b["orphan_nan_mask"])
+
+
+class TestWireSkipGroups:
+    def test_step_config_derived_skip_protects_renamed_code_group(self):
+        """EVT groups are user-nameable (losses.evt.feature): the loop
+        threads step.wire_exact_groups into the wire so codes stay exact
+        even without 'categorical' in the group name."""
+        from forest_tpu.training.representation.step import (StepConfig,
+                                                             wire_exact_groups)
+
+        assert wire_exact_groups(
+            StepConfig(evt_enabled=True,
+                       evt_feature="evt_codes.evt")) == ("evt_codes",)
+        assert wire_exact_groups(StepConfig()) == ()
+
+        codes = np.full((2, 4, 4, 1), 7123.0, np.float32)  # not bf16-exact
+        enc = wire.encode_wire_batch({"evt_codes": codes},
+                                     skip=("evt_codes",))
+        assert enc["evt_codes"].dtype == np.float32
+        np.testing.assert_array_equal(enc["evt_codes"], codes)
+
+
 class TestFrlLoopWire:
     """run_epoch's compact-wire path (auto-on for TPU backends): the FRL
     step decodes in-graph and categorical-coded float groups stay exact."""
