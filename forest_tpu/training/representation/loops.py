@@ -15,6 +15,23 @@ import numpy as np
 
 from forest_tpu.data.loader import PrefetchLoader
 
+# Metric dicts drain device->host in blocks of this many steps: one relay
+# round trip per BLOCK instead of per step, while the dispatch queue stays
+# well under the relay's ~30-deep drain cliff (CLAUDE.md TIMING PROTOCOL).
+_METRIC_SYNC_STEPS = 16
+
+
+def _drain_metrics(pending, agg: Dict[str, float]) -> None:
+    """Fetch queued (weight, device-metrics) pairs in ONE device_get and
+    fold the count-weighted sums into ``agg``. Clears ``pending``."""
+    if not pending:
+        return
+    fetched = jax.device_get([m for _, m in pending])
+    for (w, _), m in zip(pending, fetched):
+        for k, v in m.items():
+            agg[k] = agg.get(k, 0.0) + w * float(v)
+    pending.clear()
+
 
 def _to_device_batch(batch: Dict[str, np.ndarray],
                      wire_compact: bool = False,
@@ -97,6 +114,7 @@ def run_epoch(dataset, step_fn: Callable, state_or_params, *,
     loader = PrefetchLoader(dataset, iter(load_batches),
                             num_workers=num_workers)
     agg: Dict[str, float] = {}
+    pending: list = []  # (weight, on-device metrics) awaiting block fetch
     n_steps = 0
     n_weight = 0.0
     wait_t = step_t = 0.0
@@ -127,21 +145,24 @@ def run_epoch(dataset, step_fn: Callable, state_or_params, *,
                 scheduler_step()
         else:
             m = step_fn(state_or_params, db, rng, weights, curriculum)
-        # One device->host transfer for the whole metrics dict (per-metric
-        # float() would pay ~0.5 ms dispatch latency each on the relay).
-        m = jax.device_get(m)
-        # Weight each batch mean by its valid-sample count so a
-        # repeat-filled tail batch doesn't skew epoch means (the
+        # Metrics stay ON DEVICE and drain in blocks: a per-step
+        # device_get is a relay round trip per step (up to ~30 ms on a
+        # degraded link), while a block fetch pays it once per
+        # _METRIC_SYNC_STEPS and still keeps the dispatch queue well
+        # under the relay's ~30-deep drain cliff (CLAUDE.md TIMING
+        # PROTOCOL). Weight each batch mean by its valid-sample count so
+        # a repeat-filled tail batch doesn't skew epoch means (the
         # reference pools per-sample over the epoch, loops.py:85-246;
         # count-weighted batch means match that for per-sample metrics).
-        w = float(valid_counts[i])
-        for k, v in m.items():
-            agg[k] = agg.get(k, 0.0) + w * float(v)
+        pending.append((float(valid_counts[i]), m))
+        if len(pending) >= _METRIC_SYNC_STEPS:
+            _drain_metrics(pending, agg)
         n_steps += 1
-        n_weight += w
+        n_weight += float(valid_counts[i])
         step_t += time.perf_counter() - t_step
         t_wait = time.perf_counter()
 
+    _drain_metrics(pending, agg)
     out = {k: v / max(n_weight, 1.0) for k, v in agg.items()}
     out["n_steps"] = n_steps
     out["epoch_time_s"] = time.perf_counter() - t0

@@ -300,6 +300,18 @@ def train(cfg: Dict[str, Any]) -> Dict[str, Any]:
         wait_t = step_t = 0.0
         n_steps = 0
         agg: Dict[str, float] = {}
+        pending: list = []  # on-device metric dicts awaiting block fetch
+
+        def drain():
+            # One relay round trip per BLOCK of steps instead of per step
+            # (a per-step device_get costs up to ~30 ms on a degraded
+            # relay); 16-deep stays under the ~30-deep drain cliff.
+            if pending:
+                for m in jax.device_get(pending):
+                    for k, v in m.items():
+                        agg[k] = agg.get(k, 0.0) + float(v)
+                pending.clear()
+
         t_wait = time.perf_counter()
         for batch in loader:
             wait_t += time.perf_counter() - t_wait
@@ -313,9 +325,9 @@ def train(cfg: Dict[str, Any]) -> Dict[str, Any]:
                                   jax.random.key(global_step))
             global_step += 1
             n_steps += 1
-            m = jax.device_get(m)  # one transfer for the whole dict
-            for k, v in m.items():
-                agg[k] = agg.get(k, 0.0) + float(v)
+            pending.append(m)
+            if len(pending) >= 16:
+                drain()
             step_t += time.perf_counter() - t_step
             t_wait = time.perf_counter()
             if n_steps >= (min(cfg["steps_per_epoch"], tr_cap)
@@ -324,6 +336,7 @@ def train(cfg: Dict[str, Any]) -> Dict[str, Any]:
                 break
             if max_steps and global_step >= max_steps:
                 break
+        drain()
 
         train_metrics = {f"train/{k.replace('loss/', 'loss_')}": v / n_steps
                          for k, v in agg.items()}
