@@ -33,6 +33,10 @@ def main(argv=None):
     ap.add_argument("--diag", action="store_true",
                     help="include the in-graph diagnostics the training "
                          "loop computes (training.diagnostics: true)")
+    ap.add_argument("--microbatch", type=int, default=None,
+                    help="microbatch cap for in-graph grad accumulation "
+                         "(default: auto -- Pallas smoothing envelope on "
+                         "TPU; 0 disables)")
     a = ap.parse_args(argv)
 
     import os
@@ -102,7 +106,17 @@ def main(argv=None):
                                           diag=a.diag)
     opt = ts.make_optimizer(1e-4)
     state = ts.init_train_state(params, opt)
-    step = jax.jit(ts.make_train_step(process, opt), donate_argnums=0)
+    step = jax.jit(ts.make_train_step(process, opt,
+                                      microbatch_size=a.microbatch),
+                   donate_argnums=0)
+    cap = (ts.default_frl_microbatch_cap() if a.microbatch is None
+           else (a.microbatch or None))
+    if cap is not None and b > cap:
+        from forest_tpu.training.representation.train_step import (
+            _microbatch_groups)
+        g = _microbatch_groups(b, cap)
+        print(f"microbatched grad accumulation: {g} x {b // g} "
+              f"(cap {cap})")
 
     rng = np.random.default_rng(0)
     batch = {k: jnp.asarray(v)
