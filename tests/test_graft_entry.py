@@ -43,6 +43,25 @@ def _run_dryrun(timeout: float):
     return proc, time.perf_counter() - t0
 
 
+def test_benign_aot_warning_filter():
+    """The XLA tuning pseudo-feature warnings (+prefer-no-scatter/gather,
+    emitted by the CPU AOT loader on EVERY cache load, same-host included)
+    are dropped from the dryrun artifact; real ISA-mismatch warnings pass
+    through (the cross-host hazard itself is prevented by the
+    fingerprint-scoped cache dir, tests/test_jaxcache.py)."""
+    sys.path.insert(0, str(REPO))
+    from __graft_entry__ import _filter_benign_aot_warnings
+
+    benign1 = ("E0820 07:32:22.405946 11010 cpu_aot_loader.cc:210] Loading "
+               "XLA:CPU AOT result. Target machine feature "
+               "+prefer-no-scatter is not  supported on the host machine.\n")
+    benign2 = benign1.replace("prefer-no-scatter", "prefer-no-gather")
+    real = benign1.replace("+prefer-no-scatter", "+avx512fp16")
+    keep = "dryrun_multichip(8): OK\n"
+    out = _filter_benign_aot_warnings(benign1 + keep + benign2 + real)
+    assert out == keep + real
+
+
 @pytest.mark.slow
 def test_dryrun_multichip_driver_path_and_warm_wallclock():
     # Cold-ish run (the persistent .jax_cache may already be warm in this
