@@ -1,0 +1,162 @@
+"""On-TPU VQ parity gate: Mosaic-compiled kernels vs XLA vs torch oracle.
+
+VERDICT r4 weak #6: the BASELINE.json bit-identical-indices contract was
+gated only in Pallas interpret mode (tests/test_oracle_parity.py); the
+Mosaic-compiled kernel had no repeatable per-round on-TPU check. This
+script mirrors scripts/check_smoothing_parity_tpu.py: run it at HEAD on
+the TPU session each round and record the output (docs/vq_parity_tpu.md
+via --write-doc).
+
+Checks, at the BASELINE.json production shape (N=131072, D=128, K=256;
+reference vqvae/model.py quantizer contract):
+  1. vq_core Pallas (Mosaic) idx == torch-CPU oracle idx, bit-identical;
+     q bit-identical to codebook[idx]; counts exactly the oracle
+     histogram; sums within fp32 accumulation tolerance of the f64
+     oracle.
+  2. Same for the XLA path (cross-check the gate itself).
+  3. vq_assign fast path, mxu_bf16=False: bit-identical idx (Pallas and
+     XLA fallback).
+  4. vq_assign mxu_bf16=True (both backends): documented near-tie
+     envelope -- reports the mismatch count vs oracle (not a failure
+     unless it exceeds 0.1%), and Pallas-vs-XLA agreement under the same
+     operand rounding.
+
+Prints one JSON line per check; exit 0 iff every contract item passes.
+"""
+
+# Containers can lose the editable install between rounds; make the
+# repo-root import work regardless of pip state.
+import pathlib as _pl
+import sys as _sys
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parents[1]))
+
+import argparse
+import json
+import subprocess
+import sys
+
+import numpy as np
+
+
+def torch_oracle(x, cb):
+    """Frozen oracle: f32 torch cdist assignment + f64 count/sum stats."""
+    import torch
+
+    xt = torch.from_numpy(x)
+    ct = torch.from_numpy(cb)
+    d = torch.cdist(xt, ct)
+    idx = d.argmin(1).numpy().astype(np.int32)
+    k = cb.shape[0]
+    onehot = np.eye(k, dtype=np.float64)[idx]
+    counts = onehot.sum(0)
+    sums = onehot.T @ x.astype(np.float64)
+    return idx, counts, sums
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=131072)
+    ap.add_argument("--d", type=int, default=128)
+    ap.add_argument("--k", type=int, default=256)
+    ap.add_argument("--write-doc", action="store_true",
+                    help="append the results to docs/vq_parity_tpu.md")
+    a = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from forest_tpu.ops import vq
+    from forest_tpu.utils.jaxcache import enable_persistent_cache
+    enable_persistent_cache()
+
+    print(f"backend: {jax.default_backend()}", file=sys.stderr)
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(a.n, a.d)).astype(np.float32)
+    cb = rng.normal(size=(a.k, a.d)).astype(np.float32)
+    oidx, ocounts, osums = torch_oracle(x, cb)
+
+    xj, cj = jnp.asarray(x), jnp.asarray(cb)
+    results = []
+    ok = True
+
+    def check(name, contract=True, **fields):
+        nonlocal ok
+        passed = all(v for k2, v in fields.items() if k2.endswith("_ok"))
+        if contract:
+            ok &= passed
+        rec = {"check": name, "pass": bool(passed), "contract": contract,
+               **{k2: (float(v) if isinstance(v, (np.floating, float))
+                       else int(v) if isinstance(v, (np.integer,))
+                       else v) for k2, v in fields.items()}}
+        results.append(rec)
+        print(json.dumps(rec))
+        sys.stdout.flush()
+
+    # --- 1+2. vq_core full fused contract, Pallas (Mosaic) and XLA ---
+    for name, up in (("vq_core_pallas", True), ("vq_core_xla", False)):
+        with jax.default_matmul_precision("highest"):
+            idx, q, counts, sums = jax.jit(
+                lambda x_, c_, up=up: vq.vq_core(x_, c_, use_pallas=up)
+            )(xj, cj)
+        idx = np.asarray(idx)
+        mism = int((idx != oidx).sum())
+        q_exact = bool((np.asarray(q) == cb[idx]).all())
+        cnt_exact = bool((np.asarray(counts, np.float64) == ocounts).all())
+        srel = float(np.max(np.abs(np.asarray(sums, np.float64) - osums))
+                     / max(np.max(np.abs(osums)), 1e-9))
+        check(name, idx_mismatches=mism, idx_ok=(mism == 0),
+              q_bitexact_ok=q_exact, counts_exact_ok=cnt_exact,
+              sums_max_rel_err=srel, sums_ok=(srel < 1e-5))
+
+    # --- 3. vq_assign fast path, f32 numerics (the parity default) ---
+    for name, up in (("vq_assign_pallas_f32", True),
+                     ("vq_assign_xla_f32", False)):
+        with jax.default_matmul_precision("highest"):
+            idx = np.asarray(jax.jit(
+                lambda x_, c_, up=up: vq.vq_assign(x_, c_, use_pallas=up)
+            )(xj, cj))
+        mism = int((idx != oidx).sum())
+        check(name, idx_mismatches=mism, idx_ok=(mism == 0))
+
+    # --- 4. vq_assign mxu_bf16 opt-in: documented near-tie envelope ---
+    bf = {}
+    for name, up in (("pallas", True), ("xla", False)):
+        bf[name] = np.asarray(jax.jit(
+            lambda x_, c_, up=up: vq.vq_assign(x_, c_, use_pallas=up,
+                                               mxu_bf16=True))(xj, cj))
+        mism = int((bf[name] != oidx).sum())
+        check(f"vq_assign_{name}_mxu_bf16", contract=False,
+              idx_mismatches_vs_oracle=mism,
+              near_tie_rate_pct=100.0 * mism / a.n,
+              envelope_ok=(mism <= a.n * 1e-3))
+    cross = int((bf["pallas"] != bf["xla"]).sum())
+    check("vq_assign_mxu_bf16_pallas_vs_xla", contract=False,
+          idx_mismatches=cross, agree_ok=(cross <= a.n * 1e-3))
+
+    if a.write_doc:
+        head = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                              cwd=_pl.Path(__file__).resolve().parents[1],
+                              capture_output=True, text=True).stdout.strip()
+        doc = _pl.Path(__file__).resolve().parents[1] / "docs" / \
+            "vq_parity_tpu.md"
+        lines = [f"\n## HEAD {head} — backend {jax.default_backend()}, "
+                 f"N={a.n} D={a.d} K={a.k}\n"]
+        lines += [f"- `{json.dumps(r)}`" for r in results]
+        lines += [f"\nOverall: {'PASS' if ok else 'FAIL'}\n"]
+        if not doc.exists():
+            doc.write_text(
+                "# On-TPU VQ parity gate record\n\n"
+                "Per-round runs of `scripts/check_vq_parity_tpu.py` "
+                "(Mosaic-compiled vq_core/vq_assign vs XLA vs the frozen "
+                "torch-CPU oracle at the BASELINE.json production shape; "
+                "contract: bit-identical indices, exact counts, "
+                "bit-exact q, fp32-accumulation sums).\n")
+        with doc.open("a") as f:
+            f.write("\n".join(lines) + "\n")
+        print(f"recorded -> {doc}", file=sys.stderr)
+
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
