@@ -110,6 +110,23 @@ def encode_wire_batch(batch: Dict[str, Any], skip: tuple = (),
     return out
 
 
+def stack_batches(batches) -> Dict[str, Any]:
+    """Host-side: stack K same-shaped loader batches leaf-wise into one
+    pytree with a leading K axis, for multi-step-per-dispatch training
+    (``vqvae_step.make_scan_train_step``). ``np.stack`` produces OWNING
+    contiguous arrays -- numpy views serialize pathologically through the
+    relay (~4x slower than owning arrays of the same bytes, CLAUDE.md), so
+    the stack doubles as the materialization step before H2D."""
+    first = batches[0]
+    out: Dict[str, Any] = {}
+    for k, v in first.items():
+        if isinstance(v, dict):
+            out[k] = stack_batches([b[k] for b in batches])
+        else:
+            out[k] = np.stack([np.asarray(b[k]) for b in batches])
+    return out
+
+
 def decode_wire_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
     """Jit-traceable inverse: upcast bf16 -> f32 and unpack bit-packed
     masks against the companion data array's shape. Identity for plain
@@ -139,4 +156,4 @@ def decode_wire_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
     return out
 
 
-__all__ = ["encode_wire_batch", "decode_wire_batch"]
+__all__ = ["encode_wire_batch", "decode_wire_batch", "stack_batches"]

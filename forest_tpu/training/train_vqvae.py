@@ -42,7 +42,7 @@ log = logging.getLogger("forest_tpu.train_vqvae")
 
 DEFAULTS: Dict[str, Any] = dict(
     batch_size=64, steps_per_epoch=200, epochs=10, num_workers=8,
-    eager=False,
+    eager=False, steps_per_dispatch=1,
     min_hits_per_epoch=100, mass_coverage=0.999, vocab_cap=5000,
     codebook_size=256, emb_dim=128, hidden=128, cat_emb_dim=8, beta=0.25,
     quantizer="ema", ema_decay=0.99, ema_eps=1e-5,
@@ -132,6 +132,24 @@ def host_to_device_batch(batch: Dict[str, Any], wire: bool = False,
         out[k] = ({n: jnp.asarray(a) for n, a in v.items()}
                   if isinstance(v, dict) else jnp.asarray(v))
     return out
+
+
+def host_to_device_block(batches, wire: bool = False,
+                         int_bounds: Optional[Dict[str, Any]] = None
+                         ) -> Dict[str, Any]:
+    """Stack K loader batches into ONE [K, ...] device pytree for
+    ``vqvae_step.make_scan_train_step`` (multi-step-per-dispatch): K wire
+    encodes on host, one leaf-wise ``np.stack`` (owning arrays -- numpy
+    views serialize ~4x slower through the relay), one H2D event."""
+    from forest_tpu.data import wire as wire_mod
+
+    enc = []
+    for b in batches:
+        b = {k: v for k, v in b.items() if k not in ("years", "yx")}
+        if wire:
+            b = wire_mod.encode_wire_batch(b, int_bounds=int_bounds)
+        enc.append(b)
+    return jax.tree.map(jnp.asarray, wire_mod.stack_batches(enc))
 
 
 def train(cfg: Dict[str, Any]) -> Dict[str, Any]:
@@ -238,11 +256,31 @@ def train(cfg: Dict[str, Any]) -> Dict[str, Any]:
         eval_step = make_dp_eval_step(model, mesh,
                                       class_weights=class_weights)
     else:
-        train_step = jax.jit(vqvae_step.make_train_step(model, opt,
-                                                        class_weights),
-                             donate_argnums=0)
+        inner_step = vqvae_step.make_train_step(model, opt, class_weights)
+        train_step = jax.jit(inner_step, donate_argnums=0)
         _shard = None
         eval_step = jax.jit(vqvae_step.make_eval_step(model, class_weights))
+
+    # Multi-step-per-dispatch (steps_per_dispatch > 1, single-process jit
+    # path only): lax.scan K train steps per device dispatch over
+    # host-stacked batches + per-step annealer weights, so the relay's
+    # per-dispatch/per-fetch drain cost amortizes over K steps. Semantics
+    # per step are identical to the plain loop except the rng stream: a
+    # block at global step g uses split(key(g), K) instead of
+    # key(g)..key(g+K-1) (tests/test_scan_steps.py pins scan == sequential
+    # under the block convention).
+    spd = max(int(cfg.get("steps_per_dispatch") or 1), 1)
+    multi_step = None
+    if spd > 1:
+        if _shard is not None:
+            log.warning("steps_per_dispatch=%d ignored: multi-device "
+                        "sharding path handles its own dispatch", spd)
+            spd = 1
+        else:
+            multi_step = jax.jit(
+                vqvae_step.make_scan_train_step(inner_step),
+                donate_argnums=0)
+            log.info("multi-step dispatch: %d steps per device call", spd)
 
     def min_shard_len(xy_by_chunk, drop_last, replacement=False):
         """Lockstep cap under multi-process: every process must launch the
@@ -306,16 +344,50 @@ def train(cfg: Dict[str, Any]) -> Dict[str, Any]:
             # One relay round trip per BLOCK of steps instead of per step
             # (a per-step device_get costs up to ~30 ms on a degraded
             # relay); 16-deep stays under the ~30-deep drain cliff.
+            # Scanned dispatches carry [K]-leaf metrics: np.sum totals
+            # them (identity on plain scalars); the /n_steps below then
+            # yields the per-step mean either way.
             if pending:
                 for m in jax.device_get(pending):
                     for k, v in m.items():
-                        agg[k] = agg.get(k, 0.0) + float(v)
+                        agg[k] = agg.get(k, 0.0) + float(np.sum(v))
                 pending.clear()
 
+        epoch_cap = (min(cfg["steps_per_epoch"], tr_cap)
+                     if tr_cap is not None else cfg["steps_per_epoch"])
+        block_b: list = []
+        block_w: list = []
         t_wait = time.perf_counter()
         for batch in loader:
             wait_t += time.perf_counter() - t_wait
             t_step = time.perf_counter()
+            if multi_step is not None:
+                # multi-step-per-dispatch: stage spd host batches + their
+                # per-step annealer weights, one scanned device call.
+                block_b.append(batch)
+                block_w.append(annealer(global_step))
+                global_step += 1
+                n_steps += 1
+                stop = bool(n_steps >= epoch_cap
+                            or (max_steps and global_step >= max_steps))
+                if len(block_b) == spd or stop:
+                    sb = host_to_device_block(block_b, wire=use_wire,
+                                              int_bounds=wire_bounds)
+                    sw = {k: jnp.asarray([bw[k] for bw in block_w],
+                                         jnp.float32)
+                          for k in block_w[0]}
+                    state, m = multi_step(
+                        state, sb, sw,
+                        jax.random.key(global_step - len(block_b)))
+                    pending.append(m)
+                    block_b, block_w = [], []
+                    if len(pending) * spd >= 16:
+                        drain()
+                step_t += time.perf_counter() - t_step
+                t_wait = time.perf_counter()
+                if stop:
+                    break
+                continue
             w = {k: jnp.float32(v) for k, v in annealer(global_step).items()}
             db = host_to_device_batch(batch, wire=use_wire,
                                       int_bounds=wire_bounds)
@@ -330,9 +402,7 @@ def train(cfg: Dict[str, Any]) -> Dict[str, Any]:
                 drain()
             step_t += time.perf_counter() - t_step
             t_wait = time.perf_counter()
-            if n_steps >= (min(cfg["steps_per_epoch"], tr_cap)
-                           if tr_cap is not None
-                           else cfg["steps_per_epoch"]):
+            if n_steps >= epoch_cap:
                 break
             if max_steps and global_step >= max_steps:
                 break

@@ -172,6 +172,40 @@ def make_train_step(model: VQVAE, optimizer: optax.GradientTransformation,
     return train_step
 
 
+def make_scan_train_step(train_step: Callable) -> Callable:
+    """Wrap any ``train_step(state, batch, loss_weights, rng)`` into a
+    multi-step-per-dispatch function driven by ``jax.lax.scan``.
+
+    The returned ``multi_step(state, stacked_batch, stacked_weights, rng)``
+    runs K = leading-axis train steps in ONE device dispatch: the host
+    stacks K loader batches (``wire.stack_batches``) and K annealer weight
+    dicts leaf-wise with a leading K axis, transfers them in one H2D
+    event, and fetches metrics once per dispatch (or less). This is the
+    TPU-native answer to the relay's per-dispatch/fetch drain cost
+    (CLAUDE.md TIMING PROTOCOL: ~1 s drain cost per fetch event on shallow
+    queues): the per-K-steps host cost collapses to one dispatch + one
+    optional fetch, leaving the byte-proportional H2D link as the only
+    per-batch wall. Semantics are EXACTLY K sequential ``train_step``
+    calls (same annealer values per step, same per-step rng folding);
+    tests assert bit-identical states vs the sequential loop.
+
+    Returned metrics have a leading K axis (one entry per executed step).
+    """
+    def multi_step(state, stacked_batch: Dict[str, Array],
+                   stacked_weights: Dict[str, Array], rng: Array):
+        k = jax.tree_util.tree_leaves(stacked_batch)[0].shape[0]
+        rngs = jax.random.split(rng, k)
+
+        def body(st, xs):
+            batch, w, r = xs
+            return train_step(st, batch, w, r)
+
+        return jax.lax.scan(body, state,
+                            (stacked_batch, stacked_weights, rngs))
+
+    return multi_step
+
+
 def make_eval_step(model: VQVAE,
                    class_weights: Optional[Dict[str, Array]] = None,
                    use_pallas: Optional[bool] = None,
@@ -193,4 +227,5 @@ def make_eval_step(model: VQVAE,
 
 
 __all__ = ["VQVAETrainState", "make_optimizer", "init_train_state",
-           "vqvae_loss", "make_train_step", "make_eval_step"]
+           "vqvae_loss", "make_train_step", "make_scan_train_step",
+           "make_eval_step"]
