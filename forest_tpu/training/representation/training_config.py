@@ -45,6 +45,13 @@ class HardwareConfig:
     # Shard batches over all visible devices (shard_map DP; SURVEY §6.8).
     # Auto-enabled under multi-process jax regardless of this flag.
     data_parallel: bool = False
+    # hardware.mixed_precision from the reference schema. The reference
+    # parses it (training_config_parser.py:123-135) and logs it (:650-651)
+    # but its torch loop never autocasts; forest-tpu honors the declared
+    # intent TPU-natively as the spatial-conv compute-dtype default
+    # (train_representation.setup) -- bf16 smoothing is the production
+    # path the step was benchmarked with. None = disabled.
+    mixed_precision_dtype: Optional[str] = None
 
 
 @dataclass
@@ -183,7 +190,12 @@ def parse_training_config(path_or_dict) -> TrainingConfiguration:
         hardware=HardwareConfig(
             num_workers=hw.get("num_workers", 8),
             prefetch_factor=hw.get("prefetch_factor", 2),
-            data_parallel=hw.get("data_parallel", False)),
+            data_parallel=hw.get("data_parallel", False),
+            mixed_precision_dtype=(
+                (hw.get("mixed_precision", {}) or {}).get(
+                    "dtype", "bfloat16")
+                if (hw.get("mixed_precision", {}) or {}).get("enabled")
+                else None)),
         epoch=EpochConfig(
             num_epochs=ep.get("num_epochs", 400),
             mode=ep.get("mode", "number"),

@@ -59,6 +59,24 @@ def _git_hash() -> str:
         return "unknown"
 
 
+def apply_mixed_precision(model_cfg: Optional[Dict[str, Any]],
+                          dtype: Optional[str]) -> Dict[str, Any]:
+    """Thread hardware.mixed_precision into the model config as the
+    spatial-conv compute-dtype DEFAULT (the TPU-native AMP equivalent;
+    the reference parses the flag but its torch loop never autocasts --
+    training_config_parser.py:123-135). An explicit compute_dtype in the
+    model config always wins."""
+    import copy
+
+    mc = copy.deepcopy(model_cfg) if model_cfg else {}
+    if not dtype:
+        return mc
+    sect = mc["model"] if "model" in mc else mc
+    sc = sect.setdefault("spatial_conv", {})
+    sc.setdefault("compute_dtype", dtype)
+    return mc
+
+
 def setup(cfg: TrainingConfiguration,
           bindings_path: Optional[str] = None,
           model_cfg: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
@@ -96,6 +114,12 @@ def setup(cfg: TrainingConfiguration,
     # (step_cfg names them from the bindings losses section).
     type_c = len(bindings.get_feature(step_cfg.type_feature).channels)
     phase_c = len(bindings.get_feature(step_cfg.phase_feature).channels)
+    model_cfg = apply_mixed_precision(model_cfg,
+                                      cfg.hardware.mixed_precision_dtype)
+    if cfg.hardware.mixed_precision_dtype:
+        log.info("mixed precision: spatial-conv compute dtype %s",
+                 model_cfg.get("model", model_cfg)["spatial_conv"]
+                 ["compute_dtype"])
     model = rep.from_config(model_cfg or {}, type_c, phase_c)
     params = rep.init_variables(
         model, jax.random.key(cfg.seed),

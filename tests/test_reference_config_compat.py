@@ -46,6 +46,21 @@ class TestReferenceConfigCompat:
         t = parse_training_config(REF / "frl_training_v1.yaml")
         assert t.epoch.batch_size == 12          # frl_training_v1.yaml:39
         assert t.spatial_domain.patch_size == 256
+        # hardware.mixed_precision (frl_training_v1.yaml:32-34) -> the
+        # spatial-conv compute-dtype default (TPU-native AMP equivalent)
+        assert t.hardware.mixed_precision_dtype == "bfloat16"
+        from forest_tpu.training.train_representation import (
+            apply_mixed_precision)
+        mc = apply_mixed_precision({"model": {"spatial_conv":
+                                              {"rank": 4}}}, "bfloat16")
+        assert mc["model"]["spatial_conv"]["compute_dtype"] == "bfloat16"
+        assert mc["model"]["spatial_conv"]["rank"] == 4
+        # an explicit model-config compute_dtype always wins
+        mc = apply_mixed_precision(
+            {"model": {"spatial_conv": {"compute_dtype": "float32"}}},
+            "bfloat16")
+        assert mc["model"]["spatial_conv"]["compute_dtype"] == "float32"
+        assert apply_mixed_precision(None, None) == {}
         d = t.as_builder_dict()
         sc = cb.build_step_config(b, d)
         # model.type_encoder_feature / phase_encoder_feature flow through
