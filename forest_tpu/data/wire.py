@@ -17,7 +17,14 @@ the wire:
 - integer id arrays travel uint8/uint16 (or int8/int16 when a sentinel
   like IGNORE_INDEX=-100 rides along) when the CALLER asserts a
   schema-derived value bound via ``int_bounds``; untouched otherwise
-  (vocabulary bounds are dataset properties this layer cannot assume).
+  (vocabulary bounds are dataset properties this layer cannot assume);
+- loaders may assemble big channel-stacked groups CHANNEL-MAJOR
+  ([B, C, (T,) H, W] under a ``<name>__cm`` key): each source channel is
+  then a contiguous memcpy into the batch buffer instead of a
+  channel-strided scatter (np.stack along a minor axis runs at ~1/20 of
+  memcpy on the 1-core host -- it was 87% of FRL batch assembly), and
+  ``decode_wire_batch`` restores the channel-LAST layout the compute
+  graphs require with one on-device relayout (~milliseconds at HBM rate).
 
 ``encode_wire_batch`` runs on the host loader thread; ``decode_wire_batch``
 is jit-traceable and is a no-op on batches that never went through the
@@ -30,6 +37,11 @@ from typing import Any, Dict
 import numpy as np
 
 _MASK_SUFFIX = "_nan_mask"
+# Channel-major group marker: "<name>__cm" holds [B, C, (T,) H, W]; decode
+# moves C to the last axis and strips the suffix. The suffix is the wire's
+# ONLY layout channel -- dict keys are static under jit, so the decode
+# graph specializes per layout with no runtime flags.
+_CM_SUFFIX = "__cm"
 
 
 def _pack_mask(mask: np.ndarray) -> np.ndarray:
@@ -76,7 +88,10 @@ def encode_wire_batch(batch: Dict[str, Any], skip: tuple = (),
             out[k] = encode_wire_batch(v, skip, int_bounds)
             continue
         a = np.asarray(v)
-        if k in skip or "categorical" in k:
+        # Skip/exact-group rules match the GROUP name the step configures,
+        # not the wire-layout-decorated key.
+        base = k[:-len(_CM_SUFFIX)] if k.endswith(_CM_SUFFIX) else k
+        if base in skip or "categorical" in base:
             out[k] = a
         elif k.endswith(_MASK_SUFFIX) and a.dtype == np.uint8 \
                 and a.ndim >= 2 and _companion_ndim(batch, k) > 2:
@@ -86,9 +101,9 @@ def encode_wire_batch(batch: Dict[str, Any], skip: tuple = (),
             out[k] = _pack_mask(a)
         elif a.dtype in (np.float32, np.float64):
             out[k] = a.astype(ml_dtypes.bfloat16)
-        elif int_bounds and k in int_bounds \
+        elif int_bounds and base in int_bounds \
                 and a.dtype in (np.int32, np.int64):
-            spec = int_bounds[k]
+            spec = int_bounds[base]
             lo, hi = ((int(spec[0]), int(spec[1]))
                       if isinstance(spec, (tuple, list))
                       else (0, int(spec)))
@@ -137,6 +152,13 @@ def decode_wire_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
     for k, v in batch.items():
         if isinstance(v, dict):
             out[k] = decode_wire_batch(v)
+            continue
+        if k.endswith(_CM_SUFFIX):
+            # Channel-major group: upcast if the wire carried bf16, then
+            # one relayout to the channel-LAST contract ([B, ..., C]).
+            x = v.astype(jnp.float32) \
+                if getattr(v, "dtype", None) == jnp.bfloat16 else v
+            out[k[:-len(_CM_SUFFIX)]] = jnp.moveaxis(x, 1, -1)
             continue
         if k.endswith(_MASK_SUFFIX):
             data = batch.get(k[:-len(_MASK_SUFFIX)])

@@ -80,6 +80,11 @@ def run_epoch(dataset, step_fn: Callable, state_or_params, *,
     # wire (arrays cross process boundaries before the device).
     wire = (jax.default_backend() == "tpu") if wire_compact is None \
         else bool(wire_compact)
+    if hasattr(dataset, "set_wire_layout"):
+        # Channel-major assembly rides the wire (decode restores the
+        # channel-last contract on device); multi-process global assembly
+        # keeps the plain layout alongside the plain wire.
+        dataset.set_wire_layout(wire and jax.process_count() == 1)
     dataset.on_epoch_start()
     n = len(dataset)
     idx_batches = [list(range(i, min(i + batch_size, n)))

@@ -407,3 +407,66 @@ class TestCubeV2CLI:
         root = zl.open_zarr(tmp_path / "cube.zarr")
         assert "annual" in root and "static" in root
         assert (tmp_path / "bindings.yaml").exists()
+
+
+class TestChannelMajorWire:
+    """Channel-major batch assembly (set_wire_layout) + wire round-trip
+    must reproduce the plain channel-last collate exactly."""
+
+    def test_roundtrip_matches_plain(self, env):
+        from forest_tpu.data import wire
+
+        _, bindings, ds, _, _ = env
+        ds.on_epoch_start()
+        idx = [0, 1, len(ds) - 1]
+        try:
+            ds.set_wire_layout(True)
+            cm = ds.load_batch(idx)
+        finally:
+            ds.set_wire_layout(False)
+        plain = ds.load_batch(idx)
+        assert set(k.replace("__cm", "") for k in cm) == set(plain)
+        for k in cm:
+            if k == "__window__":
+                np.testing.assert_array_equal(cm[k], plain[k])
+        # f32 wire (no bf16 cast): decode must be bit-exact vs plain.
+        dec = jax.jit(wire.decode_wire_batch)(
+            {k: jnp.asarray(v) for k, v in cm.items()})
+        for k, v in plain.items():
+            got = np.asarray(dec[k])
+            assert got.shape == v.shape, k
+            np.testing.assert_array_equal(got, v, err_msg=k)
+
+    def test_bf16_wire_skips_exact_groups(self, env):
+        from forest_tpu.data import wire
+
+        _, bindings, ds, _, _ = env
+        ds.on_epoch_start()
+        try:
+            ds.set_wire_layout(True)
+            cm = ds.load_batch([0, 1])
+        finally:
+            ds.set_wire_layout(False)
+        enc = wire.encode_wire_batch(cm, skip=("static_categorical",))
+        for k, v in enc.items():
+            if k == "__window__":
+                continue
+            base = k[:-len("__cm")] if k.endswith("__cm") else k
+            want = (np.float32 if ("categorical" in base
+                                   or base == "static_categorical")
+                    else jnp.bfloat16)
+            assert v.dtype == want, (k, v.dtype)
+        dec = jax.jit(wire.decode_wire_batch)(
+            {k: jnp.asarray(v) for k, v in enc.items()})
+        plain = ds.load_batch([0, 1])
+        for k, v in plain.items():
+            got = np.asarray(dec[k])
+            assert got.shape == v.shape and got.dtype == np.float32 \
+                or k == "__window__", k
+            if "categorical" in k:
+                np.testing.assert_array_equal(got, v, err_msg=k)
+            elif k != "__window__":
+                f = v[np.isfinite(v)]
+                g = got[np.isfinite(v)]
+                tol = np.maximum(np.abs(f) * 8e-3, 1e-6)
+                assert np.all(np.abs(g - f) <= tol), k
