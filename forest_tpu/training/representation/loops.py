@@ -83,7 +83,9 @@ def run_epoch(dataset, step_fn: Callable, state_or_params, *,
     if hasattr(dataset, "set_wire_layout"):
         # Channel-major assembly rides the wire (decode restores the
         # channel-last contract on device); multi-process global assembly
-        # keeps the plain layout alongside the plain wire.
+        # keeps the plain layout alongside the plain wire. Scoped to this
+        # epoch (finally below): post-training consumers of the same
+        # dataset object (probes, exports) expect the plain collate.
         dataset.set_wire_layout(wire and jax.process_count() == 1)
     dataset.on_epoch_start()
     n = len(dataset)
@@ -118,6 +120,25 @@ def run_epoch(dataset, step_fn: Callable, state_or_params, *,
 
     loader = PrefetchLoader(dataset, iter(load_batches),
                             num_workers=num_workers)
+    try:
+        return _run_epoch_loop(
+            loader, dataset, step_fn, state_or_params, batch_size=batch_size,
+            weights=weights, curriculum=curriculum, rng_seed=rng_seed,
+            train=train, scheduler_step=scheduler_step, mesh=mesh, wire=wire,
+            wire_skip=wire_skip, idx_meta=(valid_counts, n_proc, lo,
+                                           local_bs))
+    finally:
+        if hasattr(dataset, "set_wire_layout"):
+            dataset.set_wire_layout(False)
+
+
+def _run_epoch_loop(loader, dataset, step_fn, state_or_params, *, batch_size,
+                    weights, curriculum, rng_seed, train, scheduler_step,
+                    mesh, wire, wire_skip, idx_meta):
+    valid_counts, n_proc, lo, local_bs = idx_meta
+    if mesh is not None:
+        from forest_tpu.parallel import hosts
+        from forest_tpu.parallel.mesh import shard_batch_pytree
     agg: Dict[str, float] = {}
     pending: list = []  # (weight, on-device metrics) awaiting block fetch
     n_steps = 0

@@ -158,10 +158,50 @@ def main(argv=None):
     step_s = statistics.median(h["train/step_s"] for h in steady)
     val_s = statistics.median(h.get("val/epoch_time_s", float("nan"))
                               for h in steady)
+
+    # Attribution: where the epoch time goes. The "step" window in the
+    # loop is H2D enqueue + dispatch + (blocked) metric fetches -- device
+    # compute is 74 ms/batch (scripts/bench_frl_step.py, fetch-anchored,
+    # r3-r5), so on this relay-tunneled chip the epoch is LINK-bound:
+    # one production batch is ~617 MB of bf16 wire and the relay H2D
+    # link sustains only ~47-68 MB/s (measured on 64-256 MB owning
+    # arrays), which floors the epoch at wire_bytes*batches/link_rate
+    # regardless of host or device speed. The implied rate below is
+    # derived from THIS run (bytes measured on a real batch, seconds
+    # from the timed epochs); a production TPU host feeds HBM at
+    # >10 GB/s, where the same bytes cost <3 s/epoch and the loop
+    # returns to loader/device-bound.
+    from forest_tpu.data.wire import encode_wire_batch
+    from forest_tpu.training.representation.step import wire_exact_groups
+
+    ds_t = result["ds_train"]
+    nb = min(cfg.epoch.batch_size, len(ds_t))
+    ds_t.set_wire_layout(True)
+    try:
+        wb = encode_wire_batch(ds_t.load_batch(list(range(nb))),
+                               skip=wire_exact_groups(result["step_cfg"]))
+        wire_mb = sum(np.asarray(v).nbytes for v in wb.values()) / 1e6 \
+            * cfg.epoch.batch_size / nb
+    finally:
+        ds_t.set_wire_layout(False)
     # per-pixel scale for non-default sample counts / patch sizes
     px_scale = (a.sample_number / 512.0) \
         * (cfg.spatial_domain.patch_size / 256.0) ** 2
     ref_train = REF_EPOCH_TRAIN_S * px_scale
+    attribution = {
+        "wire_mb_per_batch": round(wire_mb, 1),
+        "implied_h2d_mb_per_s": round(wire_mb * steps / step_s, 1)
+        if step_s > 0 else None,
+        "h2d_floor_epoch_s_at_50mb_s": round(wire_mb * steps / 50.0, 1),
+        "h2d_epoch_s_at_pcie_12gb_s": round(wire_mb * steps / 12000.0, 1),
+    }
+    if cfg.spatial_domain.patch_size == 256 and cfg.epoch.batch_size == 12:
+        # The measured device step (74 ms fetch-anchored,
+        # scripts/bench_frl_step.py) is only valid at the production
+        # geometry; skip the device-floor fields for CI-smoke overrides.
+        device_s = 0.074 * steps
+        attribution["device_compute_epoch_s"] = round(device_s, 1)
+        attribution["device_compute_vs_ref"] = round(ref_train / device_s, 1)
     out = {
         "frl_epoch_s": round(epoch_s, 1),
         "frl_epoch_vs_ref": round(ref_train / epoch_s, 2),
@@ -172,6 +212,7 @@ def main(argv=None):
         "frl_epoch_incl_val_s": round(epoch_s + val_s, 1),
         "frl_epoch_incl_val_vs_ref": round(
             REF_EPOCH_TOTAL_S * px_scale / (epoch_s + val_s), 2),
+        **attribution,
     }
     print("frl_epoch: " + json.dumps(out), flush=True)
     print(f"[epoch-bench] steady train epoch {epoch_s:.1f}s "
@@ -224,6 +265,36 @@ def main(argv=None):
             f"- **{out['frl_epoch_vs_ref']:.1f}x** on train-epoch "
             f"wall-clock; {out['frl_epoch_incl_val_vs_ref']:.1f}x incl. "
             "validation",
+            "",
+            "## Attribution: the epoch is H2D-LINK-bound in this "
+            "environment",
+            "",
+            "The loop's step window is H2D + dispatch + blocked metric "
+            "fetches; device compute is 74 ms/batch "
+            "(`scripts/bench_frl_step.py`, fetch-anchored = "
+            f"**{attribution.get('device_compute_vs_ref', '?')}x** the "
+            "reference's 1.1 s/batch on compute alone). One production "
+            f"batch is **{attribution['wire_mb_per_batch']:.0f} MB** of "
+            "bf16 wire (B=12 x 256^2 x 69 input channels x 15 years for "
+            "the annual group), and the axon relay H2D link sustains "
+            "47-68 MB/s on 64-256 MB owning arrays (probe, same "
+            "session). This run's implied link rate -- wire bytes x "
+            "batches / step-window seconds -- is "
+            f"**{attribution['implied_h2d_mb_per_s']} MB/s**: the epoch "
+            "time IS the link. Floors for the same bytes:",
+            "",
+            f"- at 50 MB/s (this relay): "
+            f"{attribution['h2d_floor_epoch_s_at_50mb_s']:.0f} s/epoch",
+            f"- at 12 GB/s (PCIe gen3 x16 / any production TPU host "
+            f"DMA): {attribution['h2d_epoch_s_at_pcie_12gb_s']:.1f} "
+            "s/epoch -- the loop returns to loader/device-bound, where "
+            "the measured components are ~5 s/batch single-core host "
+            "assembly (overlapped by the prefetch pool; the reference "
+            "uses 46 workers) and 74 ms/batch device compute.",
+            "",
+            "The loader itself no longer matters on this host: wait_s "
+            f"is {wait_s:.0f} s of {epoch_s:.0f} s (channel-major "
+            "assembly, data/wire.py).",
             "",
             "Cube + sampling honesty notes: see the script docstring "
             "(`scripts/bench_frl_epoch.py`). Raw per-epoch numbers: "
